@@ -1,0 +1,270 @@
+"""Reference-parity MapReduce queries, Spark-first.
+
+The reference runs these as maple/juice executables over line files
+(see /root/reference/mj_exe/ and command_backup). Here each job is a
+declarative DataFrame plan — the map phase becomes generate/project
+expressions, the shuffle becomes Catalyst's hash exchange, and the
+reduce phase becomes a (partial-aggregating) groupBy. The generic
+imperative API lives in engine/maple_juice.py; these are the
+Spark-native ports of the shipped example jobs.
+
+Jobs ported:
+- wordcount       (ref: mj_exe/wc_maple + mj_exe/juice_wordcount.go:11-30)
+- vote pipeline   (ref: mj_exe/maple_vote.go:10-40 -> juice_vote.go:10-45
+                   -> maple_vote_two.go -> juice_vote_two.go:10-38)
+- split_by_key    (ref: mj_exe/splitKey.go — partition rows by key)
+- range partition (ref: maple_juice.go:688 Shuffle(partition="range"))
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_system_mapreduce_spark.tables import load_table
+
+
+# ---------------------------------------------------------------- wordcount
+
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace wordcount over documents.text.
+
+    Reference semantics: bufio.ScanWords (split on whitespace, no case
+    folding), then per-key count (juice_wordcount.go:24 wcmap[key]+=count).
+    Spark plan: split/explode stay in whole-stage codegen; groupBy count
+    does a map-side partial aggregate before the single hash shuffle.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+WORDCOUNT_SQL = """
+SELECT word, count(*) AS cnt
+FROM (
+  SELECT unnest(string_split_regex(text, '\\s+')) AS word
+  FROM documents
+)
+WHERE word <> ''
+GROUP BY word
+"""
+
+
+# ------------------------------------------------------------ vote pipeline
+# Ballots: each event contributes one 3-candidate preference order over
+# (A, B, C), derived deterministically from event_id so the Spark query
+# and the SQL oracle agree: perm = (event_id % 7) % 6 (slight bias to
+# perm 0 so the election has a clear winner). This stands in for the
+# reference's vote_input file of "c1 c2 c3" ballot lines.
+
+_PERMS = ["ABC", "ACB", "BAC", "BCA", "CAB", "CBA"]
+
+
+def _ballots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select("event_id")
+    perm = (F.col("event_id") % 7) % 6
+    choices = [F.lit(p) for p in _PERMS]
+    ballot = F.element_at(F.array(*choices), (perm + 1).cast("int"))
+    return ev.select(
+        F.substring(ballot, 1, 1).alias("c1"),
+        F.substring(ballot, 2, 1).alias("c2"),
+        F.substring(ballot, 3, 1).alias("c3"),
+    )
+
+
+_BALLOTS_SQL = """
+  SELECT substr(ballot, 1, 1) AS c1, substr(ballot, 2, 1) AS c2,
+         substr(ballot, 3, 1) AS c3
+  FROM (
+    SELECT list_value('ABC','ACB','BAC','BCA','CAB','CBA')
+           [CAST((event_id % 7) % 6 AS INT) + 1] AS ballot
+    FROM events
+  )
+"""
+
+
+def vote_round1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 1: pairwise-preference majority per candidate pair.
+
+    maple_vote.go:20-39 emits, for each ballot and each of the 3
+    unordered pairs, key "min,max" with value 1 iff the ballot prefers
+    the lexicographically smaller candidate; juice_vote.go decides the
+    pair by majority (ties -> the larger candidate, matching the Go
+    `numOne > numZero` test). One explode + one partial-agg shuffle.
+    """
+    b = _ballots(spark, sf_dir)
+    pairs = b.select(
+        F.explode(
+            F.array(
+                # pair (c1,c2): ballot prefers c1
+                F.struct(
+                    F.least("c1", "c2").alias("small"),
+                    F.greatest("c1", "c2").alias("big"),
+                    (F.col("c1") < F.col("c2")).cast("long").alias("pref_small"),
+                ),
+                # pair (c2,c3): ballot prefers c2
+                F.struct(
+                    F.least("c2", "c3").alias("small"),
+                    F.greatest("c2", "c3").alias("big"),
+                    (F.col("c2") < F.col("c3")).cast("long").alias("pref_small"),
+                ),
+                # pair (c1,c3): ballot prefers c1
+                F.struct(
+                    F.least("c1", "c3").alias("small"),
+                    F.greatest("c1", "c3").alias("big"),
+                    (F.col("c1") < F.col("c3")).cast("long").alias("pref_small"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.small", "p.big", "p.pref_small")
+    return (
+        pairs.groupBy("small", "big")
+        .agg(
+            F.sum("pref_small").alias("wins_small"),
+            (F.count("*") - F.sum("pref_small")).alias("wins_big"),
+        )
+        .select(
+            F.concat_ws(",", "small", "big").alias("pair"),
+            "wins_small",
+            "wins_big",
+            F.when(F.col("wins_small") > F.col("wins_big"), F.col("small"))
+            .otherwise(F.col("big"))
+            .alias("winner"),
+        )
+    )
+
+
+VOTE_ROUND1_SQL = f"""
+SELECT small || ',' || big AS pair,
+       wins_small, wins_big,
+       CASE WHEN wins_small > wins_big THEN small ELSE big END AS winner
+FROM (
+  SELECT small, big,
+         SUM(pref_small) AS wins_small,
+         COUNT(*) - SUM(pref_small) AS wins_big
+  FROM (
+    SELECT least(c1, c2) AS small, greatest(c1, c2) AS big,
+           CASE WHEN c1 < c2 THEN 1 ELSE 0 END AS pref_small
+    FROM ({_BALLOTS_SQL})
+    UNION ALL
+    SELECT least(c2, c3), greatest(c2, c3),
+           CASE WHEN c2 < c3 THEN 1 ELSE 0 END
+    FROM ({_BALLOTS_SQL})
+    UNION ALL
+    SELECT least(c1, c3), greatest(c1, c3),
+           CASE WHEN c1 < c3 THEN 1 ELSE 0 END
+    FROM ({_BALLOTS_SQL})
+  )
+  GROUP BY small, big
+)
+"""
+
+
+def vote_winner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 2: Copeland winner — candidate with most pairwise wins.
+
+    maple_vote_two.go re-keys every pair-result under one key;
+    juice_vote_two.go:20-27 counts wins per candidate and prints the
+    argmax. We keep (winner, wins) and take the top row with a
+    deterministic tie-break on candidate name.
+    """
+    r1 = vote_round1(spark, sf_dir)
+    return (
+        r1.groupBy(F.col("winner").alias("candidate"))
+        .agg(F.count("*").alias("pair_wins"))
+        .orderBy(F.desc("pair_wins"), F.asc("candidate"))
+        .limit(1)
+    )
+
+
+VOTE_WINNER_SQL = f"""
+SELECT winner AS candidate, COUNT(*) AS pair_wins
+FROM ({VOTE_ROUND1_SQL})
+GROUP BY winner
+ORDER BY pair_wins DESC, candidate ASC
+LIMIT 1
+"""
+
+
+# ------------------------------------------------------------ split_by_key
+def split_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """splitKey.go parity: bucket rows by key, report per-key volumes.
+
+    The reference writes one SDFS file per distinct key
+    (splitMapleResultFile, maple_juice.go:266-310). At scale that is a
+    metadata explosion; the Spark-native equivalent is a partitioned
+    write (df.write.partitionBy(key)) — the accounting query below is
+    what `store`/`ls` would then show per key.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.col("event_type").alias("key"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+SPLIT_BY_KEY_SQL = """
+SELECT event_type AS key, COUNT(*) AS n_rows,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
+def range_partition_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle(partition="range") parity (maple_juice.go:688-709).
+
+    The reference sorts keys and deals contiguous key ranges to N
+    workers. Spark's native form is repartitionByRange; the observable
+    semantics — contiguous, ordered, balanced buckets — are expressed
+    here as an ntile(4) range histogram over user_id so the oracle can
+    verify the exact bucket boundaries and populations.
+    """
+    ev = load_table(spark, "events", sf_dir).select("user_id")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("user_id")
+    return (
+        ev.withColumn("bucket", F.ntile(4).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("user_id").alias("min_key"),
+            F.max("user_id").alias("max_key"),
+        )
+    )
+
+
+RANGE_PARTITION_HIST_SQL = """
+SELECT bucket, COUNT(*) AS n_rows, MIN(user_id) AS min_key,
+       MAX(user_id) AS max_key
+FROM (
+  SELECT user_id, ntile(4) OVER (ORDER BY user_id) AS bucket
+  FROM events
+)
+GROUP BY bucket
+"""
+
+
+QUERIES = {
+    "wordcount": wordcount,
+    "vote_round1": vote_round1,
+    "vote_winner": vote_winner,
+    "split_by_key": split_by_key,
+    "range_partition_hist": range_partition_hist,
+}
+
+ORACLES = {
+    "wordcount": WORDCOUNT_SQL,
+    "vote_round1": VOTE_ROUND1_SQL,
+    "vote_winner": VOTE_WINNER_SQL,
+    "split_by_key": SPLIT_BY_KEY_SQL,
+    "range_partition_hist": RANGE_PARTITION_HIST_SQL,
+}
