@@ -12,9 +12,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from distributed_system_mapreduce_spark.operators import mapreduce_queries, relational
+from distributed_system_mapreduce_spark.operators import (
+    engine_queries,
+    mapreduce_queries,
+    relational,
+)
 
-_MODULES = [mapreduce_queries, relational]
+_MODULES = [mapreduce_queries, relational, engine_queries]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}

@@ -1,0 +1,112 @@
+"""FileStore — SDFS-parity dataset catalog.
+
+The reference's SDFS (file_system/file_system.go) gives a flat
+namespace with put/get/delete/ls/store plus 4-way replication,
+distributed locks, and re-replication on failure. On Spark the
+durability/replication concerns belong to the storage layer (HDFS
+replication / S3), and consistency to the commit protocol — so this
+layer keeps the *user-facing surface* (the five commands) and maps
+storage to a directory of datasets in any Spark-readable format.
+
+put/get move whole files like the reference; read()/write() expose the
+same namespace as DataFrames so stored datasets are directly queryable
+(the reference's maple jobs always started by `get`-ing the file —
+here the scan IS the get, with predicate pushdown instead of a full
+copy).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+_FORMATS = ("parquet", "csv", "json", "text")
+
+
+@dataclass
+class FileStore:
+    spark: SparkSession
+    root: str
+
+    def __post_init__(self):
+        os.makedirs(self.root, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        if "/" in name or name.startswith("."):
+            raise ValueError(f"flat namespace only: {name!r}")
+        return os.path.join(self.root, name)
+
+    # ------------------------------------------------- file-level parity
+    def put(self, local_path: str, name: str) -> None:
+        """`put local sdfsname` (run_server.go:273, PutFile:825)."""
+        dst = self._path(name)
+        if os.path.isdir(local_path):
+            shutil.copytree(local_path, dst, dirs_exist_ok=True)
+        else:
+            shutil.copy2(local_path, dst)
+
+    def get(self, name: str, local_path: str) -> None:
+        """`get sdfsname local` (GetFile, file_system.go:880)."""
+        src = self._path(name)
+        if not os.path.exists(src):
+            raise FileNotFoundError(name)
+        if os.path.isdir(src):
+            shutil.copytree(src, local_path, dirs_exist_ok=True)
+        else:
+            shutil.copy2(src, local_path)
+
+    def delete(self, name: str) -> None:
+        """`delete sdfsname` (DeleteFile, file_system.go:782)."""
+        p = self._path(name)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        elif os.path.exists(p):
+            os.remove(p)
+
+    def ls(self, name: str) -> list[str]:
+        """`ls file` — reference lists replica holders
+        (ListServersWithFile, file_system.go:31); here: the physical
+        files backing the dataset (its partitions)."""
+        p = self._path(name)
+        if not os.path.exists(p):
+            return []
+        if os.path.isfile(p):
+            return [p]
+        return sorted(
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(p)
+            for f in fs
+            if not f.startswith(("_", "."))
+        )
+
+    def store(self) -> list[str]:
+        """`store` — all datasets in the namespace
+        (ListFilesOnServer, file_system.go:43)."""
+        return sorted(
+            n for n in os.listdir(self.root) if not n.startswith(".")
+        )
+
+    # ---------------------------------------------- DataFrame-level API
+    def write(self, df: DataFrame, name: str, fmt: str = "parquet",
+              mode: str = "overwrite", partition_by: list[str] | None = None,
+              ) -> None:
+        if fmt not in _FORMATS:
+            raise ValueError(f"fmt must be one of {_FORMATS}")
+        w = df.write.format(fmt).mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.save(self._path(name))
+
+    def read(self, name: str, fmt: str = "parquet", **options) -> DataFrame:
+        p = self._path(name)
+        if not os.path.exists(p):
+            raise FileNotFoundError(name)
+        return self.spark.read.format(fmt).options(**options).load(p)
+
+    def append(self, df: DataFrame, name: str, fmt: str = "parquet") -> None:
+        """The juice phase's append-to-dest (CreatAppendSdfsReduceFile,
+        file_system.go:1035) — an append-mode write."""
+        self.write(df, name, fmt, mode="append")

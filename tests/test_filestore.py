@@ -1,0 +1,52 @@
+"""FileStore: the five SDFS commands + DataFrame read/write/append."""
+
+import os
+
+import pytest
+
+from distributed_system_mapreduce_spark.sources.filestore import FileStore
+
+
+@pytest.fixture()
+def fs(spark, tmp_path):
+    return FileStore(spark, str(tmp_path / "store"))
+
+
+def test_put_get_delete_roundtrip(fs, tmp_path):
+    local = tmp_path / "in.txt"
+    local.write_text("hello world\n")
+    fs.put(str(local), "greeting")
+    assert fs.store() == ["greeting"]
+    out = tmp_path / "out.txt"
+    fs.get("greeting", str(out))
+    assert out.read_text() == "hello world\n"
+    fs.delete("greeting")
+    assert fs.store() == []
+    with pytest.raises(FileNotFoundError):
+        fs.get("greeting", str(out))
+
+
+def test_flat_namespace_enforced(fs):
+    with pytest.raises(ValueError):
+        fs.put("/etc/hosts", "../escape")
+
+
+def test_dataframe_write_read_append(fs, spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    fs.write(df, "ds")
+    assert fs.read("ds").count() == 2
+    fs.append(df, "ds")
+    assert fs.read("ds").count() == 4
+    assert "ds" in fs.store()
+    assert len(fs.ls("ds")) >= 1
+
+
+def test_partitioned_write_is_split_by_key(fs, spark):
+    """splitKey.go parity: one directory per key value."""
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("a", 3)], "k string, v long")
+    fs.write(df, "bykey", partition_by=["k"])
+    root = os.path.join(fs.root, "bykey")
+    parts = {d for d in os.listdir(root) if d.startswith("k=")}
+    assert parts == {"k=a", "k=b"}
+    assert fs.read("bykey").count() == 3

@@ -1,0 +1,29 @@
+"""Every registered query vs its DuckDB oracle at sf0.001 — the same
+row-count/schema/value comparison the driver gate runs at sf0.01."""
+
+import pytest
+
+from distributed_system_mapreduce_spark.registry import ORACLES, QUERIES
+from tests.conftest import SF_DIR, normalize
+
+WITH_ORACLE = sorted(k for k in QUERIES if k in ORACLES)
+ROWS_ONLY = sorted(k for k in QUERIES if k not in ORACLES)
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_query_matches_oracle(spark, oracle, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = oracle.sql(ORACLES[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert len(srows) == len(drows)
+    assert normalize(sdf.columns, srows) == normalize(dcols, drows)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_query_runs(spark, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    assert sdf.count() >= 0
+    assert sdf.columns
