@@ -1,0 +1,60 @@
+"""Benchmark harness: runs every registered query at the bench SF and
+prints ONE JSON line (driver contract).
+
+Materialization is via the noop sink (full execution, no driver
+collect). Time includes plan + execution per query on a warm session.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default all cores).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q6_forecast_revenue", "wordcount", "mr_wordcount",
+    "dedup_minhash", "dedup_ngram_jaccard", "ann_topk_brute",
+    "events_daily_rollup", "events_sessionize", "top_customers",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    only = sys.argv[1:] or None
+
+    from distributed_system_mapreduce_spark.registry import QUERIES
+    from distributed_system_mapreduce_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # warm the JVM + parquet footers with a cheap scan
+    QUERIES["q6_forecast_revenue"](spark, sf_dir).write.format(
+        "noop").mode("overwrite").save()
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    times: dict[str, float] = {}
+    names = only or list(QUERIES)
+    for name in names:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times[n] for n in HEADLINE if n in times), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()

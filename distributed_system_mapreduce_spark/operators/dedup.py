@@ -1,0 +1,286 @@
+"""Deduplication operators over `documents` — the core of an LLM
+training-data pipeline, designed for the 100 TB shape:
+
+- exact        : content-hash groupBy (linear, one shuffle)
+- minhash LSH  : per-doc signature (linear) -> band-bucket join
+                 (bounded buckets) -> candidate pairs. Never all-pairs.
+- ngram jaccard: EXACT Jaccard verification, restricted to the LSH
+                 candidate set (the textbook candidates->verify
+                 pipeline; an unrestricted shingle self-join would
+                 explode on hot shingles at scale).
+- simhash      : 16-bit sign-sketch bucketing (linear)
+
+Hash-family portability: h_i(s) = md5(i || ':' || s) compared as hex
+strings — a valid min-wise family, and bit-identical in Spark and
+DuckDB, so even MinHash signatures are oracle-checkable (most systems
+give up and skip verification here).
+
+Reference tie-in: the reference dedups only by exact SDFS filename;
+these operators are the content-level generalization its wordcount/
+vote jobs would need before aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_system_mapreduce_spark.functions import text as X
+from distributed_system_mapreduce_spark.tables import load_table
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+JACCARD_TAU = 0.2
+
+
+# ------------------------------------------------------------------ exact
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc exact-dup annotation: content hash, rank within the
+    dup group (keeper = rank 1), group size."""
+    docs = load_table(spark, "documents", sf_dir)
+    from pyspark.sql import Window
+
+    h = F.md5(F.col("text"))
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    wc = Window.partitionBy("content_hash")
+    return (
+        docs.select("doc_id", h.alias("content_hash"))
+        .withColumn("dup_rank", F.row_number().over(w))
+        .withColumn("group_size", F.count("*").over(wc))
+        .withColumn("is_dup", (F.col("dup_rank") > 1).cast("boolean"))
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT doc_id, content_hash,
+       ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id)
+         AS dup_rank,
+       COUNT(*) OVER (PARTITION BY content_hash) AS group_size,
+       (ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id)) > 1
+         AS is_dup
+FROM (SELECT doc_id, md5(text) AS content_hash FROM documents)
+"""
+
+
+# ------------------------------------------------------- minhash helpers
+def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", X.tokens().alias("toks"))
+    return toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(X.shingles_from("toks"))))
+        .alias("s"),
+    )
+
+
+_SHINGLE_SQL = f"""
+  SELECT DISTINCT doc_id, unnest({X.SHINGLES_SQL}) AS s FROM documents
+"""
+
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_df(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh{i}")
+        for i in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+_SIG_COLS_SQL = ",\n         ".join(
+    f"MIN(md5('{i}:' || s)) AS mh{i}" for i in range(N_HASHES)
+)
+_SIG_SQL = f"""
+  SELECT doc_id,
+         {_SIG_COLS_SQL}
+  FROM ({_SHINGLE_SQL})
+  GROUP BY doc_id
+"""
+
+
+def _bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, sig): band signature = md5 of its minhashes."""
+    sig = _signatures(spark, sf_dir)
+    entries = []
+    for b in range(N_BANDS):
+        cols = [F.col(f"mh{b * ROWS_PER_BAND + r}")
+                for r in range(ROWS_PER_BAND)]
+        entries.append(F.struct(F.lit(b).alias("band"),
+                                F.md5(F.concat(*cols)).alias("sig")))
+    return sig.select(
+        "doc_id", F.explode(F.array(*entries)).alias("e")
+    ).select("doc_id", "e.band", "e.sig")
+
+
+def _band_concat_sql(b: int) -> str:
+    return " || ".join(f"mh{b * ROWS_PER_BAND + r}"
+                       for r in range(ROWS_PER_BAND))
+
+
+_BANDS_SQL = f"""
+  SELECT doc_id, band, sig FROM (
+    SELECT doc_id, unnest([{", ".join(
+        f"{{'band': {b}, 'sig': md5({_band_concat_sql(b)})}}"
+        for b in range(N_BANDS))}]) AS e
+    FROM ({_SIG_SQL})
+  ), LATERAL (SELECT e['band'] AS band, e['sig'] AS sig)
+"""
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs sharing >= 1 of 4 bands (4 hashes per
+    band -> collision prob ~ j^4 per band). Output pair + #shared
+    bands. One groupBy (signatures) + one self-join on (band, sig)
+    whose buckets only contain near-identical docs."""
+    bands = _bands(spark, sf_dir)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.sig") == F.col("b.sig"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+DEDUP_MINHASH_SQL = f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       COUNT(*) AS n_shared_bands
+FROM ({_BANDS_SQL}) a
+JOIN ({_BANDS_SQL}) b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+# ------------------------------------------- exact jaccard on candidates
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram Jaccard over the LSH candidate pairs,
+    thresholded at {tau}. candidates->verify keeps the exact
+    computation linear in candidate count, not quadratic in corpus
+    size.""".format(tau=JACCARD_TAU)
+    cand = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    sh = _shingle_df(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), (F.col("doc_b") == F.col("sb.doc_id"))
+              & (F.col("sa.s") == F.col("sb.s")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(counts.alias("ca"), F.col("doc_a") == F.col("ca.doc_id"))
+        .join(counts.alias("cb"), F.col("doc_b") == F.col("cb.doc_id"))
+        .select(
+            "doc_a", "doc_b", "inter",
+            (F.col("ca.n") + F.col("cb.n") - F.col("inter")).alias("uni"),
+            (
+                F.col("inter").cast("double")
+                / (F.col("ca.n") + F.col("cb.n") - F.col("inter"))
+                .cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_TAU)
+    )
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH cand AS (
+  SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_SQL})
+),
+sh AS ({_SHINGLE_SQL}),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT doc_a, doc_b, COUNT(*) AS inter
+  FROM cand
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b AND sa.s = sb.s
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b, inter,
+       ca.n + cb.n - inter AS uni,
+       CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE)
+         AS jaccard
+FROM inter
+JOIN cnt ca ON ca.doc_id = doc_a
+JOIN cnt cb ON cb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE)
+      >= {JACCARD_TAU}
+"""
+
+
+# ---------------------------------------------------------------- simhash
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash: bit j is the sign of sum over distinct tokens of
+    (+1 if hex digit j of md5(token) >= '8' else -1). Docs bucketed by
+    sketch; bucket size annotates dup candidates. Linear, one shuffle."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(X.tokens())).alias("t"),
+    )
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.substring(F.md5(F.col("t")), j + 1, 1) >= "8", 1
+            ).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(16)
+    ]
+    sums = toks.groupBy("doc_id").agg(*bit_sums)
+    sketch = F.concat(*[
+        F.when(F.col(f"s{j}") > 0, "1").otherwise("0") for j in range(16)
+    ])
+    from pyspark.sql import Window
+
+    wc = Window.partitionBy("simhash")
+    return (
+        sums.select("doc_id", sketch.alias("simhash"))
+        .withColumn("bucket_size", F.count("*").over(wc))
+    )
+
+
+_SIMHASH_SUMS_SQL = ",\n         ".join(
+    f"SUM(CASE WHEN substr(md5(t), {j + 1}, 1) >= '8' "
+    f"THEN 1 ELSE -1 END) AS s{j}"
+    for j in range(16)
+)
+_SIMHASH_BITS_SQL = " || ".join(
+    f"CASE WHEN s{j} > 0 THEN '1' ELSE '0' END" for j in range(16)
+)
+
+DEDUP_SIMHASH_SQL = f"""
+SELECT doc_id, simhash,
+       COUNT(*) OVER (PARTITION BY simhash) AS bucket_size
+FROM (
+  SELECT doc_id, {_SIMHASH_BITS_SQL} AS simhash
+  FROM (
+    SELECT doc_id,
+         {_SIMHASH_SUMS_SQL}
+    FROM (SELECT DISTINCT doc_id, unnest({X.TOKENS_SQL}) AS t
+          FROM documents)
+    GROUP BY doc_id
+  )
+)
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash": dedup_minhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_minhash": DEDUP_MINHASH_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
+}

@@ -1,0 +1,157 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata, processed by Arrow-batched pandas stages.
+
+The container has no image/audio codecs, so the decode kernel is
+STUBBED: `decode_features` derives deterministic pseudo-features from
+the payload bytes (md5-seeded), and `decode_real` raises
+NotImplementedError where PIL/librosa/ffmpeg would plug in. Everything
+around the stub — binary column handling, metadata struct schema,
+mapInPandas batch shape, partitioning — is real and tested.
+
+Payloads are synthesized deterministically from `documents.text`
+(utf-8 bytes) since the driver tables carry no binary column; at
+production scale the payload column is the raw object (or an object-
+store pointer + range for >~1 MB media, the standard layout so parquet
+row groups stay scan-friendly).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_system_mapreduce_spark.tables import load_table
+
+MEDIA_TYPES = ("image", "audio", "video")
+
+DECODED_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, checksum string, "
+    "width long, height long, n_channels long, sample_rate long, "
+    "duration_ms long, n_frames long"
+)
+
+
+def attach_payloads(docs: DataFrame) -> DataFrame:
+    """Opaque binary payload + typed metadata columns."""
+    media = F.element_at(
+        F.array(*[F.lit(m) for m in MEDIA_TYPES]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        media.alias("media_type"),
+        F.struct(
+            F.col("source").alias("origin"),
+            F.col("n_chars").alias("raw_size"),
+        ).alias("meta"),
+    )
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata extraction over the binary column — stays fully
+    JVM-side (octet length, md5) and oracle-checkable."""
+    docs = load_table(spark, "documents", sf_dir)
+    mm = attach_payloads(docs)
+    return mm.select(
+        "doc_id",
+        "media_type",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("checksum"),
+        F.col("meta.origin").alias("origin"),
+    )
+
+
+MULTIMODAL_META_SQL = """
+SELECT doc_id,
+       ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1]
+         AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS checksum,
+       source AS origin
+FROM documents
+"""
+
+
+def decode_real(payload: bytes, media_type: str):
+    """The production decode kernel slot (PIL / soundfile / pyav)."""
+    raise NotImplementedError(
+        "media codecs are not available in this environment; "
+        "decode_features provides the deterministic stub")
+
+
+def _pseudo_features(payload: bytes, media_type: str) -> dict:
+    h = hashlib.md5(payload).digest()
+    if media_type == "image":
+        return {"width": 64 + h[0] % 192, "height": 64 + h[1] % 192,
+                "n_channels": 1 + h[2] % 4,
+                "sample_rate": None, "duration_ms": None, "n_frames": None}
+    if media_type == "audio":
+        return {"width": None, "height": None, "n_channels": 1 + h[2] % 2,
+                "sample_rate": (8 + h[3] % 40) * 1000,
+                "duration_ms": 500 + int.from_bytes(h[4:6], "big") % 60000,
+                "n_frames": None}
+    return {"width": 160 + h[0] % 320, "height": 90 + h[1] % 270,
+            "n_channels": 3, "sample_rate": None,
+            "duration_ms": 1000 + int.from_bytes(h[4:6], "big") % 120000,
+            "n_frames": 24 + h[6] % 240}
+
+
+def decode_features(mm: DataFrame) -> DataFrame:
+    """Arrow-batched decode stage: mapInPandas over (payload,
+    media_type) -> typed feature columns. Swap _pseudo_features for
+    decode_real when codecs exist; the plan shape doesn't change."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            feats = [
+                _pseudo_features(p, m)
+                for p, m in zip(b["payload"], b["media_type"])
+            ]
+            fdf = pd.DataFrame(feats)
+            fdf.insert(0, "doc_id", b["doc_id"].values)
+            fdf.insert(1, "media_type", b["media_type"].values)
+            fdf.insert(2, "n_bytes", [len(p) for p in b["payload"]])
+            fdf.insert(3, "checksum",
+                       [hashlib.md5(p).hexdigest() for p in b["payload"]])
+            yield fdf
+
+    return mm.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full plumbing: payload attach -> Arrow decode stage (stubbed
+    kernel). Rows-only in the oracle gate (the pseudo-decode is a
+    Python kernel by design)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return decode_features(attach_payloads(docs))
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling plan: one output row per sampled frame
+    (every ~Nth frame), the shape a vision-training pipeline needs.
+    Explode stays JVM-side; only the (stubbed) decode is Python."""
+    decoded = multimodal_decode(spark, sf_dir)
+    vids = decoded.filter(F.col("media_type") == "video")
+    return vids.select(
+        "doc_id", "n_frames",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(24))
+        ).alias("frame_idx"),
+    )
+
+
+QUERIES = {
+    "multimodal_meta": multimodal_meta,
+    "multimodal_decode": multimodal_decode,
+    "multimodal_frame_sample": frame_sample,
+}
+
+ORACLES = {
+    "multimodal_meta": MULTIMODAL_META_SQL,
+    # multimodal_decode / frame_sample: rows-only (Python stub kernel)
+}

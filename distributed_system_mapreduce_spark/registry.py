@@ -13,12 +13,17 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from distributed_system_mapreduce_spark.operators import (
+    dedup,
     engine_queries,
     mapreduce_queries,
+    multimodal,
     relational,
+    similarity,
+    text_analysis,
 )
 
-_MODULES = [mapreduce_queries, relational, engine_queries]
+_MODULES = [mapreduce_queries, relational, engine_queries,
+            text_analysis, dedup, similarity, multimodal]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}

@@ -1,0 +1,152 @@
+"""Structured Streaming jobs over the events stream.
+
+The reference has no streaming story (its closest notion is juice's
+incremental append to the dest file, CreatAppendSdfsReduceFile,
+file_system.go:1035); a modern pipeline needs one, so these are the
+Spark-native streaming twins of the batch events queries in
+operators/relational.py:
+
+- windowed_counts   <-> events_daily_rollup  (tumbling window + watermark)
+- sessionize_stream <-> events_sessionize    (applyInPandasWithState)
+
+Tests run them with trigger(availableNow=True) over the static parquet
+so results are comparable to the batch twins; in production the same
+code reads kafka/files continuously — that's the point of Structured
+Streaming's unified model.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", LongType()),  # raw nanos (nanosAsLong)
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str,
+                       max_files_per_trigger: int | None = None,
+                       ) -> DataFrame:
+    """File-source stream over the events parquet (glob). In
+    production swap for kafka — everything downstream is unchanged."""
+    reader = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        # file source requires a directory; select just the events file
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(sf_dir)
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(events: DataFrame, window: str = "1 day",
+                    watermark: str = "2 days") -> DataFrame:
+    """Tumbling-window per-type counts with a late-data watermark —
+    the streaming twin of events_daily_rollup. State is bounded by
+    watermark horizon x event_type cardinality."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(38,6)").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("day"), "event_type",
+            "n_events", "sum_value",
+        )
+    )
+
+
+_SESSION_OUT = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_sessions", LongType()),
+    StructField("n_events", LongType()),
+    StructField("last_ts", TimestampType()),
+])
+
+_SESSION_STATE = StructType([
+    StructField("n_sessions", LongType()),
+    StructField("n_events", LongType()),
+    StructField("last_epoch_us", LongType()),
+])
+
+SESSION_GAP_S = 1800
+
+
+def _sessionize_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful operator: per-user gap-based session counting.
+    State = (n_sessions, n_events, last_event_time)."""
+    if state.exists:
+        n_sessions, n_events, last_us = state.get
+    else:
+        n_sessions, n_events, last_us = 0, 0, None
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        for ts in pdf["ts"]:
+            us = int(ts.value // 1000)  # pandas Timestamp ns -> us
+            if last_us is None or us - last_us > SESSION_GAP_S * 1_000_000:
+                n_sessions += 1
+            last_us = us
+            n_events += 1
+    state.update((n_sessions, n_events, last_us))
+    yield pd.DataFrame({
+        "user_id": [key[0]],
+        "n_sessions": [n_sessions],
+        "n_events": [n_events],
+        "last_ts": [pd.Timestamp(last_us, unit="us")],
+    })
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState sessionizer — the streaming twin of
+    events_sessionize (same gap rule)."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn,
+            outputStructType=_SESSION_OUT,
+            stateStructType=_SESSION_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_stream_to_memory(df: DataFrame, name: str,
+                         output_mode: str = "complete") -> Any:
+    """Drain the stream into an in-memory table with availableNow
+    (process-everything-then-stop) and return the finished query."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
