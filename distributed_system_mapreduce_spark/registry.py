@@ -18,11 +18,12 @@ from distributed_system_mapreduce_spark.operators import (
     mapreduce_queries,
     multimodal,
     relational,
+    relational_ext,
     similarity,
     text_analysis,
 )
 
-_MODULES = [mapreduce_queries, relational, engine_queries,
+_MODULES = [mapreduce_queries, relational, relational_ext, engine_queries,
             text_analysis, dedup, similarity, multimodal]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
