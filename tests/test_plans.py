@@ -1,0 +1,71 @@
+"""Physical-plan audits: the 100 TB posture, enforced.
+
+These tests pin the *plan shape*, not timing: pushdown reaching the
+scan, dimension joins broadcasting, map-side partial aggregation,
+no Python evaluation or cartesian products sneaking into JVM-only
+paths. A regression here is a cluster incident caught at CI time.
+"""
+
+from distributed_system_mapreduce_spark.plans import (
+    formatted_plan,
+    plan_has,
+    plan_lacks,
+)
+from distributed_system_mapreduce_spark.registry import QUERIES
+from tests.conftest import SF_DIR
+
+
+def test_q6_filters_reach_parquet_scan(spark):
+    df = QUERIES["q6_forecast_revenue"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "PushedFilters:" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    # column pruning: only the 4 referenced columns are read
+    assert ("ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+            "l_discount:double,l_shipdate:timestamp_ntz>") in plan
+
+
+def test_q1_has_map_side_partial_aggregation(spark):
+    df = QUERIES["q1_pricing_summary"](spark, SF_DIR)
+    assert plan_has(df, "partial_sum")
+
+
+def test_dim_joins_broadcast(spark):
+    for name in ("q3_shipping_priority", "q5_local_supplier",
+                 "q10_returned_items", "q14_promo_revenue"):
+        df = QUERIES[name](spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_jvm_only_paths_have_no_python_eval(spark):
+    for name in ("wordcount", "q1_pricing_summary", "dedup_minhash",
+                 "doc_fingerprint", "token_count", "ann_topk_lsh"):
+        df = QUERIES[name](spark, SF_DIR)
+        assert plan_lacks(df, "BatchEvalPython"), name
+
+
+def test_engine_path_is_arrow_not_row_python(spark):
+    """The MapleJuice legacy path must use Arrow-batched exchange
+    (MapInPandas / FlatMapGroupsInPandas), never row-oriented
+    BatchEvalPython."""
+    df = QUERIES["mr_wordcount"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_semi_and_anti_joins_stay_joins(spark):
+    assert plan_has(QUERIES["order_priority_count"](spark, SF_DIR),
+                    "LeftSemi")
+    assert plan_has(QUERIES["q22_idle_customers"](spark, SF_DIR),
+                    "LeftAnti")
+
+
+def test_lsh_join_is_hash_not_cartesian(spark):
+    for name in ("ann_topk_lsh", "dedup_embedding", "dedup_minhash"):
+        assert plan_lacks(QUERIES[name](spark, SF_DIR),
+                          "CartesianProduct"), name
