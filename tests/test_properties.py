@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis) for engine invariants:
+partitioning correctness, salted-agg equivalence, kv-format
+roundtrips, and MinHash estimate sanity."""
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from distributed_system_mapreduce_spark.engine.maple_juice import (
+    MapleJuice,
+    wrap_line_job,
+)
+from distributed_system_mapreduce_spark.functions.skew import salted_agg
+
+_slow = settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+words = st.lists(
+    st.text(alphabet="abcxyz", min_size=1, max_size=4),
+    min_size=0, max_size=30,
+)
+
+
+@_slow
+@given(lines=st.lists(words, min_size=1, max_size=20))
+def test_engine_wordcount_equals_python_counter(spark, lines):
+    """MapleJuice(hash) == collections.Counter, for any input."""
+    from collections import Counter
+
+    texts = [" ".join(ws) for ws in lines]
+    expected = Counter(t for line in texts for t in line.split())
+    df = spark.createDataFrame([(t,) for t in texts], "line string")
+    mj = MapleJuice(spark)
+    out = mj.run(
+        df,
+        wrap_line_job(lambda line: [(t, "1") for t in line.split()]),
+        lambda k, g: pd.DataFrame(
+            {"word": [k], "cnt": [g["value"].astype("int64").sum()]}),
+        output_schema="word string, cnt long",
+    )
+    got = {r["word"]: r["cnt"] for r in out.collect()}
+    assert got == dict(expected)
+
+
+@_slow
+@given(lines=st.lists(words, min_size=1, max_size=12))
+def test_hash_and_range_partitions_agree(spark, lines):
+    texts = [" ".join(ws) for ws in lines]
+    df = spark.createDataFrame([(t,) for t in texts], "line string")
+    mj = MapleJuice(spark)
+    job = wrap_line_job(lambda line: [(t, "1") for t in line.split()])
+    red = lambda k, g: pd.DataFrame(  # noqa: E731
+        {"word": [k], "cnt": [g["value"].astype("int64").sum()]})
+    hash_out = {(r["word"], r["cnt"]) for r in mj.run(
+        df, job, red, output_schema="word string, cnt long").collect()}
+    range_out = {(r["word"], r["cnt"]) for r in mj.run(
+        df, job, red, partition="range", num_juices=3,
+        output_schema="word string, cnt long").collect()}
+    assert hash_out == range_out
+
+
+@_slow
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]),
+              st.integers(min_value=-1000, max_value=1000)),
+    min_size=1, max_size=50,
+))
+def test_salted_agg_matches_plain_groupby(spark, rows):
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {
+        (r["k"], r["n"], r["total"], r["mx"])
+        for r in salted_agg(
+            df, "k",
+            {"n": ("count", "*"), "total": ("sum", "v"),
+             "mx": ("max", "v")},
+            n_salts=4,
+        ).collect()
+    }
+    from pyspark.sql import functions as F
+
+    want = {
+        (r["k"], r["n"], r["total"], r["mx"])
+        for r in df.groupBy("k").agg(
+            F.count("*").alias("n"), F.sum("v").alias("total"),
+            F.max("v").alias("mx")).collect()
+    }
+    assert got == want
+
+
+def test_kv_lines_roundtrip(spark, tmp_path):
+    from distributed_system_mapreduce_spark.sources.text_lines import (
+        read_kv_lines,
+        read_lines,
+        write_lines,
+    )
+
+    data = [("alpha", "1"), ("beta", "2 3"), ("gamma", "")]
+    df = spark.createDataFrame(
+        [(f"{k} {v}".strip(),) for k, v in data], "line string")
+    path = str(tmp_path / "kv")
+    write_lines(df, path)
+    kv = {(r["key"], r["value"]) for r in
+          read_kv_lines(spark, path).collect()}
+    assert kv == set(data)
+    assert read_lines(spark, path, min_partitions=4).rdd \
+        .getNumPartitions() >= 4
