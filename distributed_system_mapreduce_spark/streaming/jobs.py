@@ -48,6 +48,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
                        ) -> DataFrame:
     """File-source stream over the events parquet (glob). In
     production swap for kafka — everything downstream is unchanged."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = (
         spark.readStream.schema(EVENT_SCHEMA)
         # file source requires a directory; select just the events file

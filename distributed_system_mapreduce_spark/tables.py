@@ -28,6 +28,12 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     sf_dir = sf_dir or DEFAULT_SF_DIR
+    if name == "events":
+        # Defensive: the caller may hand us a session built without
+        # session.py (e.g. the round driver's own). nanosAsLong is a
+        # runtime-settable SQL conf; without it TIMESTAMP(NANOS)
+        # parquet is unreadable.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as raw int64 (nanosAsLong); truncate to
