@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distributed_system_mapreduce_spark.functions import text as X
-from distributed_system_mapreduce_spark.tables import load_table
+from distributed_system_mapreduce_spark.tables import load_table, spread
 
 N_HASHES = 16
 N_BANDS = 4
@@ -65,12 +65,34 @@ FROM (SELECT doc_id, md5(text) AS content_hash FROM documents)
 
 # ------------------------------------------------------- minhash helpers
 def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
+    """(doc_id, s) exploded distinct word-bigram shingles.
+
+    The explode MUST stay inline over the array expression with the
+    tokens column materialized by the child projection — splitting
+    this into a 'build array column, then explode it' project chain
+    re-evaluates the token split per array element after projection
+    collapse (measured 15x slower). Generate acts as the barrier that
+    keeps `toks` computed once per doc."""
+    docs = spread(load_table(spark, "documents", sf_dir))
     toks = docs.select("doc_id", X.tokens().alias("toks"))
     return toks.select(
         "doc_id",
         F.explode(F.array_distinct(F.expr(X.shingles_from("toks"))))
         .alias("s"),
+    )
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh: array<string>) distinct shingles as one array per
+    doc, for the exact-Jaccard verify stage: array_intersect over two
+    per-pair arrays beats a shingle-level equi-join. Built by
+    re-grouping the fast exploded form (one shuffle, bounded by
+    corpus size) — see _shingle_df for why not a narrow array
+    projection."""
+    return (
+        _shingle_df(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.collect_list("s").alias("sh"))
     )
 
 
@@ -80,6 +102,16 @@ _SHINGLE_SQL = f"""
 
 
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: mh_i = min over shingles of md5(i ':' s).
+
+    Shape: explode shingles -> groupBy(doc_id) with 16 min aggregates.
+    Everything (md5 included) runs inside WholeStageCodegen, and
+    Catalyst's partial aggregation takes the mins map-side — the
+    shuffle carries ~one 16-hash row per doc per input partition, NOT
+    the exploded shingle stream, so this scales linearly at 100 TB.
+    (A narrow array_min(transform(...)) formulation avoids the shuffle
+    entirely but runs interpreted, measured ~4x slower end-to-end.)
+    Docs with no shingles (< 2 tokens) drop out via explode."""
     sh = _shingle_df(spark, sf_dir)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh{i}")
@@ -131,9 +163,15 @@ _BANDS_SQL = f"""
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: docs sharing >= 1 of 4 bands (4 hashes per
     band -> collision prob ~ j^4 per band). Output pair + #shared
-    bands. One groupBy (signatures) + one self-join on (band, sig)
-    whose buckets only contain near-identical docs."""
-    bands = _bands(spark, sf_dir)
+    bands via a self-join on (band, sig) whose buckets only contain
+    near-identical docs.
+
+    The band table (4 short rows per doc — tiny next to the corpus)
+    is materialized with localCheckpoint so the self-join's two sides
+    share one signature computation instead of re-hashing every
+    shingle twice; this is the signature store a production dedup
+    pipeline would persist anyway."""
+    bands = _bands(spark, sf_dir).localCheckpoint()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -163,26 +201,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-bigram Jaccard over the LSH candidate pairs,
     thresholded at {tau}. candidates->verify keeps the exact
     computation linear in candidate count, not quadratic in corpus
-    size.""".format(tau=JACCARD_TAU)
+    size; the intersection is array_intersect over the two per-doc
+    shingle arrays (two hash joins on doc_id + a narrow map), not a
+    shingle-level equi-join — no shuffle of raw shingle
+    text.""".format(tau=JACCARD_TAU)
     cand = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
-    sh = _shingle_df(spark, sf_dir)
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    inter = (
-        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sh.alias("sb"), (F.col("doc_b") == F.col("sb.doc_id"))
-              & (F.col("sa.s") == F.col("sb.s")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+    ds = _doc_shingles(spark, sf_dir)
+    pairs = (
+        cand.join(ds.alias("da"), F.col("doc_a") == F.col("da.doc_id"))
+        .join(ds.alias("db"), F.col("doc_b") == F.col("db.doc_id"))
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect(F.col("da.sh"), F.col("db.sh")))
+            .cast("long").alias("inter"),
+            F.size("da.sh").cast("long").alias("na"),
+            F.size("db.sh").cast("long").alias("nb"),
+        )
     )
     return (
-        inter.join(counts.alias("ca"), F.col("doc_a") == F.col("ca.doc_id"))
-        .join(counts.alias("cb"), F.col("doc_b") == F.col("cb.doc_id"))
-        .select(
+        pairs.select(
             "doc_a", "doc_b", "inter",
-            (F.col("ca.n") + F.col("cb.n") - F.col("inter")).alias("uni"),
+            (F.col("na") + F.col("nb") - F.col("inter")).alias("uni"),
             (
                 F.col("inter").cast("double")
-                / (F.col("ca.n") + F.col("cb.n") - F.col("inter"))
+                / (F.col("na") + F.col("nb") - F.col("inter"))
                 .cast("double")
             ).alias("jaccard"),
         )
@@ -219,21 +261,29 @@ WHERE CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash: bit j is the sign of sum over distinct tokens of
     (+1 if hex digit j of md5(token) >= '8' else -1). Docs bucketed by
-    sketch; bucket size annotates dup candidates. Linear, one shuffle."""
-    docs = load_table(spark, "documents", sf_dir)
-    toks = docs.select(
+    sketch; bucket size annotates dup candidates.
+
+    Narrow formulation: md5 once per distinct token via transform,
+    then 16 JVM `aggregate` folds over the hash array — the sketch is
+    a pure map stage; the only shuffle is the (doc_id, simhash)
+    bucket-size window. Integer addition is commutative, so the fold
+    order change vs an explode/groupBy is value-identical."""
+    docs = spread(load_table(spark, "documents", sf_dir))
+    hashed = docs.select(
         "doc_id",
-        F.explode(F.array_distinct(X.tokens())).alias("t"),
-    )
+        F.expr(
+            f"transform(array_distinct({X.TOKENS_EXPR}), t -> md5(t))"
+        ).alias("hs"),
+    ).filter(F.size("hs") > 0)
     bit_sums = [
-        F.sum(
-            F.when(
-                F.substring(F.md5(F.col("t")), j + 1, 1) >= "8", 1
-            ).otherwise(-1)
+        F.expr(
+            f"aggregate(hs, 0, (acc, h) -> acc + "
+            f"CASE WHEN substring(h, {j + 1}, 1) >= '8' "
+            f"THEN 1 ELSE -1 END)"
         ).alias(f"s{j}")
         for j in range(16)
     ]
-    sums = toks.groupBy("doc_id").agg(*bit_sums)
+    sums = hashed.select("doc_id", *bit_sums)
     sketch = F.concat(*[
         F.when(F.col(f"s{j}") > 0, "1").otherwise("0") for j in range(16)
     ])

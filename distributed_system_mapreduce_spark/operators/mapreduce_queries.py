@@ -222,20 +222,75 @@ def range_partition_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle(partition="range") parity (maple_juice.go:688-709).
 
     The reference sorts keys and deals contiguous key ranges to N
-    workers. Spark's native form is repartitionByRange; the observable
-    semantics — contiguous, ordered, balanced buckets — are expressed
-    here as an ntile(4) range histogram over user_id so the oracle can
-    verify the exact bucket boundaries and populations.
+    workers. The observable semantics — contiguous, ordered, balanced
+    buckets — are an exact ntile(4) histogram over user_id, computed
+    WITHOUT a global single-partition window (ntile over
+    Window.orderBy would move every row to one task — non-viable at
+    scale). Distributed exact-ntile via partitioned prefix sums:
+
+      1. per-key counts (one shuffle; cardinality = distinct keys)
+      2. repartitionByRange on key; localCheckpoint pins partition ids
+      3. per-partition totals -> O(#partitions) rows to the driver ->
+         broadcast cumulative offsets
+      4. within-partition cumsum window + offset = each key's global
+         row-position range [cum-cnt+1, cum]
+      5. broadcast-join the 4 bucket boundary rows, overlap arithmetic
+         gives per-(key, bucket) row counts -> groupBy bucket
+
+    Ties are no issue: any user_id-sorted order places equal keys
+    contiguously, so the per-bucket count/min/max are tie-invariant.
     """
     ev = load_table(spark, "events", sf_dir).select("user_id")
+    keys = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    # localCheckpoint (eager) pins spark_partition_id: the range
+    # exchange samples boundaries, so two lazy recomputations could
+    # disagree on pid assignment between steps 3 and 4.
+    kr = (
+        keys.repartitionByRange(32, "user_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    ptots = {
+        r["pid"]: r["tot"]
+        for r in kr.groupBy("pid").agg(F.sum("cnt").alias("tot")).collect()
+    }
+    offsets, run = [], 0
+    for pid in sorted(ptots):
+        offsets.append((pid, run))
+        run += ptots[pid]
+    n = run
+    q, r = divmod(n, 4)
+    bounds, start = [], 1
+    for b in range(1, 5):
+        size = q + (1 if b <= r else 0)
+        bounds.append((b, start, start + size - 1))
+        start += size
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "pid int, off long")
+    bdf = spark.createDataFrame(bounds, "bucket int, bstart long, bend long")
+
     from pyspark.sql import Window
 
-    w = Window.orderBy("user_id")
+    w = Window.partitionBy("pid").orderBy("user_id")
+    cum = (
+        kr.withColumn("cum_in", F.sum("cnt").over(w))
+        .join(F.broadcast(off_df), "pid")
+        .select("user_id", "cnt",
+                (F.col("cum_in") + F.col("off")).alias("cum"))
+    )
+    overlap = (
+        F.least(F.col("bend"), F.col("cum"))
+        - F.greatest(F.col("bstart"), F.col("cum") - F.col("cnt") + 1)
+        + 1
+    )
     return (
-        ev.withColumn("bucket", F.ntile(4).over(w))
+        cum.join(
+            F.broadcast(bdf),
+            (F.col("cum") - F.col("cnt") + 1 <= F.col("bend"))
+            & (F.col("cum") >= F.col("bstart")),
+        )
         .groupBy("bucket")
         .agg(
-            F.count("*").alias("n_rows"),
+            F.sum(overlap).alias("n_rows"),
             F.min("user_id").alias("min_key"),
             F.max("user_id").alias("max_key"),
         )

@@ -154,8 +154,12 @@ FROM (
 
 # ------------------------------------------------------------------ Q15
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15 shape: supplier(s) with max quarterly revenue —
-    the 'equal to scalar max' subquery becomes a rank-1 window."""
+    """TPC-H Q15 shape: supplier with max quarterly revenue — the
+    'equal to scalar max' subquery becomes orderBy().limit(1), which
+    Catalyst plans as TakeOrderedAndProject: per-partition top-1 then
+    a merge of #partitions candidates. No global single-partition
+    window (rank-1 via Window.orderBy with no partitionBy would move
+    the whole supplier aggregate to one task)."""
     li = load_table(spark, "lineitem", sf_dir).filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -165,11 +169,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_suppkey")
         .agg(_revenue().alias("total_revenue"))
     )
-    w = Window.orderBy(F.desc("total_revenue"), F.asc("l_suppkey"))
+    top = rev.orderBy(F.desc("total_revenue"), F.asc("l_suppkey")).limit(1)
     return (
-        rev.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") == 1)
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        top.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 

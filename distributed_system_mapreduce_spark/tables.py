@@ -44,6 +44,24 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Rebalance a scan feeding a CPU-heavy NARROW stage (per-doc
+    hashing, shingling, sketching).
+
+    Parquet splits at row-group granularity, so a small file (or any
+    single-row-group file, like the local test data) scans as ONE
+    partition — a narrow map pipeline then runs on one core no matter
+    how many the session has. Round-robin repartition to
+    defaultParallelism only when the scan is under-split; on a real
+    cluster a 100 TB input has thousands of row-group splits and this
+    is a no-op (no shuffle added)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
     """Register every table as a temp view for spark.sql queries."""
     for name in TABLES:
