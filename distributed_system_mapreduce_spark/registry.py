@@ -19,12 +19,13 @@ from distributed_system_mapreduce_spark.operators import (
     multimodal,
     relational,
     relational_ext,
+    relational_ext2,
     similarity,
     text_analysis,
 )
 
-_MODULES = [mapreduce_queries, relational, relational_ext, engine_queries,
-            text_analysis, dedup, similarity, multimodal]
+_MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
+            engine_queries, text_analysis, dedup, similarity, multimodal]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
