@@ -36,6 +36,26 @@ def dot_sql(a: str, b: str) -> str:
     )
 
 
+def dist2_expr(a: str, b: str) -> str:
+    """Spark SQL: strict left-fold squared L2 distance in double."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        f"(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def dist2_sql(a: str, b: str) -> str:
+    """DuckDB twin of dist2_expr (same fold, same order)."""
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+        f"(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
 def norm_expr(a: str) -> str:
     return f"sqrt({dot_expr(a, a)})"
 

@@ -152,6 +152,95 @@ WHERE rank <= {TOP_K}
 """
 
 
+N_CELLS = 16  # IVF codebook size; scale as ~sqrt(n) on a real corpus
+
+
+def _with_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantizer: cell = argmin squared-L2 to a
+    deterministic sample codebook (the first N_CELLS vectors by
+    vec_id — sample-based codebooks are a standard IVF flavor and
+    need no float-mean training step, which keeps the arithmetic
+    bit-identical to the oracle). Assignment = broadcast the K
+    codewords, narrow x16 distance map, min(struct(dist, cid)) —
+    no window, one partial-aggregating shuffle."""
+    vecs = _with_norm(spark, sf_dir)
+    seeds = vecs.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
+    d2 = F.expr(V.dist2_expr("embedding", "cemb"))
+    asg = (
+        vecs.join(F.broadcast(seeds))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct(d2.alias("d2"), F.col("cid").alias("cid")))
+             .alias("best"))
+        .select("vec_id", F.col("best.cid").alias("cell"))
+    )
+    return vecs.join(asg, "vec_id")
+
+
+_CELL_SQL = f"""
+  SELECT v.vec_id, v.embedding, v.norm, a.cell
+  FROM ({_NORM_SQL}) v
+  JOIN (
+    SELECT vec_id, cid AS cell FROM (
+      SELECT v.vec_id, s.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {{dist}} ASC, s.cid ASC) AS rn
+      FROM ({_NORM_SQL}) v
+      CROSS JOIN (SELECT vec_id AS cid, embedding AS cemb
+                  FROM ({_NORM_SQL}) WHERE vec_id < {N_CELLS}) s
+    ) WHERE rn = 1
+  ) a ON v.vec_id = a.vec_id
+""".format(dist=V.dist2_sql("v.embedding", "s.cemb"))
+
+
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: inverted-file search with a deterministic sample
+    codebook — candidates live in the query's coarse cell (nprobe=1),
+    exact cosine re-rank inside the cell. The cell join shuffles by
+    cell id; codebook size bounds the candidate list length, and on a
+    real corpus N_CELLS grows ~sqrt(n) to keep cells constant-sized."""
+    from pyspark.sql import Window
+
+    vecs = _with_cell(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).alias("a")
+    c = vecs.alias("b")
+    pairs = (
+        q.join(c, (F.col("a.cell") == F.col("b.cell"))
+               & (F.col("a.vec_id") != F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.col("a.cell").alias("cell"),
+            _cos_spark().alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+ANN_TOPK_IVF_SQL = f"""
+SELECT query_id, neighbor_id, cell, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cell, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           a.cell AS cell, {_COS_SQL} AS cosine
+    FROM ({_CELL_SQL}) a
+    JOIN ({_CELL_SQL}) b
+      ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    WHERE a.vec_id % {QUERY_MOD} = 0
+  )
+)
+WHERE rank <= {TOP_K}
+"""
+
+
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: same LSH bucket, cosine >= tau."""
     vecs = _with_bucket(spark, sf_dir)
@@ -183,11 +272,13 @@ WHERE cosine >= {DUP_TAU}
 QUERIES = {
     "ann_topk_brute": ann_topk_brute,
     "ann_topk_lsh": ann_topk_lsh,
+    "ann_topk_ivf": ann_topk_ivf,
     "dedup_embedding": dedup_embedding,
 }
 
 ORACLES = {
     "ann_topk_brute": ANN_TOPK_BRUTE_SQL,
     "ann_topk_lsh": ANN_TOPK_LSH_SQL,
+    "ann_topk_ivf": ANN_TOPK_IVF_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
 }
