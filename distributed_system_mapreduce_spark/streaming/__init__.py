@@ -1,4 +1,6 @@
 from distributed_system_mapreduce_spark.streaming.jobs import (  # noqa: F401
+    dedup_stream,
+    enrich_with_customers,
     read_events_stream,
     run_stream_to_memory,
     sessionize_stream,

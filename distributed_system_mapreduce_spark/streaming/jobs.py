@@ -138,6 +138,38 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(events: DataFrame, watermark: str = "2 days") -> DataFrame:
+    """Streaming exact dedup on event_id — the at-least-once ->
+    exactly-once repair stage every ingest pipeline needs. State is
+    one key per event inside the watermark horizon; the watermark
+    bounds it (without one, dropDuplicates state grows forever)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def enrich_with_customers(events: DataFrame, customers: DataFrame,
+                          window: str = "1 day",
+                          watermark: str = "2 days") -> DataFrame:
+    """Stream-static join: enrich the event stream with the customer
+    dimension (static side broadcast per micro-batch — no stream-side
+    state), then windowed per-segment purchase rollup."""
+    enriched = events.join(
+        F.broadcast(customers.select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment")),
+        "user_id")
+    return (
+        enriched.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(38,6)").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("day"), "c_mktsegment",
+                "n_purchases", "sum_value")
+    )
+
+
 def run_stream_to_memory(df: DataFrame, name: str,
                          output_mode: str = "complete") -> Any:
     """Drain the stream into an in-memory table with availableNow

@@ -6,6 +6,8 @@ from distributed_system_mapreduce_spark.operators.relational import (
     events_sessionize,
 )
 from distributed_system_mapreduce_spark.streaming import (
+    dedup_stream,
+    enrich_with_customers,
     read_events_stream,
     run_stream_to_memory,
     sessionize_stream,
@@ -28,6 +30,56 @@ def test_windowed_counts_match_batch_rollup(spark):
             (r["day"], r["event_type"]): (r["n_events"],
                                           float(r["sum_value"]))
             for r in events_daily_rollup(spark, SF_DIR).collect()
+        }
+        assert got == want
+    finally:
+        q.stop()
+
+
+def test_dedup_stream_matches_distinct_event_ids(spark):
+    from distributed_system_mapreduce_spark.tables import load_table
+
+    stream = read_events_stream(spark, SF_DIR)
+    q = run_stream_to_memory(
+        dedup_stream(stream), "dedup_stream", output_mode="append")
+    try:
+        got = spark.table("dedup_stream").count()
+        want = (load_table(spark, "events", SF_DIR)
+                .select("event_id").distinct().count())
+        assert got == want
+    finally:
+        q.stop()
+
+
+def test_enrich_with_customers_matches_batch_join(spark):
+    from pyspark.sql import functions as F
+
+    from distributed_system_mapreduce_spark.tables import load_table
+
+    cust = load_table(spark, "customer", SF_DIR)
+    stream = read_events_stream(spark, SF_DIR)
+    q = run_stream_to_memory(
+        enrich_with_customers(stream, cust), "enriched_stream")
+    try:
+        got = {
+            (r["day"].date(), r["c_mktsegment"]):
+                (r["n_purchases"], float(r["sum_value"]))
+            for r in spark.table("enriched_stream").collect()
+        }
+        ev = load_table(spark, "events", SF_DIR)
+        want = {
+            (r["day"].date(), r["c_mktsegment"]):
+                (r["n_purchases"], float(r["sum_value"]))
+            for r in (
+                ev.filter(F.col("event_type") == "purchase")
+                .join(cust.select(F.col("c_custkey").alias("user_id"),
+                                  "c_mktsegment"), "user_id")
+                .groupBy(F.date_trunc("day", "ts").alias("day"),
+                         "c_mktsegment")
+                .agg(F.count("*").alias("n_purchases"),
+                     F.sum(F.col("value").cast("decimal(18,6)"))
+                     .cast("decimal(38,6)").alias("sum_value"))
+            ).collect()
         }
         assert got == want
     finally:
