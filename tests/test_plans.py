@@ -69,3 +69,38 @@ def test_lsh_join_is_hash_not_cartesian(spark):
     for name in ("ann_topk_lsh", "dedup_embedding", "dedup_minhash"):
         assert plan_lacks(QUERIES[name](spark, SF_DIR),
                           "CartesianProduct"), name
+
+
+def test_second_wave_dim_joins_broadcast(spark):
+    for name in ("q2_best_supplier", "q8_market_share",
+                 "q9_product_profit", "q16_supplier_counts",
+                 "q20_heavy_shippers", "q21_sole_supplier_returns"):
+        df = QUERIES[name](spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_q16_anti_join_and_q20_semi_join_shapes(spark):
+    assert plan_has(QUERIES["q16_supplier_counts"](spark, SF_DIR),
+                    "LeftAnti")
+    assert plan_has(QUERIES["q20_heavy_shippers"](spark, SF_DIR),
+                    "LeftSemi")
+
+
+def test_no_global_single_partition_windows(spark):
+    """A Window with an empty partition spec funnels every row to one
+    task — banned in every registered query plan. (SinglePartition
+    exchanges feeding final aggregates of already-reduced data are
+    fine; unpartitioned running windows over raw rows are not.)"""
+    for name, fn in QUERIES.items():
+        plan = formatted_plan(fn(spark, SF_DIR))
+        for line in plan.splitlines():
+            if "Window" in line and "windowspecdefinition()" in line:
+                raise AssertionError(f"{name}: global window: {line}")
+
+
+def test_q15_top1_is_take_ordered_not_window(spark):
+    assert plan_has(QUERIES["q15_top_supplier"](spark, SF_DIR),
+                    "TakeOrderedAndProject")
