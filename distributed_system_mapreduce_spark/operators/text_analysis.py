@@ -182,16 +182,145 @@ GROUP BY doc_id
 """
 
 
+QUALITY_TAU = 0.6
+
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual pipeline stage the features feed: keep documents
+    with quality >= tau. Returns the kept set with its score — at
+    100 TB this is the write-side of the curation pass (filter is a
+    narrow op; nothing shuffles)."""
+    scored = quality_score(spark, sf_dir)
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "source")
+    return (
+        scored.filter(F.col("quality") >= QUALITY_TAU)
+        .join(docs, "doc_id")
+        .select("doc_id", "lang", "source", "quality")
+    )
+
+
+QUALITY_FILTER_SQL = f"""
+SELECT doc_id, lang, source, quality
+FROM ({QUALITY_SCORE_SQL}) q
+JOIN (SELECT doc_id AS d2, lang, source FROM documents) d
+  ON q.doc_id = d.d2
+WHERE quality >= {QUALITY_TAU}
+"""
+
+
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card rollup: per (source, lang) doc counts, token
+    totals, high-quality share. Two-level shape: narrow per-doc
+    features, then one partial-aggregating shuffle on the
+    (source, lang) key. Aggregates are integers only (a
+    cross-partition SUM over doubles is order-nondeterministic in
+    the last ulp — the per-row threshold compare is not)."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "source")
+    feats = quality_score(spark, sf_dir).select(
+        "doc_id", "n_toks", "quality")
+    return (
+        docs.join(feats, "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.sum(F.when(F.col("quality") >= QUALITY_TAU, 1)
+                  .otherwise(0)).alias("n_high_quality"),
+        )
+    )
+
+
+CORPUS_STATS_SQL = f"""
+SELECT source, lang, COUNT(*) AS n_docs,
+       SUM(n_toks) AS total_tokens,
+       SUM(CASE WHEN quality >= {QUALITY_TAU} THEN 1 ELSE 0 END)
+         AS n_high_quality
+FROM ({QUALITY_SCORE_SQL}) q
+JOIN (SELECT doc_id AS d2, lang, source FROM documents) d
+  ON q.doc_id = d.d2
+GROUP BY source, lang
+"""
+
+
+TOP_TERMS = 100
+
+
+def term_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary statistics: per-term document frequency and
+    collection frequency, deterministic top-100 by df. The per-doc
+    distinct happens inside the explode (array_distinct — narrow);
+    the shuffle aggregates (term -> df) with map-side combine; top-k
+    is TakeOrderedAndProject, not a global window."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", X.tokens().alias("toks"))
+    per_doc = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct("toks")).alias("term"),
+    )
+    all_occ = toks.select(F.explode("toks").alias("term"))
+    df_ = per_doc.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    cf = all_occ.groupBy("term").agg(F.count("*").alias("coll_freq"))
+    return (
+        df_.join(cf, "term")
+        .orderBy(F.desc("doc_freq"), F.asc("term"))
+        .limit(TOP_TERMS)
+    )
+
+
+TERM_DOC_FREQ_SQL = f"""
+SELECT term, doc_freq, coll_freq
+FROM (
+  SELECT term, COUNT(*) AS doc_freq
+  FROM (SELECT DISTINCT doc_id, unnest({X.TOKENS_SQL}) AS term
+        FROM documents)
+  GROUP BY term
+) d
+JOIN (
+  SELECT term, COUNT(*) AS coll_freq
+  FROM (SELECT unnest({X.TOKENS_SQL}) AS term FROM documents)
+  GROUP BY term
+) c USING (term)
+ORDER BY doc_freq DESC, term ASC
+LIMIT {TOP_TERMS}
+"""
+
+
+def approx_distinct_users_by_type(spark: SparkSession, sf_dir: str
+                                  ) -> DataFrame:
+    """HyperLogLog++ sketch path for the 100 TB cardinality question
+    (exact twin: distinct_users_by_type). Sketch values are
+    implementation-specific, so this is a rows-only entry — the test
+    suite bounds its relative error against the exact answer
+    instead."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01)
+             .alias("approx_users"))
+    )
+
+
 QUERIES = {
     "token_count": token_count,
     "lang_id": lang_id,
     "quality_score": quality_score,
+    "quality_filter": quality_filter,
+    "corpus_stats": corpus_stats,
+    "term_doc_freq": term_doc_freq,
     "doc_fingerprint": doc_fingerprint,
+    "approx_distinct_users_by_type": approx_distinct_users_by_type,
 }
 
 ORACLES = {
     "token_count": TOKEN_COUNT_SQL,
     "lang_id": LANG_ID_SQL,
     "quality_score": QUALITY_SCORE_SQL,
+    "quality_filter": QUALITY_FILTER_SQL,
+    "corpus_stats": CORPUS_STATS_SQL,
+    "term_doc_freq": TERM_DOC_FREQ_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    # approx_distinct_users_by_type: rows-only (sketch values are
+    # engine-specific); error bound asserted in tests instead.
 }

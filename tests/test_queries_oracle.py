@@ -27,3 +27,20 @@ def test_rows_only_query_runs(spark, name):
     sdf = QUERIES[name](spark, SF_DIR)
     assert sdf.count() >= 0
     assert sdf.columns
+
+
+def test_approx_distinct_within_error_bound(spark):
+    """HLL++ at rsd=0.01 should be within a few percent of the exact
+    distinct counts (exact twin: distinct_users_by_type)."""
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["approx_distinct_users_by_type"](
+            spark, SF_DIR).collect()
+    }
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in QUERIES["distinct_users_by_type"](spark, SF_DIR).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(1, 0.05 * n), (k, approx[k], n)
