@@ -18,6 +18,23 @@ _FIRST = {"count": lambda c: F.count(c), "sum": lambda c: F.sum(c),
           "min": lambda c: F.min(c), "max": lambda c: F.max(c)}
 
 
+def salted_join(fact: DataFrame, dim: DataFrame, key: str,
+                n_salts: int = 16, how: str = "inner") -> DataFrame:
+    """Skewed fact x medium dim join when the dim is too big to
+    broadcast and one fact key dominates: salt the fact side
+    randomly, replicate each dim row across all salts, join on
+    (key, salt). The hot key's rows spread over n_salts reducers at
+    the cost of n_salts x dim shuffle volume. (With AQE skew-join on,
+    prefer letting AQE split first — this is the manual fallback for
+    aggregation-resistant skew or non-AQE environments.)"""
+    fact_s = fact.withColumn(
+        "_salt", (F.rand(seed=42) * n_salts).cast("int"))
+    dim_s = dim.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    return fact_s.join(dim_s, [key, "_salt"], how).drop("_salt")
+
+
 def salted_agg(df: DataFrame, key: str | Column, aggs: dict[str, tuple[str, str]],
                n_salts: int = 16) -> DataFrame:
     """Two-phase aggregation: ``aggs`` maps output name ->

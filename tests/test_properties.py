@@ -106,3 +106,18 @@ def test_kv_lines_roundtrip(spark, tmp_path):
     assert kv == set(data)
     assert read_lines(spark, path, min_partitions=4).rdd \
         .getNumPartitions() >= 4
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must be row-for-row identical to the plain join."""
+    from distributed_system_mapreduce_spark.functions.skew import salted_join
+    from distributed_system_mapreduce_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, "events", SF_DIR).select("event_id", "user_id")
+    cust = (load_table(spark, "customer", SF_DIR)
+            .selectExpr("c_custkey AS user_id", "c_mktsegment"))
+    got = sorted(
+        tuple(r) for r in salted_join(ev, cust, "user_id").collect())
+    want = sorted(tuple(r) for r in ev.join(cust, "user_id").collect())
+    assert got == want
