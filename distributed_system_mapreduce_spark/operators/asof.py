@@ -1,0 +1,101 @@
+"""As-of (point-in-time) join — the canonical custom operator Spark
+has no built-in for, composed from native ops the scale-correct way.
+
+events_asof_order: each event gets the user's most recent order at or
+before the event time. Implementation is the union + keyed-window
+pattern, NOT a range self-join:
+
+  1. pre-dedupe the order side to one row per (user, time) with a
+     deterministic winner (max orderkey) — makes tie behavior exact;
+  2. union both sides into one (user_id, t) stream, orders sorted
+     before events at equal t (an order placed at the event instant
+     counts);
+  3. one window partitioned by user_id ordered by (t, side):
+     last(order_cols, ignorenulls) over rows UNBOUNDED PRECEDING..
+     CURRENT ROW carries the latest order forward;
+  4. keep the event rows.
+
+Cost: ONE shuffle of events+orders by user_id and an in-partition
+sort — linear at 100 TB. The naive inequality join
+(e.user = o.user AND o.t <= e.t with a per-event argmax) explodes to
+|events| x |orders-per-user| intermediate rows; this never does.
+
+The DuckDB oracle uses its native ASOF LEFT JOIN against the same
+deduped order side — two completely independent formulations that
+must hash-match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from distributed_system_mapreduce_spark.tables import load_table
+
+
+def events_asof_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "ts")
+    orders = load_table(spark, "orders", sf_dir)
+
+    # one order per (custkey, orderdate): max orderkey wins (and its
+    # totalprice rides along in the struct max)
+    o = (
+        orders.groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("t"))
+        .agg(F.max(F.struct("o_orderkey", "o_totalprice")).alias("o"))
+        .select("user_id", "t",
+                F.col("o.o_orderkey").alias("last_orderkey"),
+                F.col("o.o_totalprice").alias("last_total"))
+        .withColumn("is_order", F.lit(1))
+        .withColumn("event_id", F.lit(None).cast("long"))
+    )
+    e = ev.select(
+        "user_id", F.col("ts").alias("t"),
+        F.lit(None).cast("long").alias("last_orderkey"),
+        F.lit(None).cast("double").alias("last_total"),
+        F.lit(0).alias("is_order"), "event_id",
+    )
+    unioned = o.select(*e.columns).unionByName(e)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").asc(), F.col("is_order").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "user_id", "t", "is_order", "event_id",
+        F.last("last_orderkey", ignorenulls=True).over(w)
+        .alias("last_orderkey"),
+        F.last("last_total", ignorenulls=True).over(w).alias("last_total"),
+    )
+    return (
+        carried.filter(F.col("is_order") == 0)
+        .select("event_id", "user_id", F.col("t").alias("ts"),
+                "last_orderkey", "last_total")
+    )
+
+
+EVENTS_ASOF_ORDER_SQL = """
+WITH o AS (
+  SELECT o_custkey AS user_id, o_orderdate AS t,
+         MAX(o_orderkey) AS last_orderkey,
+         arg_max(o_totalprice, o_orderkey) AS last_total
+  FROM orders
+  GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, e.ts,
+       o.last_orderkey, o.last_total
+FROM events e
+ASOF LEFT JOIN o
+  ON e.user_id = o.user_id AND e.ts >= o.t
+"""
+
+
+QUERIES = {
+    "events_asof_order": events_asof_order,
+}
+
+ORACLES = {
+    "events_asof_order": EVENTS_ASOF_ORDER_SQL,
+}

@@ -145,13 +145,40 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_TARGET = 224
+
+
+def resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize stage: letterbox-to-224 geometry (scale, resized
+    dims, padding) computed JVM-side from the decoded dims; only the
+    pixel resample itself would live in the decode kernel. This is
+    the exact bookkeeping a vision loader needs to map labels/boxes
+    back to original coordinates."""
+    decoded = multimodal_decode(spark, sf_dir)
+    imgs = decoded.filter(F.col("media_type") == "image")
+    t = F.lit(float(RESIZE_TARGET))
+    scale = F.least(t / F.col("width"), t / F.col("height"))
+    new_w = F.round(F.col("width") * scale).cast("long")
+    new_h = F.round(F.col("height") * scale).cast("long")
+    return imgs.select(
+        "doc_id", "width", "height",
+        scale.alias("scale"),
+        new_w.alias("resized_w"),
+        new_h.alias("resized_h"),
+        ((F.lit(RESIZE_TARGET) - new_w) / 2).cast("long").alias("pad_x"),
+        ((F.lit(RESIZE_TARGET) - new_h) / 2).cast("long").alias("pad_y"),
+    )
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_decode": multimodal_decode,
     "multimodal_frame_sample": frame_sample,
+    "multimodal_resize": resize_plan,
 }
 
 ORACLES = {
     "multimodal_meta": MULTIMODAL_META_SQL,
-    # multimodal_decode / frame_sample: rows-only (Python stub kernel)
+    # multimodal_decode / frame_sample / resize: rows-only
+    # (downstream of the Python stub kernel)
 }

@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from distributed_system_mapreduce_spark.operators import (
+    asof,
     dedup,
     engine_queries,
     mapreduce_queries,
@@ -25,7 +26,8 @@ from distributed_system_mapreduce_spark.operators import (
 )
 
 _MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
-            engine_queries, text_analysis, dedup, similarity, multimodal]
+            engine_queries, text_analysis, dedup, similarity, multimodal,
+            asof]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
