@@ -92,10 +92,69 @@ ASOF LEFT JOIN o
 """
 
 
+ATTR_HOURS = 24
+_BIN_S = ATTR_HOURS * 3600
+
+
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join, bucketized: per purchase event, count the same
+    user's view/click touches in the preceding 24 hours — the
+    conversion-funnel attribution query.
+
+    Spark plans a raw inequality join as BroadcastNestedLoop /
+    cartesian — quadratic per user. The scale-correct form bins both
+    sides into window-sized buckets: a purchase's lookback spans at
+    most two bins, so the purchase side explodes into two
+    (user, bin) probes, the join is a plain HASH equi-join on
+    (user_id, bin), and the exact range predicate filters after.
+    Join fan-in per key is bounded by events-per-user-per-two-days,
+    never the user's whole history."""
+    ev = load_table(spark, "events", sf_dir)
+    touches = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .select("user_id", F.col("ts").alias("touch_ts"))
+        .withColumn(
+            "bin", F.floor(F.unix_timestamp("touch_ts") / F.lit(_BIN_S)))
+    )
+    pbin = F.floor(F.unix_timestamp("ts") / F.lit(_BIN_S))
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .withColumn("bin", F.explode(F.array(pbin - 1, pbin)))
+    )
+    return (
+        purchases.join(
+            touches,
+            (purchases["user_id"] == touches["user_id"])
+            & (purchases["bin"] == touches["bin"]))
+        .filter(
+            (F.col("touch_ts") < F.col("ts"))
+            & (F.col("touch_ts") >= F.col("ts")
+               - F.expr(f"INTERVAL {ATTR_HOURS} HOURS")))
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n_prior_touches"))
+    )
+
+
+PURCHASE_ATTRIBUTION_SQL = f"""
+SELECT p.event_id, COUNT(*) AS n_prior_touches
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase') p
+JOIN (SELECT user_id, ts AS touch_ts FROM events
+      WHERE event_type IN ('view', 'click')) t
+  ON t.user_id = p.user_id
+ AND t.touch_ts < p.ts
+ AND t.touch_ts >= p.ts - INTERVAL {ATTR_HOURS} HOUR
+GROUP BY p.event_id
+"""
+
+
 QUERIES = {
     "events_asof_order": events_asof_order,
+    "purchase_attribution": purchase_attribution,
 }
 
 ORACLES = {
     "events_asof_order": EVENTS_ASOF_ORDER_SQL,
+    "purchase_attribution": PURCHASE_ATTRIBUTION_SQL,
 }

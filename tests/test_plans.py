@@ -104,3 +104,12 @@ def test_no_global_single_partition_windows(spark):
 def test_q15_top1_is_take_ordered_not_window(spark):
     assert plan_has(QUERIES["q15_top_supplier"](spark, SF_DIR),
                     "TakeOrderedAndProject")
+
+
+def test_temporal_joins_are_hash_not_nested_loop(spark):
+    """The bucketized range join must plan as an equi (hash/merge)
+    join — a raw inequality join degenerates to nested-loop."""
+    for name in ("purchase_attribution", "events_asof_order"):
+        df = QUERIES[name](spark, SF_DIR)
+        assert plan_lacks(df, "BroadcastNestedLoopJoin",
+                          "CartesianProduct"), name
