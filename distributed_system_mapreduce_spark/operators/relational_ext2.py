@@ -466,6 +466,65 @@ LIMIT 20
 """
 
 
+# ------------------------------------------------- distribution stats
+def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quartiles + p99 of extended price. Exact
+    percentile sorts each group in one reducer — right for bounded
+    group counts like this; at unbounded cardinality switch to
+    approx_percentile (t-digest, mergeable map-side). Interpolation
+    arithmetic matches DuckDB's quantile_cont bit-for-bit."""
+    li = load_table(spark, "lineitem", sf_dir)
+    qs = [0.25, 0.5, 0.75, 0.99]
+    return li.groupBy("l_returnflag").agg(*[
+        F.expr(f"percentile(l_extendedprice, {q})").alias(f"p{int(q*100)}")
+        for q in qs
+    ])
+
+
+PRICE_QUANTILES_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.25) AS p25,
+       quantile_cont(l_extendedprice, 0.50) AS p50,
+       quantile_cont(l_extendedprice, 0.75) AS p75,
+       quantile_cont(l_extendedprice, 0.99) AS p99
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(event_type, day): per-type-per-day counts, per-type
+    subtotals, grand total, labeled by grouping level — the
+    multi-granularity aggregate a reporting pipeline materializes in
+    one pass (Catalyst expands the grouping sets; still one shuffle
+    with map-side partials)."""
+    ev = load_table(spark, "events", sf_dir)
+    day = F.to_date("ts").alias("day")
+    return (
+        ev.select("event_type", day,
+                  F.col("value").cast("decimal(18,6)").alias("v"))
+        .rollup("event_type", "day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("v").cast("decimal(38,6)").alias("sum_value"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+EVENTS_ROLLUP_SQL = """
+SELECT event_type, day, COUNT(*) AS n_events,
+       CAST(SUM(v) AS DECIMAL(38,6)) AS sum_value,
+       GROUPING(event_type, day) AS gid
+FROM (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events
+)
+GROUP BY ROLLUP(event_type, day)
+"""
+
+
 QUERIES = {
     "q2_best_supplier": q2_best_supplier,
     "q8_market_share": q8_market_share,
@@ -475,9 +534,13 @@ QUERIES = {
     "q16_supplier_counts": q16_supplier_counts,
     "q20_heavy_shippers": q20_heavy_shippers,
     "q21_sole_supplier_returns": q21_sole_supplier_returns,
+    "price_quantiles": price_quantiles,
+    "events_rollup": events_rollup,
 }
 
 ORACLES = {
+    "price_quantiles": PRICE_QUANTILES_SQL,
+    "events_rollup": EVENTS_ROLLUP_SQL,
     "q2_best_supplier": Q2_SQL,
     "q8_market_share": Q8_SQL,
     "q9_product_profit": Q9_SQL,
