@@ -321,11 +321,80 @@ FROM (
 """
 
 
+# ----------------------------------------- connected dup components
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clustering: connected components over the
+    verified near-dup pair graph (dedup_ngram_jaccard edges), each
+    doc labeled with its component representative (min doc_id) —
+    the keep-one-per-cluster step after pairwise dedup.
+
+    Iterative min-label propagation (Pregel-lite): each round every
+    node takes the min label among itself and its neighbors; rounds
+    until fixpoint (<= graph diameter, ~log n for dup clusters). Each
+    round is one join + one partial-aggregating groupBy, lineage cut
+    by localCheckpoint — the standard driver-looped iterative shape
+    at scale. The convergence test collects a single count per round.
+
+    The DuckDB oracle is an independent formulation: recursive-CTE
+    transitive closure + min over the reach set (fine on the small
+    verified-pair graph; the Spark path is the one that scales)."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    fwd = pairs.select(F.col("doc_a").alias("src"),
+                       F.col("doc_b").alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    while True:
+        nbr = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .select(F.col("dst").alias("doc_id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM ({DEDUP_NGRAM_JACCARD_SQL})
+  UNION
+  SELECT doc_b, doc_a FROM ({DEDUP_NGRAM_JACCARD_SQL})
+),
+reach(a, b) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src
+)
+SELECT a AS doc_id, MIN(b) AS component
+FROM reach
+GROUP BY a
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
+    "dedup_components": dedup_components,
 }
 
 ORACLES = {
@@ -333,4 +402,5 @@ ORACLES = {
     "dedup_minhash": DEDUP_MINHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "dedup_components": DEDUP_COMPONENTS_SQL,
 }

@@ -525,6 +525,97 @@ GROUP BY ROLLUP(event_type, day)
 """
 
 
+# ------------------------------------------------- cohort & funnel
+def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV matrix: customers grouped by first-order month,
+    revenue tracked by month offset from the cohort month. Two
+    aggregations: per-customer first order (partial-agg shuffle on
+    custkey), then the cohort x offset rollup. Month arithmetic is
+    pure integers (y*12+m), no date_trunc portability traps."""
+    orders = load_table(spark, "orders", sf_dir)
+    first = (
+        orders.groupBy("o_custkey")
+        .agg(F.min("o_orderdate").alias("first_dt"))
+    )
+    j = orders.join(first, "o_custkey")
+    ym = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    fym = F.year("first_dt") * 12 + F.month("first_dt")
+    return (
+        j.groupBy(
+            (F.year("first_dt") * 100 + F.month("first_dt"))
+            .alias("cohort_month"),
+            (ym - fym).alias("month_offset"),
+        )
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("decimal(38,6)")
+            .alias("cohort_revenue"),
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+CUSTOMER_COHORT_LTV_SQL = """
+SELECT (EXTRACT(year FROM first_dt) * 100 + EXTRACT(month FROM first_dt))
+         AS cohort_month,
+       ((EXTRACT(year FROM o_orderdate) * 12
+         + EXTRACT(month FROM o_orderdate))
+        - (EXTRACT(year FROM first_dt) * 12
+           + EXTRACT(month FROM first_dt))) AS month_offset,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6))
+         AS cohort_revenue,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders
+JOIN (SELECT o_custkey AS ck, MIN(o_orderdate) AS first_dt
+      FROM orders GROUP BY o_custkey) f
+  ON o_custkey = f.ck
+GROUP BY cohort_month, month_offset
+"""
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: signup -> first view after signup -> first
+    purchase after that view, counted per user in ONE pass (per-user
+    conditional min-timestamps, then a global conditional count — no
+    self-joins, no step-N x step-M row blowup)."""
+    ev = load_table(spark, "events", sf_dir)
+    step = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("ts")))
+    per_user = ev.groupBy("user_id").agg(
+        step("signup").alias("t_signup"),
+        step("view").alias("t_view"),
+        step("purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_signup").alias("n_signed_up"),
+        F.sum(F.when(F.col("t_view") > F.col("t_signup"), 1)
+              .otherwise(0)).alias("n_viewed_after_signup"),
+        F.sum(F.when((F.col("t_view") > F.col("t_signup"))
+                     & (F.col("t_purchase") > F.col("t_view")), 1)
+              .otherwise(0)).alias("n_full_funnel"),
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+SELECT COUNT(*) AS n_users,
+       COUNT(t_signup) AS n_signed_up,
+       SUM(CASE WHEN t_view > t_signup THEN 1 ELSE 0 END)
+         AS n_viewed_after_signup,
+       SUM(CASE WHEN t_view > t_signup AND t_purchase > t_view
+                THEN 1 ELSE 0 END) AS n_full_funnel
+FROM (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events
+  GROUP BY user_id
+)
+"""
+
+
 QUERIES = {
     "q2_best_supplier": q2_best_supplier,
     "q8_market_share": q8_market_share,
@@ -536,11 +627,15 @@ QUERIES = {
     "q21_sole_supplier_returns": q21_sole_supplier_returns,
     "price_quantiles": price_quantiles,
     "events_rollup": events_rollup,
+    "customer_cohort_ltv": customer_cohort_ltv,
+    "events_funnel": events_funnel,
 }
 
 ORACLES = {
     "price_quantiles": PRICE_QUANTILES_SQL,
     "events_rollup": EVENTS_ROLLUP_SQL,
+    "customer_cohort_ltv": CUSTOMER_COHORT_LTV_SQL,
+    "events_funnel": EVENTS_FUNNEL_SQL,
     "q2_best_supplier": Q2_SQL,
     "q8_market_share": Q8_SQL,
     "q9_product_profit": Q9_SQL,
