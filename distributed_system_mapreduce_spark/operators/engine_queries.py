@@ -17,6 +17,7 @@ from distributed_system_mapreduce_spark.engine.maple_juice import (
     wrap_line_job,
 )
 from distributed_system_mapreduce_spark.operators.mapreduce_queries import (
+    VOTE_WINNER_SQL,
     WORDCOUNT_SQL,
 )
 from distributed_system_mapreduce_spark.tables import load_table
@@ -59,12 +60,71 @@ def mr_wordcount_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ two-round vote job
+def _vote_maple(line: str):
+    # maple_vote.go:20-39 — per ballot, per unordered pair, emit
+    # key "small,big", value "1" iff the ballot prefers the smaller
+    c1, c2, c3 = line.split()
+    for a, b in ((c1, c2), (c2, c3), (c1, c3)):
+        small, big = (a, b) if a < b else (b, a)
+        yield f"{small},{big}", "1" if a == small else "0"
+
+
+def _vote_juice(key: str, grp: pd.DataFrame) -> pd.DataFrame:
+    # juice_vote.go — majority per pair (ties -> the larger candidate)
+    ones = int((grp["value"] == "1").sum())
+    zeros = len(grp) - ones
+    small, big = key.split(",")
+    return pd.DataFrame({"key": [key],
+                         "value": [small if ones > zeros else big]})
+
+
+def _vote2_maple(line: str):
+    # maple_vote_two.go — re-key every pair result under one key
+    yield "all", line.split()[1]
+
+
+def _vote2_juice(key: str, grp: pd.DataFrame) -> pd.DataFrame:
+    # juice_vote_two.go:20-27 — count wins per candidate, argmax
+    # (tie-break: lexicographically smaller candidate)
+    counts = grp["value"].value_counts()
+    best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    return pd.DataFrame({"candidate": [best[0]],
+                         "pair_wins": [int(best[1])]})
+
+
+def mr_vote_winner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship election pipeline, both rounds through
+    the engine API: ballots -> pairwise majority (round 1) -> re-key
+    -> Copeland argmax (round 2). The single-key round 2 runs as one
+    reduce task over 3 rows — exactly the reference's shape
+    (juice_vote_two is one task too); round 1 carries the real data
+    volume through a normal hash shuffle."""
+    from distributed_system_mapreduce_spark.operators.mapreduce_queries import (
+        _ballots,
+    )
+    from pyspark.sql import functions as F
+
+    lines = _ballots(spark, sf_dir).select(
+        F.concat_ws(" ", "c1", "c2", "c3").alias("line"))
+    mj = MapleJuice(spark)
+    r1 = mj.run(lines, wrap_line_job(_vote_maple), _vote_juice)
+    r1_lines = r1.select(
+        F.concat_ws(" ", "key", "value").alias("line"))
+    return mj.run(
+        r1_lines, wrap_line_job(_vote2_maple), _vote2_juice,
+        output_schema="candidate string, pair_wins long",
+    )
+
+
 QUERIES = {
     "mr_wordcount": mr_wordcount,
     "mr_wordcount_range": mr_wordcount_range,
+    "mr_vote_winner": mr_vote_winner,
 }
 
 ORACLES = {
     "mr_wordcount": WORDCOUNT_SQL,
     "mr_wordcount_range": WORDCOUNT_SQL,
+    "mr_vote_winner": VOTE_WINNER_SQL,
 }
