@@ -50,3 +50,22 @@ def test_partitioned_write_is_split_by_key(fs, spark):
     parts = {d for d in os.listdir(root) if d.startswith("k=")}
     assert parts == {"k=a", "k=b"}
     assert fs.read("bykey").count() == 3
+
+
+def test_partition_pruning_reaches_scan(fs, spark):
+    """A filter on the partition column must prune at planning time
+    (PartitionFilters in the scan), not post-filter all partitions —
+    this is what makes split_by_key layouts pay off at 100 TB."""
+    from distributed_system_mapreduce_spark.plans import formatted_plan
+    from distributed_system_mapreduce_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, "events", SF_DIR)
+    fs.write(ev, "events_by_type", partition_by=["event_type"])
+    df = fs.read("events_by_type").filter("event_type = 'purchase'")
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan
+    assert "isnotnull(event_type" in plan or "event_type" in plan.split(
+        "PartitionFilters", 1)[1].split("\n", 1)[0]
+    n_purchase = ev.filter("event_type = 'purchase'").count()
+    assert df.count() == n_purchase
