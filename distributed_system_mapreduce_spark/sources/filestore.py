@@ -110,3 +110,23 @@ class FileStore:
         """The juice phase's append-to-dest (CreatAppendSdfsReduceFile,
         file_system.go:1035) — an append-mode write."""
         self.write(df, name, fmt, mode="append")
+
+    def write_bucketed(self, df: DataFrame, name: str, key: str,
+                       n_buckets: int = 8) -> None:
+        """Bucketed + sorted-by-key layout: repeated joins/aggs on
+        `key` skip their shuffle entirely (both sides pre-hashed into
+        matching buckets). This is the storage-level answer to the
+        reference's hash-Shuffle — paid once at write time instead of
+        per job. Registered in the session catalog (bucketed reads go
+        through the table, not the path)."""
+        (
+            df.write.format("parquet").mode("overwrite")
+            .bucketBy(n_buckets, key).sortBy(key)
+            .option("path", self._path(name))
+            .saveAsTable(name)
+        )
+
+    def read_table(self, name: str) -> DataFrame:
+        """Catalog read — required for bucketed datasets (a raw path
+        read loses bucket metadata)."""
+        return self.spark.table(name)

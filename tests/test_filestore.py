@@ -69,3 +69,31 @@ def test_partition_pruning_reaches_scan(fs, spark):
         "PartitionFilters", 1)[1].split("\n", 1)[0]
     n_purchase = ev.filter("event_type = 'purchase'").count()
     assert df.count() == n_purchase
+
+
+def test_bucketed_join_has_no_shuffle(fs, spark):
+    """Two tables bucketed on the join key must join with ZERO
+    exchanges — the write-once/shuffle-never layout for repeated
+    co-located joins."""
+    from distributed_system_mapreduce_spark.plans import formatted_plan
+    from distributed_system_mapreduce_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, "events", SF_DIR).select(
+        "event_id", "user_id", "value")
+    us = (load_table(spark, "events", SF_DIR)
+          .groupBy("user_id").count())
+    try:
+        fs.write_bucketed(ev, "ev_b", "user_id")
+        fs.write_bucketed(us, "us_b", "user_id")
+        # hint MERGE so the tiny test table doesn't just broadcast —
+        # the point is that the sort-merge join needs NO exchange
+        j = (fs.read_table("ev_b").hint("merge")
+             .join(fs.read_table("us_b"), "user_id"))
+        plan = formatted_plan(j)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert j.count() == ev.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ev_b")
+        spark.sql("DROP TABLE IF EXISTS us_b")
