@@ -34,6 +34,24 @@ def write_lines(df: DataFrame, path: str, col: str = "line") -> None:
         .write.mode("overwrite").text(path)
 
 
+def read_jsonl(spark: SparkSession, path: str, schema: str,
+               corrupt_col: str = "_corrupt") -> DataFrame:
+    """Schema-enforced JSONL ingest with corrupt-record capture — the
+    production posture for web-scale training-data feeds, where some
+    fraction of lines is always malformed. Good rows parse into the
+    declared schema; broken lines land whole in `corrupt_col` instead
+    of failing the job (PERMISSIVE) — filter on it to fork the
+    quarantine stream. Schema enforcement also skips Spark's
+    double-pass inference scan."""
+    full = f"{schema}, {corrupt_col} string"
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
 def read_kv_lines(spark: SparkSession, path: str) -> DataFrame:
     """Parse the reference's intermediate format: 'key value' per line
     (splitMapleResultFile, maple_juice.go:266). Everything after the

@@ -97,3 +97,24 @@ def test_bucketed_join_has_no_shuffle(fs, spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS ev_b")
         spark.sql("DROP TABLE IF EXISTS us_b")
+
+
+def test_read_jsonl_quarantines_corrupt_lines(spark, tmp_path):
+    """Malformed JSONL lines must not fail the job: good rows parse,
+    bad lines land whole in the corrupt column for quarantine."""
+    from distributed_system_mapreduce_spark.sources.text_lines import (
+        read_jsonl,
+    )
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok one"}\n'
+        '{"doc_id": 2 "text": "broken json"}\n'
+        '{"doc_id": 3, "text": "ok two"}\n'
+    )
+    df = read_jsonl(spark, str(p), "doc_id long, text string")
+    rows = df.collect()
+    good = {r["doc_id"]: r["text"] for r in rows if r["_corrupt"] is None}
+    bad = [r["_corrupt"] for r in rows if r["_corrupt"] is not None]
+    assert good == {1: "ok one", 3: "ok two"}
+    assert len(bad) == 1 and "broken json" in bad[0]
