@@ -475,10 +475,17 @@ def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic matches DuckDB's quantile_cont bit-for-bit."""
     li = load_table(spark, "lineitem", sf_dir)
     qs = [0.25, 0.5, 0.75, 0.99]
-    return li.groupBy("l_returnflag").agg(*[
-        F.expr(f"percentile(l_extendedprice, {q})").alias(f"p{int(q*100)}")
-        for q in qs
-    ])
+    arr = ", ".join(str(q) for q in qs)
+    # one array-percentile aggregate = one sort per group, not four
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.expr(f"percentile(l_extendedprice, array({arr}))")
+             .alias("qs"))
+        .select("l_returnflag", *[
+            F.col("qs")[i].alias(f"p{int(q * 100)}")
+            for i, q in enumerate(qs)
+        ])
+    )
 
 
 PRICE_QUANTILES_SQL = """
