@@ -4,5 +4,6 @@ from distributed_system_mapreduce_spark.streaming.jobs import (  # noqa: F401
     read_events_stream,
     run_stream_to_memory,
     sessionize_stream,
+    stream_to_filestore,
     windowed_counts,
 )

