@@ -321,6 +321,54 @@ FROM (
 """
 
 
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-vs-truth validation: for every LSH candidate pair,
+    the Jaccard ESTIMATE from signature agreement (matching minhashes
+    / 16 — the unbiased MinHash estimator) alongside the EXACT bigram
+    Jaccard. The estimator error is what sizes N_HASHES on a real
+    corpus; at 100 TB you monitor this on a sample instead of
+    computing exact Jaccard everywhere."""
+    cand = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    sig = _signatures(spark, sf_dir)
+    a_cols = [F.col(f"sa.mh{i}") for i in range(N_HASHES)]
+    b_cols = [F.col(f"sb.mh{i}") for i in range(N_HASHES)]
+    matches = sum(
+        (ac == bc).cast("long") for ac, bc in zip(a_cols, b_cols))
+    exact = dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc_a", "doc_b", "jaccard")
+    est = (
+        cand.join(sig.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sig.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a", "doc_b",
+            matches.alias("n_matching"),
+            (matches.cast("double") / N_HASHES).alias("jaccard_est"),
+        )
+    )
+    return est.join(exact, ["doc_a", "doc_b"], "left")
+
+
+_MATCH_SQL = " + ".join(
+    f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+    for i in range(N_HASHES)
+)
+
+DEDUP_MINHASH_ESTIMATE_SQL = f"""
+WITH cand AS (SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_SQL})),
+sig AS ({_SIG_SQL}),
+exact AS (SELECT doc_a, doc_b, jaccard
+          FROM ({DEDUP_NGRAM_JACCARD_SQL}))
+SELECT c.doc_a, c.doc_b,
+       ({_MATCH_SQL}) AS n_matching,
+       CAST(({_MATCH_SQL}) AS DOUBLE) / {N_HASHES} AS jaccard_est,
+       exact.jaccard
+FROM cand c
+JOIN sig sa ON c.doc_a = sa.doc_id
+JOIN sig sb ON c.doc_b = sb.doc_id
+LEFT JOIN exact ON c.doc_a = exact.doc_a AND c.doc_b = exact.doc_b
+"""
+
+
 # ----------------------------------------- connected dup components
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive duplicate clustering: connected components over the
@@ -394,10 +442,12 @@ QUERIES = {
     "dedup_minhash": dedup_minhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
+    "dedup_minhash_estimate": dedup_minhash_estimate,
     "dedup_components": dedup_components,
 }
 
 ORACLES = {
+    "dedup_minhash_estimate": DEDUP_MINHASH_ESTIMATE_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash": DEDUP_MINHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
