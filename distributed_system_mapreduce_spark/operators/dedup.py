@@ -131,9 +131,9 @@ _SIG_SQL = f"""
 """
 
 
-def _bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band, sig): band signature = md5 of its minhashes."""
-    sig = _signatures(spark, sf_dir)
+def _bands_from(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, sig): band signature = md5 of its minhashes,
+    derived from an existing signature DataFrame."""
     entries = []
     for b in range(N_BANDS):
         cols = [F.col(f"mh{b * ROWS_PER_BAND + r}")
@@ -143,6 +143,10 @@ def _bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.select(
         "doc_id", F.explode(F.array(*entries)).alias("e")
     ).select("doc_id", "e.band", "e.sig")
+
+
+def _bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bands_from(_signatures(spark, sf_dir))
 
 
 def _band_concat_sql(b: int) -> str:
@@ -172,6 +176,12 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle twice; this is the signature store a production dedup
     pipeline would persist anyway."""
     bands = _bands(spark, sf_dir).localCheckpoint()
+    return _candidates_from(bands)
+
+
+def _candidates_from(bands: DataFrame) -> DataFrame:
+    """LSH self-join over a (materialized) band table -> candidate
+    pairs with shared-band counts."""
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -207,6 +217,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     text.""".format(tau=JACCARD_TAU)
     cand = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
     ds = _doc_shingles(spark, sf_dir)
+    return _exact_jaccard(cand, ds)
+
+
+def _exact_jaccard(cand: DataFrame, ds: DataFrame) -> DataFrame:
+    """Thresholded exact bigram Jaccard over a candidate-pair DF,
+    given the per-doc shingle-array table (see dedup_ngram_jaccard)."""
     pairs = (
         cand.join(ds.alias("da"), F.col("doc_a") == F.col("da.doc_id"))
         .join(ds.alias("db"), F.col("doc_b") == F.col("db.doc_id"))
@@ -327,14 +343,26 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     / 16 — the unbiased MinHash estimator) alongside the EXACT bigram
     Jaccard. The estimator error is what sizes N_HASHES on a real
     corpus; at 100 TB you monitor this on a sample instead of
-    computing exact Jaccard everywhere."""
-    cand = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
-    sig = _signatures(spark, sf_dir)
+    computing exact Jaccard everywhere.
+
+    The signature table is computed ONCE (localCheckpoint — the
+    persisted signature store) and reused three ways: band-bucket
+    candidate generation, estimator lookup for both pair sides, and
+    nothing else recomputes shingles except the exact-verify arrays.
+    A naive composition of dedup_minhash + dedup_ngram_jaccard +
+    _signatures re-hashed the corpus ~3x (measured 10.5s -> ~3s at
+    sf0.1)."""
+    sig = _signatures(spark, sf_dir).localCheckpoint()
+    cand = (
+        _candidates_from(_bands_from(sig))
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
     a_cols = [F.col(f"sa.mh{i}") for i in range(N_HASHES)]
     b_cols = [F.col(f"sb.mh{i}") for i in range(N_HASHES)]
     matches = sum(
         (ac == bc).cast("long") for ac, bc in zip(a_cols, b_cols))
-    exact = dedup_ngram_jaccard(spark, sf_dir).select(
+    exact = _exact_jaccard(cand, _doc_shingles(spark, sf_dir)).select(
         "doc_a", "doc_b", "jaccard")
     est = (
         cand.join(sig.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
