@@ -1,0 +1,410 @@
+"""Corpus-curation queries: relevance ranking (TF-IDF, BM25),
+deterministic dataset splitting, per-group quality selection, PII
+scrubbing, and a CUBE reporting rollup.
+
+These are the pipeline stages BETWEEN per-doc feature extraction
+(text_analysis.py) and dedup (dedup.py) in an LLM training-data
+pipeline: score documents against anchor queries, carve
+train/val/test, keep the best docs per stratum, redact PII before the
+tokenizer sees it.
+
+Cross-engine determinism discipline (same as the rest of the repo):
+counts and frequencies are exact integers; every double is a per-row
+expression over integers evaluated in one fixed order (+ - * / only —
+IEEE-deterministic in both engines; notably NO ln/log in the IDF
+terms, we use the rational Robertson form (N-df+.5)/(df+.5) instead
+so the oracle hash-matches bit-for-bit); hashes are md5 hex (identical
+in Spark and DuckDB).
+
+Reference tie-in: ranking over wordcount-style term statistics is the
+canonical MapleJuice job family (mj_exe/wc_maple + juice_wordcount.go
+emit the same (term, count) pairs these queries aggregate); the
+split/filter stages generalize mj_exe/splitKey.go's partition-by-key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from distributed_system_mapreduce_spark.functions import text as X
+from distributed_system_mapreduce_spark.tables import load_table, spread
+
+TOP_TERMS_PER_DOC = 5
+
+# ------------------------------------------------------------- tf-idf
+def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 terms by TF-IDF.
+
+    Plan shape for 100 TB: explode -> (doc_id, term) count (one
+    partial-aggregating shuffle); document frequency is a groupBy over
+    that SAME table (no second pass over raw text) and comes back as a
+    broadcast join (vocab << corpus); corpus size N is a one-row agg
+    cross-joined in. The per-doc top-k window partitions by doc_id —
+    never a global window.
+
+    idf is the rational form (N + 1) / (df + 1) — order-preserving
+    with log-idf for ranking, and exactly reproducible cross-engine
+    (ln() differs in the last ulp between libm and the JVM)."""
+    docs = spread(load_table(spark, "documents", sf_dir))
+    tf = (
+        docs.select("doc_id", F.explode(X.tokens()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.select(F.count("*").alias("n_docs"))
+    score = (
+        F.col("tf").cast("double")
+        * ((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term"))
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", "tf", "df",
+                score.alias("tfidf"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_TERMS_PER_DOC)
+    )
+
+
+TFIDF_TOPTERMS_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({X.TOKENS_SQL}) AS term FROM documents)
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df, tfidf, rk FROM (
+  SELECT doc_id, term, tf, df,
+         CAST(tf AS DOUBLE) * ((n_docs + 1.0) / (df + 1.0)) AS tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY CAST(tf AS DOUBLE)
+                              * ((n_docs + 1.0) / (df + 1.0)) DESC,
+                              term ASC) AS rk
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+WHERE rk <= {TOP_TERMS_PER_DOC}
+"""
+
+
+# --------------------------------------------------------------- bm25
+BM25_QUERY = ("spark", "vector", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents for a fixed anchor query under BM25 (rational
+    Robertson idf, no ln — see module docstring).
+
+    Scale shape: term frequencies only for the query terms (the IN
+    filter pushes into the scan of the tf pass), per-term scores
+    pivoted to columns with a conditional-aggregate (so the final
+    score is a FIXED-ORDER sum s1+s2+s3, not an order-nondeterministic
+    float SUM), doc-length stats one broadcast row, global top-20 via
+    orderBy+limit = TakeOrderedAndProject (never a global window)."""
+    docs = spread(load_table(spark, "documents", sf_dir))
+    lens = docs.select(
+        "doc_id", X.n_tokens().cast("long").alias("dl"))
+    stats = lens.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode(X.tokens()).alias("term"))
+        .filter(F.col("term").isin(*BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .groupBy("doc_id")
+        .pivot("term", list(BM25_QUERY))
+        .agg(F.first(F.struct("tf", "df")))
+    )
+
+    def term_score(col: str):
+        tf_c = F.coalesce(F.col(f"{col}.tf"), F.lit(0)).cast("double")
+        df_c = F.coalesce(F.col(f"{col}.df"), F.lit(0)).cast("double")
+        avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+        idf = (F.col("n_docs") - df_c + F.lit(0.5)) / (df_c + F.lit(0.5))
+        denom = tf_c + F.lit(BM25_K1) * (
+            F.lit(1.0) - F.lit(BM25_B)
+            + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl))
+        return idf * ((tf_c * F.lit(BM25_K1 + 1.0)) / denom)
+
+    parts = [term_score(t).alias(f"s_{t}") for t in BM25_QUERY]
+    out = (
+        scored.join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "dl", *parts)
+    )
+    total = None
+    for t in BM25_QUERY:
+        c = F.col(f"s_{t}")
+        total = c if total is None else total + c
+    return (
+        out.select("doc_id", "dl", total.alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
+    )
+
+
+_BM25_TERMS_IN = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+
+def _bm25_term_sql(t: str) -> str:
+    tf = f"COALESCE(tf_{t}, 0)"
+    df = f"COALESCE(df_{t}, 0)"
+    avgdl = "(CAST(sum_dl AS DOUBLE) / n_docs)"
+    idf = f"((n_docs - CAST({df} AS DOUBLE) + 0.5) / (CAST({df} AS DOUBLE) + 0.5))"
+    denom = (f"(CAST({tf} AS DOUBLE) + {BM25_K1} * (1.0 - {BM25_B} "
+             f"+ {BM25_B} * (CAST(dl AS DOUBLE) / {avgdl})))")
+    return f"({idf} * ((CAST({tf} AS DOUBLE) * {BM25_K1 + 1.0}) / {denom}))"
+
+
+_BM25_PIVOT_COLS = ",\n         ".join(
+    f"MAX(CASE WHEN term = '{t}' THEN tf END) AS tf_{t},\n"
+    f"         MAX(CASE WHEN term = '{t}' THEN df END) AS df_{t}"
+    for t in BM25_QUERY
+)
+_BM25_SCORE_SQL = " + ".join(_bm25_term_sql(t) for t in BM25_QUERY)
+
+BM25_RANK_SQL = f"""
+WITH lens AS (SELECT doc_id, {X.N_TOKENS_SQL} AS dl FROM documents),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM lens),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({X.TOKENS_SQL}) AS term FROM documents)
+  WHERE term IN ({_BM25_TERMS_IN})
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+pivoted AS (
+  SELECT doc_id,
+         {_BM25_PIVOT_COLS}
+  FROM tf JOIN df USING (term)
+  GROUP BY doc_id
+)
+SELECT doc_id, dl, {_BM25_SCORE_SQL} AS bm25
+FROM pivoted JOIN lens USING (doc_id) CROSS JOIN stats
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {BM25_TOPK}
+"""
+
+
+# ----------------------------------------------------- train/val split
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment + per
+    (source, split) accounting. split(doc) is a pure function of
+    doc_id (first md5 hex byte: < 0xcc train ~80%, < 0xe6 val ~10%,
+    else test) so the assignment is stable across runs, engines, and
+    re-partitioning — the property a 100 TB pipeline needs so that
+    re-processing never migrates a document across the wall. Narrow
+    map + one partial-agg shuffle."""
+    docs = load_table(spark, "documents", sf_dir)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < "cc", "train")
+        .when(bucket < "e6", "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("source", split.alias("split"),
+                    X.n_tokens().cast("long").alias("n_toks"))
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_toks").alias("total_tokens"))
+    )
+
+
+TRAIN_VAL_SPLIT_SQL = f"""
+SELECT source, split, COUNT(*) AS n_docs, SUM(n_toks) AS total_tokens
+FROM (
+  SELECT source,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'val'
+              ELSE 'test' END AS split,
+         {X.N_TOKENS_SQL} AS n_toks
+  FROM documents
+)
+GROUP BY source, split
+"""
+
+
+# ------------------------------------------- per-group quality top-k
+QUALITY_TOPK = 3
+
+
+def quality_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-3 documents per (source, lang) stratum by quality score —
+    the 'keep the best per bucket' curation pass. The window
+    partitions by the stratum key (bounded groups), quality is the
+    fixed-order per-row double from quality_score, tie-break down to
+    doc_id."""
+    from distributed_system_mapreduce_spark.operators.text_analysis import (
+        quality_score,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "lang")
+    scored = quality_score(spark, sf_dir).select("doc_id", "quality")
+    w = Window.partitionBy("source", "lang").orderBy(
+        F.desc("quality"), F.asc("doc_id"))
+    return (
+        docs.join(scored, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= QUALITY_TOPK)
+        .select("source", "lang", "doc_id", "quality", "rk")
+    )
+
+
+def _quality_topk_sql() -> str:
+    from distributed_system_mapreduce_spark.operators.text_analysis import (
+        QUALITY_SCORE_SQL,
+    )
+
+    return f"""
+SELECT source, lang, doc_id, quality, rk FROM (
+  SELECT d.source, d.lang, q.doc_id, q.quality,
+         ROW_NUMBER() OVER (PARTITION BY d.source, d.lang
+                            ORDER BY q.quality DESC, q.doc_id ASC) AS rk
+  FROM ({QUALITY_SCORE_SQL}) q
+  JOIN documents d ON d.doc_id = q.doc_id
+)
+WHERE rk <= {QUALITY_TOPK}
+"""
+
+
+# ------------------------------------------------------------ pii scrub
+# The synthetic corpus contains no natural PII, so the query first
+# derives an AUGMENTED text column (every 5th doc gains a
+# deterministic synthetic email + phone) identically on both engines,
+# then redacts. The augmentation is the test fixture; the redaction
+# expressions are the product.
+_EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_PAT = r"\d{3}-\d{3}-\d{4}"
+# Spark SQL string literals interpret backslashes; DuckDB's don't.
+_EMAIL_PAT_EXPR = _EMAIL_PAT.replace("\\", "\\\\")
+_PHONE_PAT_EXPR = _PHONE_PAT.replace("\\", "\\\\")
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: count + scrub emails and phone numbers.
+    Pure narrow map (regexp_count / regexp_replace run inside
+    codegen); output carries md5(scrubbed) rather than the scrubbed
+    text so the oracle compares content without hauling full documents
+    through the hash gate. Patterns are RE2-safe (no lookaround) so
+    Java regex and DuckDB RE2 agree."""
+    docs = load_table(spark, "documents", sf_dir)
+    aug = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com call 555-123-4567"),
+        ),
+    ).otherwise(F.col("text"))
+    scrubbed = F.expr(
+        f"regexp_replace(regexp_replace(aug, '{_EMAIL_PAT_EXPR}', "
+        f"'<EMAIL>'), '{_PHONE_PAT_EXPR}', '<PHONE>')"
+    )
+    return (
+        docs.select("doc_id", aug.alias("aug"))
+        .select(
+            "doc_id",
+            F.expr(f"regexp_count(aug, '{_EMAIL_PAT_EXPR}')")
+            .cast("long").alias("n_emails"),
+            F.expr(f"regexp_count(aug, '{_PHONE_PAT_EXPR}')")
+            .cast("long").alias("n_phones"),
+            F.md5(scrubbed).alias("scrub_hash"),
+            F.length(scrubbed).cast("long").alias("scrub_len"),
+        )
+    )
+
+
+PII_SCRUB_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(aug, '{_EMAIL_PAT}')) AS n_emails,
+       len(regexp_extract_all(aug, '{_PHONE_PAT}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(aug, '{_EMAIL_PAT}',
+           '<EMAIL>', 'g'), '{_PHONE_PAT}', '<PHONE>', 'g'))
+         AS scrub_hash,
+       length(regexp_replace(regexp_replace(aug, '{_EMAIL_PAT}',
+           '<EMAIL>', 'g'), '{_PHONE_PAT}', '<PHONE>', 'g'))
+         AS scrub_len
+FROM (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com call 555-123-4567'
+              ELSE text END AS aug
+  FROM documents
+)
+"""
+
+
+# ----------------------------------------------------------- events cube
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(event_type, dow): all four grouping combinations in one
+    pass (per-type-per-weekday, per-type, per-weekday, grand total) —
+    the full cross-granularity reporting matrix; ROLLUP's twin
+    (events_rollup) covers the hierarchical case. One shuffle with
+    map-side partials over the expanded grouping sets."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.select(
+            "event_type",
+            F.dayofweek("ts").cast("long").alias("dow"),
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+        .cube("event_type", "dow")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("v").cast("decimal(38,6)").alias("sum_value"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+# DuckDB dayofweek(=isodow?) parity: Spark dayofweek() is 1=Sunday..7;
+# DuckDB dayofweek() is 0=Sunday..6 — shift by one.
+EVENTS_CUBE_SQL = """
+SELECT event_type, dow, COUNT(*) AS n_events,
+       CAST(SUM(v) AS DECIMAL(38,6)) AS sum_value,
+       GROUPING(event_type, dow) AS gid
+FROM (
+  SELECT event_type, dayofweek(ts) + 1 AS dow,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events
+)
+GROUP BY CUBE(event_type, dow)
+"""
+
+
+QUERIES = {
+    "tfidf_topterms": tfidf_topterms,
+    "bm25_rank": bm25_rank,
+    "train_val_split": train_val_split,
+    "quality_topk_per_group": quality_topk_per_group,
+    "pii_scrub": pii_scrub,
+    "events_cube": events_cube,
+}
+
+ORACLES = {
+    "tfidf_topterms": TFIDF_TOPTERMS_SQL,
+    "bm25_rank": BM25_RANK_SQL,
+    "train_val_split": TRAIN_VAL_SPLIT_SQL,
+    "quality_topk_per_group": _quality_topk_sql(),
+    "pii_scrub": PII_SCRUB_SQL,
+    "events_cube": EVENTS_CUBE_SQL,
+}

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from distributed_system_mapreduce_spark.operators import (
     asof,
+    curation,
     dedup,
     engine_queries,
     mapreduce_queries,
@@ -26,8 +27,8 @@ from distributed_system_mapreduce_spark.operators import (
 )
 
 _MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
-            engine_queries, text_analysis, dedup, similarity, multimodal,
-            asof]
+            engine_queries, text_analysis, curation, dedup, similarity,
+            multimodal, asof]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
