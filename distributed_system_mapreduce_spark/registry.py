@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from distributed_system_mapreduce_spark.operators import (
     asof,
     curation,
+    curation2,
     dedup,
     engine_queries,
     mapreduce_queries,
@@ -27,7 +28,8 @@ from distributed_system_mapreduce_spark.operators import (
 )
 
 _MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
-            engine_queries, text_analysis, curation, dedup, similarity,
+            engine_queries, text_analysis, curation, curation2, dedup,
+            similarity,
             multimodal, asof]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
