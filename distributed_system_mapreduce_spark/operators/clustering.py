@@ -1,0 +1,127 @@
+"""Iterative clustering + sketch-aggregate queries.
+
+- kmeans_embed: Lloyd's k-means over the embeddings table — the
+  iterative-algorithm family (rows-only: float centroid means are not
+  SQL-reproducible bit-for-bit, so the driver records the weaker
+  rows-only check; invariants are asserted in tests instead).
+- approx_price_quantiles: approx_percentile (mergeable t-digest-style
+  sketch) twin of the exact price_quantiles — the unbounded-group-
+  cardinality path at 100 TB (rows-only; error bounded in tests
+  against the exact query).
+
+kmeans scale shape (the MLlib KMeans skeleton, restated with public
+DataFrame ops): centroids are K x DIM doubles — driver-side state the
+size of a broadcast variable, NOT data. Each iteration is one job:
+broadcast the K codewords, per-row min(struct(d2, cid)) assignment
+(partial-aggregating shuffle keyed by vec_id), centroid update via
+posexplode -> groupBy(cluster, pos) mean (map-side combine reduces
+the exchange to K x DIM rows per input partition). The only driver
+collect is the K x DIM centroid matrix per iteration — bounded by K,
+never by corpus size. On a real 100 TB corpus you would .persist()
+the vectors across iterations; at test SF the re-scan is cheaper
+than the cache churn.
+
+Reference tie-in: the assign/update rounds are the canonical chained
+MapleJuice jobs (maple = assign emits (cluster, vec), juice = update
+averages per cluster) — /root/reference/maple_juice/maple_juice.go
+runs exactly such multi-round pipelines via repeated maple/juice
+invocations (e.g. the two-round vote in mj_exe/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_system_mapreduce_spark.functions import vectors as V
+from distributed_system_mapreduce_spark.tables import load_table
+
+K_CLUSTERS = 8
+KMEANS_ITERS = 4
+
+
+def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast K codewords, narrow xK
+    distance map, min(struct) argmin — no window, one shuffle keyed
+    by vec_id (same shape as similarity._with_cell)."""
+    d2 = F.expr(V.dist2_expr("embedding", "cemb"))
+    return (
+        vecs.join(F.broadcast(cents))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct(d2.alias("d2"), F.col("cid").alias("cid")))
+             .alias("best"))
+        .select("vec_id",
+                F.col("best.cid").alias("cluster"),
+                F.col("best.d2").alias("dist2"))
+    )
+
+
+def kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMEANS_ITERS rounds of Lloyd's over embeddings, deterministic
+    init (codewords = the K lowest vec_ids, like the IVF sample
+    codebook). Returns the final assignment (vec_id, cluster, dist2)
+    with per-cluster sizes joined on."""
+    vecs = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding")
+    cents = (
+        vecs.filter(F.col("vec_id") < K_CLUSTERS)
+        .select(F.col("vec_id").alias("cid"),
+                F.col("embedding").alias("cemb"))
+    )
+    prev = {r["cid"]: list(r["cemb"]) for r in cents.collect()}
+    for _ in range(KMEANS_ITERS):
+        asg = _assign(vecs, cents).select("vec_id", "cluster")
+        upd = (
+            vecs.join(asg, "vec_id")
+            .select("cluster",
+                    F.posexplode(F.col("embedding").cast("array<double>"))
+                    .alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cluster", F.col("pm.m").alias("cemb"))
+        )
+        new = {r["cluster"]: list(r["cemb"]) for r in upd.collect()}
+        prev = {**prev, **new}  # empty clusters keep their old centroid
+        cents = spark.createDataFrame(
+            [(cid, emb) for cid, emb in sorted(prev.items())],
+            "cid long, cemb array<double>")
+    final = _assign(vecs, cents)
+    sizes = final.groupBy("cluster").agg(
+        F.count("*").alias("cluster_size"))
+    return final.join(F.broadcast(sizes), "cluster").select(
+        "vec_id", "cluster", "dist2", "cluster_size")
+
+
+def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile twin of price_quantiles: the mergeable-sketch
+    path (map-side partial sketches, constant memory per group) that
+    replaces the exact per-group sort when group cardinality is
+    unbounded. Rows-only — sketch outputs are implementation-specific;
+    tests bound the relative error against the exact query."""
+    li = load_table(spark, "lineitem", sf_dir)
+    qs = [0.25, 0.5, 0.75, 0.99]
+    arr = ", ".join(str(q) for q in qs)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.expr(
+            f"approx_percentile(l_extendedprice, array({arr}), 10000)")
+            .alias("qs"))
+        .select("l_returnflag", *[
+            F.col("qs")[i].alias(f"p{int(q * 100)}")
+            for i, q in enumerate(qs)
+        ])
+    )
+
+
+QUERIES = {
+    "kmeans_embed": kmeans_embed,
+    "approx_price_quantiles": approx_price_quantiles,
+}
+
+# Both rows-only: kmeans is iterative with float centroid state;
+# approx_percentile sketch values are engine-specific. Tests bound
+# their behavior against exact twins instead.
+ORACLES: dict[str, str] = {}

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from distributed_system_mapreduce_spark.operators import (
     asof,
+    clustering,
     curation,
     curation2,
     dedup,
@@ -29,7 +30,7 @@ from distributed_system_mapreduce_spark.operators import (
 
 _MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
             engine_queries, text_analysis, curation, curation2, dedup,
-            similarity,
+            similarity, clustering,
             multimodal, asof]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
