@@ -113,3 +113,20 @@ def test_temporal_joins_are_hash_not_nested_loop(spark):
         df = QUERIES[name](spark, SF_DIR)
         assert plan_lacks(df, "BroadcastNestedLoopJoin",
                           "CartesianProduct"), name
+
+def test_curation2_broadcast_shapes(spark):
+    """Contamination's benchmark vocab and the mix-rebalance cutoff
+    table must ride in as broadcast hash joins (tiny sides); no
+    CartesianProduct anywhere. (mix_rebalance also carries domain_mix's
+    one-row grand-total broadcast cross join — that shape is fine.)"""
+    for name in ("contamination_check", "mix_rebalance_sample"):
+        df = QUERIES[name](spark, SF_DIR)
+        assert plan_has(df, "BroadcastHashJoin"), name
+        assert plan_lacks(df, "CartesianProduct"), name
+    assert plan_lacks(QUERIES["contamination_check"](spark, SF_DIR),
+                      "BroadcastNestedLoopJoin")
+
+
+def test_repetition_aggs_have_map_side_partials(spark):
+    df = QUERIES["repetition_score"](spark, SF_DIR)
+    assert plan_has(df, "partial_"), "bigram agg lost map-side combine"
