@@ -204,3 +204,44 @@ def run_stream_to_memory(df: DataFrame, name: str,
     )
     q.awaitTermination()
     return q
+
+
+def view_purchase_join_stream(events: DataFrame,
+                              watermark: str = "2 days",
+                              lookback_hours: int = 24) -> DataFrame:
+    """Watermarked stream-stream inner join: each purchase matched to
+    the same user's preceding views within `lookback_hours` — the
+    streaming twin of the batch purchase_attribution funnel
+    (operators/asof.py, which bucketizes the same range predicate
+    into an equi-join for the batch planner).
+
+    Both sides carry event-time watermarks and the join condition
+    bounds their time distance, so Spark derives a state-expiry
+    horizon for BOTH buffers — without the time bound, stream-stream
+    join state grows forever. At 100 TB/day this is the canonical
+    funnel-join shape: state is (watermark + lookback) x per-user
+    event volume, independent of stream length."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(F.col("event_id").alias("view_id"), "user_id",
+                F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", watermark)
+    )
+    return (
+        views.join(
+            purchases,
+            F.expr(
+                f"user_id = p_user_id AND "
+                f"purchase_ts >= view_ts AND "
+                f"purchase_ts <= view_ts + INTERVAL {lookback_hours} HOURS"
+            ))
+        .select("view_id", "user_id", "view_ts",
+                "purchase_id", "purchase_ts")
+    )

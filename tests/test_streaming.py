@@ -124,3 +124,45 @@ def test_stream_to_filestore_sink(spark, tmp_path):
             .select("event_id").distinct().count())
     assert got == want
     assert "events_clean" in fs.store()
+
+
+def test_stream_stream_join_matches_batch_self_join(spark):
+    """Watermarked view->purchase stream-stream join == the same range
+    self-join computed in batch (exact pair-set equality; availableNow
+    drains everything, the 2-day watermark admits all pairs)."""
+    from pyspark.sql import functions as F
+
+    from distributed_system_mapreduce_spark.streaming.jobs import (
+        view_purchase_join_stream,
+    )
+    from distributed_system_mapreduce_spark.tables import load_table
+
+    stream = read_events_stream(spark, SF_DIR)
+    q = run_stream_to_memory(
+        view_purchase_join_stream(stream), "vpj_stream",
+        output_mode="append")
+    try:
+        got = {
+            (r["view_id"], r["purchase_id"])
+            for r in spark.table("vpj_stream").collect()
+        }
+        ev = load_table(spark, "events", SF_DIR)
+        v = (ev.filter(F.col("event_type") == "view")
+             .select(F.col("event_id").alias("view_id"), "user_id",
+                     F.col("ts").alias("view_ts")))
+        p = (ev.filter(F.col("event_type") == "purchase")
+             .select(F.col("event_id").alias("purchase_id"),
+                     F.col("user_id").alias("p_user_id"),
+                     F.col("ts").alias("purchase_ts")))
+        want = {
+            (r["view_id"], r["purchase_id"])
+            for r in v.join(
+                p,
+                F.expr("user_id = p_user_id AND "
+                       "purchase_ts >= view_ts AND "
+                       "purchase_ts <= view_ts + INTERVAL 24 HOURS")
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        q.stop()
