@@ -465,6 +465,45 @@ GROUP BY a
 """
 
 
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The emit-the-kept-corpus stage that the annotate/cluster steps
+    feed: a document survives near-dup dedup iff it is in no dup
+    cluster, or it is its cluster's representative (min doc_id =
+    its component label from dedup_components). Output is the kept
+    set with its cluster label and a was-clustered flag.
+
+    Scale shape: the corpus side stays un-shuffled — the component
+    labels cover only docs that appear in the verified dup graph
+    (tiny vs corpus), so they broadcast onto a left join and the
+    keep-filter is narrow. This is the write-side pass that would
+    stream 100 TB through while dropping the duplicates."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "lang")
+    labels = dedup_components(spark, sf_dir)
+    return (
+        docs.join(F.broadcast(labels), "doc_id", "left")
+        .filter(F.col("component").isNull()
+                | (F.col("component") == F.col("doc_id")))
+        .select(
+            "doc_id", "source", "lang",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+            F.col("component").isNotNull().cast("long")
+            .alias("was_clustered"),
+        )
+    )
+
+
+DEDUP_APPLY_SQL = f"""
+WITH comp AS ({DEDUP_COMPONENTS_SQL})
+SELECT d.doc_id, d.source, d.lang,
+       COALESCE(c.component, d.doc_id) AS component,
+       CAST(CASE WHEN c.component IS NOT NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS was_clustered
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+WHERE c.component IS NULL OR c.component = d.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
@@ -472,6 +511,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_minhash_estimate": dedup_minhash_estimate,
     "dedup_components": dedup_components,
+    "dedup_apply": dedup_apply,
 }
 
 ORACLES = {
@@ -481,4 +521,5 @@ ORACLES = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,
+    "dedup_apply": DEDUP_APPLY_SQL,
 }
