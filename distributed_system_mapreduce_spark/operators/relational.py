@@ -44,10 +44,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("decimal(38,6)").alias("sum_qty"),
-            F.sum(price).cast("decimal(38,6)").alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(38,6)").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(38,6)").alias("sum_charge"),
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
             (F.sum(qty).cast("decimal(38,6)").cast("double") / F.count("*")).alias("avg_qty"),
             (F.sum(price).cast("decimal(38,6)").cast("double") / F.count("*")).alias("avg_price"),
             (F.sum(disc).cast("decimal(38,6)").cast("double") / F.count("*")).alias("avg_disc"),
@@ -58,14 +58,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-      * (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))) AS DECIMAL(38,6))
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+      * (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))) AS DECIMAL(38,6)) AS DOUBLE)
       AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
       * (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))
-      * (CAST(1 AS DECIMAL(9,4)) + CAST(l_tax AS DECIMAL(9,4)))) AS DECIMAL(38,6))
+      * (CAST(1 AS DECIMAL(9,4)) + CAST(l_tax AS DECIMAL(9,4)))) AS DECIMAL(38,6)) AS DOUBLE)
       AS sum_charge,
   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*) AS avg_qty,
   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*) AS avg_price,
@@ -97,11 +97,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.sum(
         _dec("l_extendedprice")
         * (F.lit(1).cast("decimal(9,4)") - _dec("l_discount", 9, 4))
-    ).cast("decimal(38,6)")
+    ).cast("double")
     return (
         li.join(
-            F.broadcast(orders.join(F.broadcast(cust),
-                                    orders.o_custkey == cust.c_custkey)),
+            orders.join(F.broadcast(cust),
+                        orders.o_custkey == cust.c_custkey),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate")
@@ -114,7 +114,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q3_SQL = """
 SELECT l_orderkey, o_orderdate,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-      * (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))) AS DECIMAL(38,6))
+      * (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE)
       AS revenue
 FROM customer, orders, lineitem
 WHERE c_mktsegment = 'BUILDING'
@@ -148,7 +148,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.sum(
         _dec("l_extendedprice")
         * (F.lit(1).cast("decimal(9,4)") - _dec("l_discount", 9, 4))
-    ).cast("decimal(38,6)")
+    ).cast("double")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -164,7 +164,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q5_SQL = """
 SELECT n_name,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-      * (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))) AS DECIMAL(38,6))
+      * (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE)
       AS revenue
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -225,14 +225,14 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.sum(
         _dec("l_extendedprice")
         * (F.lit(1).cast("decimal(9,4)") - _dec("l_discount", 9, 4))
-    ).cast("decimal(38,6)")
+    ).cast("double")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(revenue.alias("revenue"),
-             F.sum(_dec("c_acctbal")).cast("decimal(38,6)").alias("acctbal"))
+             F.sum(_dec("c_acctbal")).cast("double").alias("acctbal"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -241,9 +241,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q10_SQL = """
 SELECT c_custkey, c_name, n_name,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-      * (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))) AS DECIMAL(38,6))
+      * (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE)
       AS revenue,
-  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS acctbal
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS acctbal
 FROM customer, orders, lineitem, nation
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
@@ -300,7 +300,7 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", "c_custkey", "c_name")
-        .agg(F.sum(_dec("o_totalprice")).cast("decimal(38,6)").alias("total_spend"),
+        .agg(F.sum(_dec("o_totalprice")).cast("double").alias("total_spend"),
              F.count("*").alias("n_orders"))
     )
     w = Window.partitionBy("n_name").orderBy(
@@ -321,7 +321,7 @@ FROM (
                             ORDER BY total_spend DESC, c_custkey ASC) AS rk
   FROM (
     SELECT n_name, c_custkey, c_name,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6))
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
              AS total_spend,
            COUNT(*) AS n_orders
     FROM orders, customer, nation
@@ -345,7 +345,7 @@ def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(_dec("value", 18, 6)).cast("decimal(38,6)").alias("sum_value"),
+            F.sum(_dec("value", 18, 6)).cast("double").alias("sum_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
     )
@@ -354,7 +354,7 @@ def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_DAILY_SQL = """
 SELECT CAST(ts AS DATE) AS day, event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
        COUNT(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY CAST(ts AS DATE), event_type
@@ -377,7 +377,7 @@ def events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id",
         "event_id",
-        F.sum(_dec("value", 18, 6)).over(w).cast("decimal(38,6)").alias("running_value"),
+        F.sum(_dec("value", 18, 6)).over(w).cast("double").alias("running_value"),
     )
 
 
@@ -385,7 +385,7 @@ EVENTS_RUNNING_SQL = """
 SELECT user_id, event_id,
   CAST(SUM(CAST(value AS DECIMAL(18,6)))
        OVER (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6))
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
     AS running_value
 FROM events
 """
@@ -418,7 +418,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENTS_SESSIONIZE_SQL = """
-SELECT user_id, MAX(sess_id) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(MAX(sess_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM (
   SELECT user_id,
          SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id

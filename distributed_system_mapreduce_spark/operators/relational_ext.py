@@ -1,7 +1,7 @@
 """Extended analytic queries — the harder TPC-H shapes (anti joins,
 correlated aggregates, distributions, multi-fact joins) adapted to the
 driver's schema. Same exactness discipline as relational.py
-(DECIMAL accumulators, DECIMAL(38,6) money outputs, deterministic
+(DECIMAL accumulators, DOUBLE money outputs, deterministic
 tie-breaks).
 """
 
@@ -21,15 +21,17 @@ _REV = None  # computed per-query: sum(price * (1 - discount))
 
 
 def _revenue():
+    # DECIMAL accumulator (exact, associative), DOUBLE output (the
+    # driver's value hash normalizes primitives, not DECIMAL).
     return F.sum(
         _dec("l_extendedprice")
         * (F.lit(1).cast("decimal(9,4)") - _dec("l_discount", 9, 4))
-    ).cast("decimal(38,6)")
+    ).cast("double")
 
 
 _REV_SQL = ("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * "
             "(CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))) "
-            "AS DECIMAL(38,6))")
+            "AS DOUBLE)")
 
 
 # ------------------------------------------------------------------ Q7
@@ -126,14 +128,16 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(rev).cast("decimal(38,6)").alias("total_rev"),
     )
     return agg.select(
-        "promo_rev", "total_rev",
+        F.col("promo_rev").cast("double").alias("promo_rev"),
+        F.col("total_rev").cast("double").alias("total_rev"),
         (F.col("promo_rev").cast("double") * 100.0
          / F.col("total_rev").cast("double")).alias("promo_pct"),
     )
 
 
 Q14_SQL = """
-SELECT promo_rev, total_rev,
+SELECT CAST(promo_rev AS DOUBLE) AS promo_rev,
+       CAST(total_rev AS DOUBLE) AS total_rev,
        CAST(promo_rev AS DOUBLE) * 100.0 / CAST(total_rev AS DOUBLE)
          AS promo_pct
 FROM (
@@ -214,7 +218,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         with_avg.filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
-            F.sum(_dec("l_extendedprice")).cast("decimal(38,6)")
+            F.sum(_dec("l_extendedprice")).cast("double")
             .alias("small_qty_revenue"),
             F.count("*").alias("n_items"),
         )
@@ -223,7 +227,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q17_SQL = """
 SELECT
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,6))
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
     AS small_qty_revenue,
   COUNT(*) AS n_items
 FROM (
@@ -249,8 +253,10 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(_dec("l_quantity")).cast("decimal(38,6)")
-             .alias("total_qty"))
-        .filter(F.col("total_qty") > 180)
+             .alias("total_qty_dec"))
+        .filter(F.col("total_qty_dec") > 180)
+        .select("l_orderkey",
+                F.col("total_qty_dec").cast("double").alias("total_qty"))
     )
     return (
         big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -262,13 +268,13 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q18_SQL = """
 SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
-       total_qty
+       CAST(total_qty_dec AS DOUBLE) AS total_qty
 FROM (
   SELECT l_orderkey,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6))
-           AS total_qty
+           AS total_qty_dec
   FROM lineitem GROUP BY l_orderkey
-  HAVING total_qty > 180
+  HAVING total_qty_dec > 180
 )
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -327,13 +333,13 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_custkey") % 10).alias("cohort")
     ).agg(
         F.count("*").alias("n_custs"),
-        F.sum(_dec("c_acctbal")).cast("decimal(38,6)").alias("total_bal"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
     )
 
 
 Q22_SQL = """
 SELECT c_custkey % 10 AS cohort, COUNT(*) AS n_custs,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,6))
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
          AS total_bal
 FROM customer
 WHERE c_acctbal > (

@@ -11,8 +11,9 @@ nested semi-join chain (Q20), sole-supplier EXISTS/NOT-EXISTS
 grouping (Q21).
 
 Same exactness discipline as relational.py: DECIMAL accumulators,
-DECIMAL(38,6) money outputs, deterministic tie-breaks down to a
-unique key on every top-k.
+DOUBLE money outputs (the driver's value hash normalizes primitive
+types only), deterministic tie-breaks down to a unique key on every
+top-k.
 
 Scale posture: part/supplier/nation/region are broadcast at every
 join (dims); the lineitem->orders chain carries the only big
@@ -34,15 +35,17 @@ def _dec(col, prec: int = 18, scale: int = 4):
 
 
 def _revenue():
+    # DECIMAL accumulator (exact, associative), DOUBLE output (the
+    # driver's value hash normalizes primitives, not DECIMAL).
     return F.sum(
         _dec("l_extendedprice")
         * (F.lit(1).cast("decimal(9,4)") - _dec("l_discount", 9, 4))
-    ).cast("decimal(38,6)")
+    ).cast("double")
 
 
 _REV_SQL = ("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * "
             "(CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))) "
-            "AS DECIMAL(38,6))")
+            "AS DOUBLE)")
 
 
 # ------------------------------------------------------------------ Q2
@@ -146,14 +149,18 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return agg.select(
-        "o_year", "nation_rev", "total_rev",
+        "o_year",
+        F.col("nation_rev").cast("double").alias("nation_rev"),
+        F.col("total_rev").cast("double").alias("total_rev"),
         (F.col("nation_rev").cast("double")
          / F.col("total_rev").cast("double")).alias("mkt_share"),
     )
 
 
 Q8_SQL = """
-SELECT o_year, nation_rev, total_rev,
+SELECT o_year,
+       CAST(nation_rev AS DOUBLE) AS nation_rev,
+       CAST(total_rev AS DOUBLE) AS total_rev,
        CAST(nation_rev AS DOUBLE) / CAST(total_rev AS DOUBLE)
          AS mkt_share
 FROM (
@@ -241,7 +248,8 @@ def q11_part_value_concentration(spark: SparkSession, sf_dir: str
         pv.join(F.broadcast(tot))
         .filter(F.col("part_value") * F.col("n_parts") * F.lit(10)
                 > F.col("tot") * F.lit(12))
-        .select("l_partkey", "part_value")
+        .select("l_partkey",
+                F.col("part_value").cast("double").alias("part_value"))
     )
 
 
@@ -254,7 +262,7 @@ WITH pv AS (
   FROM lineitem
   GROUP BY l_partkey
 )
-SELECT l_partkey, part_value
+SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
 FROM pv
 WHERE part_value * (SELECT COUNT(*) FROM pv) * 10 >
       (SELECT CAST(SUM(part_value) AS DECIMAL(38,6)) FROM pv) * 12
@@ -288,10 +296,10 @@ def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q12_SQL = """
 SELECT delay_bucket,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM (
   SELECT o_orderpriority,
          CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
@@ -513,7 +521,7 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("event_type", "day")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum("v").cast("decimal(38,6)").alias("sum_value"),
+            F.sum("v").cast("double").alias("sum_value"),
             F.grouping_id().cast("long").alias("gid"),
         )
     )
@@ -521,7 +529,7 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_ROLLUP_SQL = """
 SELECT event_type, day, COUNT(*) AS n_events,
-       CAST(SUM(v) AS DECIMAL(38,6)) AS sum_value,
+       CAST(CAST(SUM(v) AS DECIMAL(38,6)) AS DOUBLE) AS sum_value,
        GROUPING(event_type, day) AS gid
 FROM (
   SELECT event_type, CAST(ts AS DATE) AS day,
@@ -554,7 +562,7 @@ def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ym - fym).alias("month_offset"),
         )
         .agg(
-            F.sum(_dec("o_totalprice")).cast("decimal(38,6)")
+            F.sum(_dec("o_totalprice")).cast("double")
             .alias("cohort_revenue"),
             F.count("*").alias("n_orders"),
             F.countDistinct("o_custkey").alias("n_customers"),
@@ -569,7 +577,7 @@ SELECT (EXTRACT(year FROM first_dt) * 100 + EXTRACT(month FROM first_dt))
          + EXTRACT(month FROM o_orderdate))
         - (EXTRACT(year FROM first_dt) * 12
            + EXTRACT(month FROM first_dt))) AS month_offset,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6))
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
          AS cohort_revenue,
        COUNT(*) AS n_orders,
        COUNT(DISTINCT o_custkey) AS n_customers
@@ -608,10 +616,10 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_FUNNEL_SQL = """
 SELECT COUNT(*) AS n_users,
        COUNT(t_signup) AS n_signed_up,
-       SUM(CASE WHEN t_view > t_signup THEN 1 ELSE 0 END)
-         AS n_viewed_after_signup,
-       SUM(CASE WHEN t_view > t_signup AND t_purchase > t_view
-                THEN 1 ELSE 0 END) AS n_full_funnel
+       CAST(SUM(CASE WHEN t_view > t_signup THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_viewed_after_signup,
+       CAST(SUM(CASE WHEN t_view > t_signup AND t_purchase > t_view
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
 FROM (
   SELECT user_id,
          MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
