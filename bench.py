@@ -53,12 +53,22 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times[n] for n in HEADLINE if n in times), 3)
+    # Full per-query map goes to a file; the final stdout line stays
+    # short (headline queries only) so the driver's line capture never
+    # truncates mid-JSON (r1's ~2 KB line came back unparsed).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump({"sf": float(sf), "queries": times}, fh, indent=1,
+                  sort_keys=True)
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
-        "queries": times,
+        "queries": {n: times[n] for n in HEADLINE if n in times},
         "sf": float(sf),
+        "n_queries": len(times),
+        "detail": "BENCH_DETAIL.json",
     }))
 
 

@@ -225,7 +225,8 @@ def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TRAIN_VAL_SPLIT_SQL = f"""
-SELECT source, split, COUNT(*) AS n_docs, SUM(n_toks) AS total_tokens
+SELECT source, split, COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens
 FROM (
   SELECT source,
          CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
@@ -370,7 +371,7 @@ def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("event_type", "dow")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum("v").cast("decimal(38,6)").alias("sum_value"),
+            F.sum("v").cast("double").alias("sum_value"),
             F.grouping_id().cast("long").alias("gid"),
         )
     )
@@ -380,7 +381,7 @@ def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB dayofweek() is 0=Sunday..6 — shift by one.
 EVENTS_CUBE_SQL = """
 SELECT event_type, dow, COUNT(*) AS n_events,
-       CAST(SUM(v) AS DECIMAL(38,6)) AS sum_value,
+       CAST(SUM(v) AS DOUBLE) AS sum_value,
        GROUPING(event_type, dow) AS gid
 FROM (
   SELECT event_type, dayofweek(ts) + 1 AS dow,

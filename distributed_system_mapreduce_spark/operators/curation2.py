@@ -127,7 +127,7 @@ SELECT doc_id, n_toks, n_dtoks, n_bigrams, top_bigram,
        ELSE 0.0 END AS top_bigram_frac
 FROM (
   SELECT t.doc_id, t.n_toks, t.n_dtoks,
-         COALESCE(g.n_bigrams, 0) AS n_bigrams,
+         CAST(COALESCE(g.n_bigrams, 0) AS BIGINT) AS n_bigrams,
          COALESCE(g.n_dbigrams, 0) AS n_dbigrams,
          COALESCE(g.top_bigram, 0) AS top_bigram
   FROM stats t LEFT JOIN big g ON t.doc_id = g.doc_id
@@ -292,7 +292,8 @@ def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOMAIN_MIX_SQL = f"""
 WITH per_src AS (
-  SELECT source, COUNT(*) AS n_docs, SUM(n_toks) AS total_tokens
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n_toks) AS BIGINT) AS total_tokens
   FROM (SELECT source, {X.N_TOKENS_SQL} AS n_toks FROM documents)
   GROUP BY source
 ),
@@ -310,11 +311,15 @@ FROM per_src CROSS JOIN grand
 
 
 # ------------------------------------------------- mix rebalance sample
-# md5(doc_id) first 4 hex chars -> 16-bit integer, identically in both
-# engines (no conv() in DuckDB, so nibble-decode via instr over the
-# hex alphabet — pure integer arithmetic).
-def _hex16_expr(src: str, cast: str) -> str:
-    h = f"md5(CAST({src} AS {cast}))"
+# md5 first 4 hex chars -> 16-bit integer, identically in both engines
+# (no conv() in DuckDB, so nibble-decode via instr over the hex
+# alphabet — pure integer arithmetic). The md5 input is salted with
+# 'mix:' so the keep decision is independent of the un-salted
+# md5(doc_id) that drives train_val_split (curation.py) — otherwise a
+# source downsampled below weight 0.5 would keep only docs whose hash
+# falls entirely inside the 'train' bucket, emptying val/test for it.
+def _hex16_expr(md5_input: str) -> str:
+    h = f"md5({md5_input})"
     parts = [
         f"(instr('0123456789abcdef', substring({h}, {i + 1}, 1)) - 1)"
         f" * {16 ** (3 - i)}"
@@ -337,7 +342,7 @@ def mix_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.least(F.lit(1.0), F.col("weight")) * 65536)
         .cast("long").alias("cutoff"),
     )
-    h16 = F.expr(_hex16_expr("doc_id", "STRING")).cast("long")
+    h16 = F.expr(_hex16_expr("'mix:' || CAST(doc_id AS STRING)")).cast("long")
     return (
         docs.select("doc_id", "source", h16.alias("h16"))
         .join(F.broadcast(cuts), "source")
@@ -356,7 +361,7 @@ cuts AS (
 SELECT doc_id, source, h16, cutoff
 FROM (
   SELECT doc_id, source,
-         CAST({_hex16_expr('doc_id', 'VARCHAR')} AS BIGINT) AS h16
+         CAST({_hex16_expr("'mix:' || CAST(doc_id AS VARCHAR)")} AS BIGINT) AS h16
   FROM documents
 )
 JOIN cuts USING (source)
@@ -399,9 +404,12 @@ def packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PACKING_STATS_SQL = f"""
-SELECT bucket_lo, COUNT(*) AS n_docs, SUM(n_toks) AS sum_tokens,
-       SUM({PACK_CTX} - least(n_toks, {PACK_CTX})) AS pad_tokens,
-       SUM(greatest(n_toks - {PACK_CTX}, 0)) AS truncated_tokens
+SELECT bucket_lo, COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,
+       CAST(SUM({PACK_CTX} - least(n_toks, {PACK_CTX})) AS BIGINT)
+         AS pad_tokens,
+       CAST(SUM(greatest(n_toks - {PACK_CTX}, 0)) AS BIGINT)
+         AS truncated_tokens
 FROM (
   SELECT least(n_toks // {PACK_BUCKET}, {PACK_LAST}) * {PACK_BUCKET}
            AS bucket_lo,

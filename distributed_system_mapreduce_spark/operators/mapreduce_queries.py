@@ -144,8 +144,8 @@ SELECT small || ',' || big AS pair,
        CASE WHEN wins_small > wins_big THEN small ELSE big END AS winner
 FROM (
   SELECT small, big,
-         SUM(pref_small) AS wins_small,
-         COUNT(*) - SUM(pref_small) AS wins_big
+         CAST(SUM(pref_small) AS BIGINT) AS wins_small,
+         CAST(COUNT(*) - SUM(pref_small) AS BIGINT) AS wins_big
   FROM (
     SELECT least(c1, c2) AS small, greatest(c1, c2) AS big,
            CASE WHEN c1 < c2 THEN 1 ELSE 0 END AS pref_small

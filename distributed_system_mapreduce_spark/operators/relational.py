@@ -397,7 +397,11 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming sessionizer."""
     ev = load_table(spark, "events", sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # Cast via TIMESTAMP: the parquet ts may arrive as TIMESTAMP_NTZ
+    # (no direct NTZ->long cast exists); session tz is UTC so the
+    # epoch seconds match DuckDB's epoch().
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_s - F.lag(ts_s).over(w)
     with_flag = ev.select(
         "user_id", "ts", "event_id",
         F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_sess"),

@@ -234,9 +234,9 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CORPUS_STATS_SQL = f"""
 SELECT source, lang, COUNT(*) AS n_docs,
-       SUM(n_toks) AS total_tokens,
-       SUM(CASE WHEN quality >= {QUALITY_TAU} THEN 1 ELSE 0 END)
-         AS n_high_quality
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN quality >= {QUALITY_TAU} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_high_quality
 FROM ({QUALITY_SCORE_SQL}) q
 JOIN (SELECT doc_id AS d2, lang, source FROM documents) d
   ON q.doc_id = d.d2

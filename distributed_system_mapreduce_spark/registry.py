@@ -33,16 +33,69 @@ _MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
             similarity, clustering,
             multimodal, asof]
 
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_MERGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 for _m in _MODULES:
     for _k, _v in _m.QUERIES.items():
-        if _k in QUERIES:
+        if _k in _MERGED:
             raise ValueError(f"duplicate query key {_k!r}")
-        QUERIES[_k] = _v
+        _MERGED[_k] = _v
     ORACLES.update(getattr(_m, "ORACLES", {}))
 
-_extra = set(ORACLES) - set(QUERIES)
+_extra = set(ORACLES) - set(_MERGED)
 if _extra:
     raise ValueError(f"oracles without queries: {_extra}")
+
+# Registration order = the order external consumers (the driver's
+# correctness gate) iterate queries() in. The gate budget covers a
+# prefix of the list, so order by evidence value: first everything the
+# r1 gate never reached (dedup/similarity/clustering/multimodal/asof/
+# curation waves), then the queries whose output types were
+# re-canonicalized this round (previously hash-mismatched), then the
+# already-driver-green rest as re-confirmation.
+_PRIORITY = [
+    # -- never driver-checked in r1 -------------------------------------
+    "events_asof_order", "purchase_attribution",
+    "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_minhash_estimate", "dedup_components", "dedup_apply",
+    "ann_topk_brute", "ann_topk_lsh", "ann_topk_ivf", "dedup_embedding",
+    "kmeans_embed", "approx_price_quantiles",
+    "multimodal_meta", "multimodal_decode", "multimodal_frame_sample",
+    "multimodal_resize",
+    "repetition_score", "ngram_counts", "contamination_check",
+    "domain_mix", "mix_rebalance_sample", "packing_stats",
+    "train_val_split", "quality_topk_per_group", "pii_scrub", "events_cube",
+    # -- output types canonicalized this round (r1 hash-mismatch) -------
+    "vote_round1", "corpus_stats",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q10_returned_items", "top_customers", "events_daily_rollup",
+    "events_running_total", "events_sessionize",
+    "q7_nation_volume", "q14_promo_revenue", "q15_top_supplier",
+    "q17_small_qty_revenue", "q18_large_orders", "q19_bracket_revenue",
+    "q22_idle_customers",
+    "events_rollup", "customer_cohort_ltv", "events_funnel",
+    "q8_market_share",
+    "q9_product_profit", "q11_part_value_concentration",
+    "q12_late_shipments",
+    # -- r1 driver-green (re-confirmation) ------------------------------
+    "wordcount", "vote_winner", "split_by_key", "range_partition_hist",
+    "mr_wordcount", "mr_wordcount_range", "mr_vote_winner",
+    "q2_best_supplier", "q6_forecast_revenue", "q13_order_count_dist",
+    "q16_supplier_counts", "q20_heavy_shippers", "q21_sole_supplier_returns",
+    "order_priority_count", "distinct_users_by_type", "events_pivot",
+    "price_quantiles",
+    "token_count", "lang_id", "quality_score", "quality_filter",
+    "term_doc_freq", "doc_fingerprint", "approx_distinct_users_by_type",
+    "tfidf_topterms", "bm25_rank",
+]
+
+if set(_PRIORITY) != set(_MERGED) or len(_PRIORITY) != len(_MERGED):
+    _missing = set(_MERGED) - set(_PRIORITY)
+    _unknown = set(_PRIORITY) - set(_MERGED)
+    raise ValueError(
+        f"priority list out of sync: missing={_missing} unknown={_unknown}")
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    _k: _MERGED[_k] for _k in _PRIORITY
+}

@@ -59,12 +59,17 @@ class FileStore:
             shutil.copy2(src, local_path)
 
     def delete(self, name: str) -> None:
-        """`delete sdfsname` (DeleteFile, file_system.go:782)."""
+        """`delete sdfsname` (DeleteFile, file_system.go:782).
+
+        Also drops any catalog table write_bucketed registered under
+        this name — otherwise the session keeps a dangling table entry
+        whose path no longer exists and read_table fails confusingly."""
         p = self._path(name)
         if os.path.isdir(p):
             shutil.rmtree(p)
         elif os.path.exists(p):
             os.remove(p)
+        self.spark.sql(f"DROP TABLE IF EXISTS `{name}`")
 
     def ls(self, name: str) -> list[str]:
         """`ls file` — reference lists replica holders

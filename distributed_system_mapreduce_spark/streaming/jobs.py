@@ -30,12 +30,13 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
 EVENT_SCHEMA = StructType([
     StructField("event_id", LongType()),
-    StructField("ts", LongType()),  # raw nanos (nanosAsLong)
+    StructField("ts", TimestampNTZType()),  # parquet timestamp[us], no tz
     StructField("user_id", LongType()),
     StructField("event_type", StringType()),
     StructField("value", DoubleType()),
@@ -47,8 +48,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
                        max_files_per_trigger: int | None = None,
                        ) -> DataFrame:
     """File-source stream over the events parquet (glob). In
-    production swap for kafka — everything downstream is unchanged."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    production swap for kafka — everything downstream is unchanged.
+
+    ts lands as TIMESTAMP_NTZ (the parquet column is timestamp[us]
+    with isAdjustedToUTC=false); cast to session-tz TIMESTAMP (UTC)
+    so watermarks/windows line up with the batch twins."""
     reader = (
         spark.readStream.schema(EVENT_SCHEMA)
         # file source requires a directory; select just the events file
@@ -57,8 +61,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(sf_dir)
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_counts(events: DataFrame, window: str = "1 day",
@@ -106,9 +109,15 @@ def _sessionize_fn(
         n_sessions, n_events, last_us = state.get
     else:
         n_sessions, n_events, last_us = 0, 0, None
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts")
-        for ts in pdf["ts"]:
+    # One user's micro-batch rows can span several Arrow chunks
+    # (~10k rows each); sorting chunks independently would feed the
+    # gap rule out-of-order timestamps and overcount sessions. Concat
+    # the whole group (its in-batch volume bounds memory), sort once.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        allpdf = pd.concat(chunks).sort_values("ts") if len(chunks) > 1 \
+            else chunks[0].sort_values("ts")
+        for ts in allpdf["ts"]:
             us = int(ts.value // 1000)  # pandas Timestamp ns -> us
             if last_us is None or us - last_us > SESSION_GAP_S * 1_000_000:
                 n_sessions += 1
@@ -140,10 +149,16 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
 
 def dedup_stream(events: DataFrame, watermark: str = "2 days") -> DataFrame:
     """Streaming exact dedup on event_id — the at-least-once ->
-    exactly-once repair stage every ingest pipeline needs. State is
-    one key per event inside the watermark horizon; the watermark
-    bounds it (without one, dropDuplicates state grows forever)."""
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    exactly-once repair stage every ingest pipeline needs.
+
+    Uses dropDuplicatesWithinWatermark: plain dropDuplicates only
+    evicts state when the event-time column is part of the dedup key,
+    so keying on event_id alone would grow state without bound in a
+    continuous run. The WithinWatermark variant expires each key once
+    the watermark passes its event time — state is one key per event
+    inside the horizon, independent of stream length."""
+    return (events.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["event_id"]))
 
 
 def enrich_with_customers(events: DataFrame, customers: DataFrame,
