@@ -31,6 +31,8 @@ old stdin/stdout-style job in one `wrap_line_job` call.
 
 from __future__ import annotations
 
+import subprocess
+import threading
 from collections.abc import Callable, Iterable, Iterator
 
 import pandas as pd
@@ -42,6 +44,61 @@ KV_SCHEMA = T.StructType([
     T.StructField("key", T.StringType(), False),
     T.StructField("value", T.StringType(), True),
 ])
+
+
+def _pipe_lines(cmd: str, lines: Iterable[str]) -> Iterator[str]:
+    """Stream text lines through a shell command, yielding its stdout
+    lines — the executor-side core of the exe adapter (the same
+    `/bin/sh -c cmd` contract as executeMapleExe,
+    /root/reference/maple_juice/maple_juice.go:241).
+
+    stdin is fed from a writer thread while stdout is consumed here,
+    so memory stays bounded by the OS pipe buffer regardless of
+    partition size — no spooling the partition to disk or RAM."""
+    proc = subprocess.Popen(
+        cmd, shell=True, text=True,
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+    )
+
+    def feed() -> None:
+        try:
+            for ln in lines:
+                proc.stdin.write(ln)
+                proc.stdin.write("\n")
+            proc.stdin.close()
+        except BrokenPipeError:
+            pass  # exe exited early; surfaced via returncode below
+
+    writer = threading.Thread(target=feed, daemon=True)
+    writer.start()
+    try:
+        yield from (out.rstrip("\n") for out in proc.stdout)
+    finally:
+        writer.join()
+        proc.stdout.close()
+        rc = proc.wait()
+        if rc != 0:
+            raise RuntimeError(f"exe {cmd!r} exited with status {rc}")
+
+
+def _parse_kv(out_lines: Iterable[str],
+              chunk: int = 1 << 14) -> Iterator[pd.DataFrame]:
+    """Parse `key value` stdout lines (splitMapleResultFile's
+    first-space split, maple_juice.go:266) into KV-schema chunks."""
+    keys: list[str] = []
+    vals: list[str] = []
+    for out in out_lines:
+        out = out.strip()
+        if not out:
+            continue
+        k, _, v = out.partition(" ")
+        keys.append(k)
+        vals.append(v)
+        if len(keys) >= chunk:
+            yield pd.DataFrame({"key": keys, "value": vals})
+            keys, vals = [], []
+    if keys:
+        yield pd.DataFrame({"key": keys, "value": vals})
 
 
 def wrap_line_job(
@@ -157,6 +214,95 @@ class MapleJuice:
                     yield out
 
         return ranged.mapInPandas(run, schema=output_schema)
+
+    # ------------------------------------------------------ exe adapters
+    def maple_exe(
+        self,
+        src: DataFrame,
+        cmd: str,
+        num_tasks: int | None = None,
+        input_col: str | None = None,
+    ) -> DataFrame:
+        """Map phase with an ARBITRARY external executable — the
+        reference's real contract (`maple <exe> ...` runs any binary
+        with `/bin/sh -c "./exe < clip > result"`, executeMapleExe,
+        /root/reference/maple_juice/maple_juice.go:241; stdout lines
+        are split first-space into (key, value),
+        splitMapleResultFile:266).
+
+        One process per PARTITION (not per Arrow batch): a partition's
+        batches stream through a single exe invocation, so at cluster
+        scale exec overhead is O(#partitions) and the exe can keep
+        in-process state across its whole clip, exactly like the
+        reference's per-clip run. Multi-line input cells arrive as
+        multiple stdin lines — the reference's clips are line files
+        too (split, maple_juice.go:32)."""
+        col = input_col or src.columns[0]
+        if num_tasks:
+            src = src.repartition(num_tasks)
+
+        def run_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            def lines() -> Iterator[str]:
+                for b in batches:
+                    for v in b[col]:
+                        if v is not None:
+                            yield str(v)
+
+            yield from _parse_kv(_pipe_lines(cmd, lines()))
+
+        return src.mapInPandas(run_part, schema=KV_SCHEMA)
+
+    def juice_exe(
+        self,
+        kv: DataFrame,
+        cmd: str,
+        num_tasks: int | None = None,
+        partition: str = "hash",
+        key_col: str = "key",
+    ) -> DataFrame:
+        """Reduce phase with an external executable: one exe run PER
+        KEY over that key's `key value` lines — byte-for-byte the
+        reference's JuiceTask loop (get key file -> executeJuiceExe,
+        /root/reference/maple_juice/maple_juice.go:376/:254). Output
+        lines parse back into KV rows (juice output is appended to
+        dest as `key value` lines, CreatAppendSdfsReduceFile).
+
+        hash  -> Catalyst hash exchange (groupBy), one process per key
+                 group at its reducer.
+        range -> repartitionByRange + in-partition grouping (the
+                 reference's sorted Shuffle:688), still one process
+                 per key but keys contiguous per task."""
+        if partition not in ("hash", "range"):
+            raise ValueError("partition must be 'hash' or 'range'")
+
+        def key_lines(pdf: pd.DataFrame) -> Iterator[str]:
+            keys = pdf[key_col]
+            vals = pdf["value"]
+            return (f"{k} {v}" for k, v in zip(keys, vals))
+
+        if partition == "hash":
+            def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+                chunks = list(_parse_kv(_pipe_lines(cmd, key_lines(pdf))))
+                if not chunks:
+                    return pd.DataFrame({"key": [], "value": []})
+                return pd.concat(chunks, ignore_index=True)
+
+            return kv.groupBy(key_col).applyInPandas(
+                apply, schema=KV_SCHEMA)
+
+        n = num_tasks or kv.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions")
+        ranged = kv.repartitionByRange(int(n), F.col(key_col))
+
+        def run_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            parts = [b for b in batches if len(b)]
+            if not parts:
+                return
+            whole = pd.concat(parts, ignore_index=True)
+            for _key, grp in whole.groupby(key_col, sort=True):
+                yield from _parse_kv(_pipe_lines(cmd, key_lines(grp)))
+
+        return ranged.mapInPandas(run_part, schema=KV_SCHEMA)
 
     # -------------------------------------------------- one-shot pipeline
     def run(

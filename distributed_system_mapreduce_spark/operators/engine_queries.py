@@ -117,14 +117,45 @@ def mr_vote_winner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ external-exe job pair
+# The reference runs ANY stdin/stdout binary (`maple wc_maple ...`,
+# executeMapleExe, maple_juice.go:241). These two shell one-liners are
+# that contract verbatim: maple emits `word 1` per whitespace token,
+# juice sums one key's counts — the wc_maple/juice_wordcount pair as
+# external processes instead of Python callables.
+_WC_MAPLE_EXE = ("python3 -c 'import sys; "
+                 "[print(t, 1) for ln in sys.stdin for t in ln.split()]'")
+_WC_JUICE_EXE = ("python3 -c 'import sys; "
+                 'rows = [l.split(" ", 1) for l in sys.stdin if l.strip()]; '
+                 "print(rows[0][0], sum(int(v) for _, v in rows))'")
+
+
+def mr_wordcount_exe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wordcount with both phases as EXTERNAL executables through
+    maple_exe/juice_exe — proving an unmodified legacy mj_exe binary
+    runs on this engine and matches the declarative oracle."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "documents", sf_dir).select("text")
+    mj = MapleJuice(spark)
+    kv = mj.maple_exe(docs, _WC_MAPLE_EXE)
+    out = mj.juice_exe(kv, _WC_JUICE_EXE)
+    return out.select(
+        F.col("key").alias("word"),
+        F.col("value").cast("long").alias("cnt"),
+    )
+
+
 QUERIES = {
     "mr_wordcount": mr_wordcount,
     "mr_wordcount_range": mr_wordcount_range,
     "mr_vote_winner": mr_vote_winner,
+    "mr_wordcount_exe": mr_wordcount_exe,
 }
 
 ORACLES = {
     "mr_wordcount": WORDCOUNT_SQL,
     "mr_wordcount_range": WORDCOUNT_SQL,
     "mr_vote_winner": VOTE_WINNER_SQL,
+    "mr_wordcount_exe": WORDCOUNT_SQL,
 }

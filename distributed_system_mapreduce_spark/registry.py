@@ -55,7 +55,8 @@ if _extra:
 # re-canonicalized this round (previously hash-mismatched), then the
 # already-driver-green rest as re-confirmation.
 _PRIORITY = [
-    # -- never driver-checked in r1 -------------------------------------
+    # -- never driver-checked in r1 (or new this round) -----------------
+    "mr_wordcount_exe",
     "events_asof_order", "purchase_attribution",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_minhash_estimate", "dedup_components", "dedup_apply",

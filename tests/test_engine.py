@@ -54,3 +54,43 @@ def test_maple_custom_column_and_tasks(spark):
     counts = kv.groupBy("key").count().collect()
     assert {r["key"]: r["count"] for r in counts} == {
         "x": 1, "y": 2, "z": 1}
+
+
+# ------------------------------------------------------ external exes
+def test_exe_wordcount_matches_dataframe(spark):
+    """Both phases as external processes (executeMapleExe parity,
+    maple_juice.go:241) == the declarative wordcount."""
+    from distributed_system_mapreduce_spark.operators.engine_queries import (
+        mr_wordcount_exe,
+    )
+
+    assert _as_dict(mr_wordcount_exe(spark, SF_DIR)) == _as_dict(
+        wordcount(spark, SF_DIR))
+
+
+def test_exe_awk_maple_range_juice(spark):
+    """A genuinely non-Python binary (awk) as the maple exe, plus the
+    range-shuffle juice path, against the same truth."""
+    from pyspark.sql import functions as F
+
+    from distributed_system_mapreduce_spark.tables import load_table
+
+    mj = MapleJuice(spark)
+    docs = load_table(spark, "documents", SF_DIR).select("text")
+    kv = mj.maple_exe(
+        docs, "awk '{for (i = 1; i <= NF; i++) print $i, 1}'")
+    out = mj.juice_exe(
+        kv,
+        "awk '{s += $2} END {print $1, s}'",
+        partition="range", num_tasks=4,
+    )
+    got = {r["key"]: int(r["value"]) for r in out.collect()}
+    assert got == _as_dict(wordcount(spark, SF_DIR))
+
+
+def test_exe_failure_surfaces(spark):
+    mj = MapleJuice(spark)
+    df = spark.createDataFrame([("x",)], "line string")
+    kv = mj.maple_exe(df, "false")
+    with pytest.raises(Exception, match="exited with status"):
+        kv.collect()
