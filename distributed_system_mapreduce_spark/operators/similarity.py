@@ -24,6 +24,7 @@ from distributed_system_mapreduce_spark.tables import load_table
 
 TOP_K = 10
 QUERY_MOD = 100  # queries = vecs with vec_id % QUERY_MOD == 0
+PANEL_SIZE = 64  # brute baseline: constant query panel, O(corpus) plan
 DUP_TAU = 0.3  # the synthetic corpus has no planted near-dups; 0.3 still
 # exercises the bucket-then-threshold path with non-trivial output
 
@@ -55,11 +56,24 @@ _COS_SQL = f"{V.dot_sql('a.embedding', 'b.embedding')} / (a.norm * b.norm)"
 
 
 def ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-k neighbors by cosine for the query subset."""
+    """Exact top-k neighbors by cosine — the CORRECTNESS BASELINE for
+    the LSH/IVF scale paths, deliberately brute-force.
+
+    The query side is a FIXED 64-vector panel (vec_id % QUERY_MOD == 0
+    and vec_id < QUERY_MOD * PANEL_SIZE), broadcast into a nested-loop
+    join, so the plan is O(64 x corpus) — linear in the corpus at any
+    scale, never corpus x corpus. Growing the corpus grows candidates,
+    not queries; for bulk query sets use ann_topk_lsh / ann_topk_ivf
+    (bucketed equi-joins)."""
     from pyspark.sql import Window
 
     vecs = _with_norm(spark, sf_dir)
-    q = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).alias("a")
+    q = F.broadcast(
+        vecs.filter(
+            (F.col("vec_id") % QUERY_MOD == 0)
+            & (F.col("vec_id") < QUERY_MOD * PANEL_SIZE)
+        )
+    ).alias("a")
     c = vecs.alias("b")
     pairs = (
         q.join(c, F.col("a.vec_id") != F.col("b.vec_id"))
@@ -88,6 +102,7 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
     FROM ({_NORM_SQL}) a
     JOIN ({_NORM_SQL}) b ON a.vec_id <> b.vec_id
     WHERE a.vec_id % {QUERY_MOD} = 0
+      AND a.vec_id < {QUERY_MOD} * {PANEL_SIZE}
   )
 )
 WHERE rank <= {TOP_K}
