@@ -56,13 +56,26 @@ def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmeans_embed(spark: SparkSession, sf_dir: str,
+                 persist: bool = False) -> DataFrame:
     """KMEANS_ITERS rounds of Lloyd's over embeddings, deterministic
     init (codewords = the K lowest vec_ids, like the IVF sample
     codebook). Returns the final assignment (vec_id, cluster, dist2)
-    with per-cluster sizes joined on."""
+    with per-cluster sizes joined on.
+
+    persist=True is the cluster posture: the loop-invariant vector
+    table is cached MEMORY_AND_DISK so each Lloyd's round reuses it
+    instead of re-scanning 100 TB of parquet per round (the dominant
+    cost at scale; locally the re-scan is cheap so tests keep the
+    default). The cache lives until the session evicts it — callers
+    owning the session lifecycle can unpersist after consuming the
+    result."""
     vecs = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", "embedding")
+    if persist:
+        from pyspark import StorageLevel
+
+        vecs = vecs.persist(StorageLevel.MEMORY_AND_DISK)
     cents = (
         vecs.filter(F.col("vec_id") < K_CLUSTERS)
         .select(F.col("vec_id").alias("cid"),

@@ -398,7 +398,8 @@ LEFT JOIN exact ON c.doc_a = exact.doc_a AND c.doc_b = exact.doc_b
 
 
 # ----------------------------------------- connected dup components
-def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_components(spark: SparkSession, sf_dir: str,
+                     persist: bool = False) -> DataFrame:
     """Transitive duplicate clustering: connected components over the
     verified near-dup pair graph (dedup_ngram_jaccard edges), each
     doc labeled with its component representative (min doc_id) —
@@ -413,28 +414,45 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The DuckDB oracle is an independent formulation: recursive-CTE
     transitive closure + min over the reach set (fine on the small
-    verified-pair graph; the Spark path is the one that scales)."""
+    verified-pair graph; the Spark path is the one that scales).
+
+    persist=False (default, test path): localCheckpoint cuts lineage
+    each round — executor-local storage, zero config. persist=True is
+    the cluster posture: edges and each round's labels are cached
+    MEMORY_AND_DISK and materialized, superseded rounds explicitly
+    unpersisted, so a lost-executor recompute can fall back to lineage
+    instead of dying on a missing local checkpoint block."""
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+
+    if persist:
+        from pyspark import StorageLevel
+
+        def cut(df: DataFrame) -> DataFrame:
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            df.count()  # materialize now; rounds reuse the cache
+            return df
+    else:
+        def cut(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
     fwd = pairs.select(F.col("doc_a").alias("src"),
                        F.col("doc_b").alias("dst"))
-    edges = fwd.union(
+    edges = cut(fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
-    labels = (
+    ))
+    labels = cut(
         edges.select(F.col("src").alias("doc_id")).distinct()
         .withColumn("component", F.col("doc_id"))
-        .localCheckpoint()
     )
     while True:
         nbr = (
             edges.join(labels, edges["src"] == labels["doc_id"])
             .select(F.col("dst").alias("doc_id"), "component")
         )
-        new_labels = (
+        new_labels = cut(
             labels.unionByName(nbr)
             .groupBy("doc_id")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -442,6 +460,8 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
+        if persist:
+            labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
