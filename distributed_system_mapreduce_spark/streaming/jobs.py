@@ -187,14 +187,23 @@ def enrich_with_customers(events: DataFrame, customers: DataFrame,
 
 def stream_to_filestore(df: DataFrame, fs, name: str,
                         checkpoint_dir: str) -> Any:
-    """Persist a stream into a FileStore dataset via foreachBatch —
-    each micro-batch appends parquet transactionally, with the
-    checkpoint directory carrying exactly-once progress across
-    restarts. This is the streaming write-side of the reference's
-    juice append-to-dest (CreatAppendSdfsReduceFile), with recovery
-    semantics the reference's append never had."""
+    """Persist a stream into a FileStore dataset via foreachBatch.
+    This is the streaming write-side of the reference's juice
+    append-to-dest (CreatAppendSdfsReduceFile), with recovery
+    semantics the reference's append never had.
+
+    Exactly-once needs BOTH halves: the checkpoint skips batches whose
+    commit is recorded, and the sink must be idempotent for batches
+    that wrote but crashed before the commit landed (foreachBatch is
+    otherwise at-least-once). So each micro-batch overwrites its OWN
+    partition directory (batch_id=N) — a replay of an uncommitted
+    batch replaces its earlier partial output instead of appending a
+    duplicate. Readers see a dataset partitioned by batch_id."""
+    import os
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        fs.append(batch_df, name)
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(fs._path(name), f"batch_id={batch_id}"))
 
     q = (
         df.writeStream.foreachBatch(sink)

@@ -166,3 +166,60 @@ def test_stream_stream_join_matches_batch_self_join(spark):
         assert got == want and len(got) > 0
     finally:
         q.stop()
+
+
+def test_stream_restart_exactly_once(spark, tmp_path):
+    """Kill the foreachBatch sink mid-stream (after it wrote but
+    before the batch committed), restart from the same checkpoint, and
+    prove exactly-once: the uncommitted batch's replay overwrites its
+    own partial output, committed batches are not reprocessed, and the
+    final dataset equals the input with no duplicates."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from distributed_system_mapreduce_spark.sources.filestore import (
+        FileStore,
+    )
+    from distributed_system_mapreduce_spark.tables import load_table
+
+    ev = load_table(spark, "events", SF_DIR).select(
+        "event_id", "user_id", "event_type", "value")
+    ev.repartition(3).write.mode("overwrite").parquet(
+        str(tmp_path / "in"))
+    fs = FileStore(spark, str(tmp_path / "store"))
+    ckpt = str(tmp_path / "ckpt")
+
+    import os
+
+    def make_sink(crash_on_batch):
+        def sink(batch_df, batch_id):
+            # same idempotent layout as stream_to_filestore
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(fs._path("out"), f"batch_id={batch_id}"))
+            if batch_id == crash_on_batch:
+                raise RuntimeError("injected sink crash")
+        return sink
+
+    def start(sink):
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(str(tmp_path / "in")))
+        return (stream.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start())
+
+    # run 1: batch 0 commits; batch 1 writes its partition, then dies
+    q1 = start(make_sink(crash_on_batch=1))
+    with pytest.raises(StreamingQueryException, match="injected"):
+        q1.awaitTermination()
+
+    # run 2: resumes from the checkpoint — batch 0 skipped, batch 1
+    # replayed over its own partition, remaining batches processed
+    q2 = start(make_sink(crash_on_batch=None))
+    q2.awaitTermination()
+
+    out = fs.read("out")
+    assert out.count() == ev.count()
+    assert (out.select("event_id").distinct().count()
+            == ev.select("event_id").distinct().count())
