@@ -49,21 +49,21 @@ if _extra:
 
 # Registration order = the order external consumers (the driver's
 # correctness gate) iterate queries() in. The gate budget covers a
-# prefix of the list, so order by evidence value: first everything the
-# r1 gate never reached (dedup/similarity/clustering/multimodal/asof/
-# curation waves), then the queries whose output types were
-# re-canonicalized this round (previously hash-mismatched), then the
-# already-driver-green rest as re-confirmation.
+# prefix of the list (r1: exactly 50 entries), so order by evidence
+# value: first every ORACLE-BEARING query the r1 gate never reached
+# (dedup/similarity/asof/curation waves), then the queries whose
+# output types were re-canonicalized this round (previously
+# hash-mismatched) — those two groups together fit inside a 50-entry
+# budget — then the rows-only entries (their driver check is weaker),
+# then the already-driver-green rest as re-confirmation.
 _PRIORITY = [
-    # -- never driver-checked in r1 (or new this round) -----------------
+    # -- never driver-checked in r1 (or new this round), oracle-backed --
     "mr_wordcount_exe",
     "events_asof_order", "purchase_attribution",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_minhash_estimate", "dedup_components", "dedup_apply",
     "ann_topk_brute", "ann_topk_lsh", "ann_topk_ivf", "dedup_embedding",
-    "kmeans_embed", "approx_price_quantiles",
-    "multimodal_meta", "multimodal_decode", "multimodal_frame_sample",
-    "multimodal_resize",
+    "multimodal_meta",
     "repetition_score", "ngram_counts", "contamination_check",
     "domain_mix", "mix_rebalance_sample", "packing_stats",
     "train_val_split", "quality_topk_per_group", "pii_scrub", "events_cube",
@@ -79,6 +79,9 @@ _PRIORITY = [
     "q8_market_share",
     "q9_product_profit", "q11_part_value_concentration",
     "q12_late_shipments",
+    # -- rows-only (no oracle by design; weaker driver check) -----------
+    "kmeans_embed", "approx_price_quantiles",
+    "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
     # -- r1 driver-green (re-confirmation) ------------------------------
     "wordcount", "vote_winner", "split_by_key", "range_partition_hist",
     "mr_wordcount", "mr_wordcount_range", "mr_vote_winner",
