@@ -136,7 +136,11 @@ def mr_wordcount_exe(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs on this engine and matches the declarative oracle."""
     from pyspark.sql import functions as F
 
-    docs = load_table(spark, "documents", sf_dir).select("text")
+    from distributed_system_mapreduce_spark.tables import spread
+
+    # spread: an under-split scan would hand the WHOLE corpus to one
+    # subprocess; exe throughput scales with partition count.
+    docs = spread(load_table(spark, "documents", sf_dir).select("text"))
     mj = MapleJuice(spark)
     kv = mj.maple_exe(docs, _WC_MAPLE_EXE)
     out = mj.juice_exe(kv, _WC_JUICE_EXE)
