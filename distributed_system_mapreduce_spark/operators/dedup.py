@@ -524,6 +524,71 @@ WHERE c.component IS NULL OR c.component = d.doc_id
 """
 
 
+# ------------------------------------------- cross-source overlap
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair shingle-overlap matrix, MinHash-estimated — the
+    dataset-card / cross-source-contamination measure (how much of
+    source A's content re-appears in source B, e.g. a crawl that
+    swallowed a curated corpus).
+
+    Scale shape: ONE map-side-combined groupBy(source) over the
+    exploded shingle stream builds a 16-slot min-sketch per source
+    (the same explode the per-doc dedup uses, keyed by source — the
+    shuffle carries one 16-hash row per source per partition). The
+    pairwise stage then runs on #sources rows — broadcast-size by
+    construction, independent of corpus size. Estimate = fraction of
+    slots agreeing (resolution 1/16)."""
+    docs = spread(load_table(spark, "documents", sf_dir))
+    toks = docs.select("source", X.tokens().alias("toks"))
+    sh = toks.select(
+        "source",
+        F.explode(F.array_distinct(F.expr(X.shingles_from("toks"))))
+        .alias("s"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh{i}")
+        for i in range(N_HASHES)
+    ]
+    sk = sh.groupBy("source").agg(*aggs)
+    a, b = sk.alias("a"), sk.alias("b")
+    agree = None
+    for i in range(N_HASHES):
+        term = (F.col(f"a.mh{i}") == F.col(f"b.mh{i}")).cast("long")
+        agree = term if agree is None else agree + term
+    return (
+        a.join(F.broadcast(b), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            agree.alias("n_agree"),
+            (agree.cast("double") / N_HASHES).alias("jaccard_est"),
+        )
+    )
+
+
+_SRC_SKETCH_SQL = f"""
+  SELECT source,
+         {", ".join(f"MIN(md5('{i}:' || s)) AS mh{i}"
+                    for i in range(N_HASHES))}
+  FROM (SELECT DISTINCT source, unnest({X.SHINGLES_SQL}) AS s
+        FROM documents)
+  GROUP BY source
+"""
+
+_AGREE_SQL = " + ".join(
+    f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)"
+    for i in range(N_HASHES)
+)
+
+CROSS_SOURCE_OVERLAP_SQL = f"""
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST({_AGREE_SQL} AS BIGINT) AS n_agree,
+       CAST({_AGREE_SQL} AS DOUBLE) / {N_HASHES} AS jaccard_est
+FROM ({_SRC_SKETCH_SQL}) a
+JOIN ({_SRC_SKETCH_SQL}) b ON a.source < b.source
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
@@ -532,6 +597,7 @@ QUERIES = {
     "dedup_minhash_estimate": dedup_minhash_estimate,
     "dedup_components": dedup_components,
     "dedup_apply": dedup_apply,
+    "cross_source_overlap": cross_source_overlap,
 }
 
 ORACLES = {
@@ -542,4 +608,5 @@ ORACLES = {
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,
     "dedup_apply": DEDUP_APPLY_SQL,
+    "cross_source_overlap": CROSS_SOURCE_OVERLAP_SQL,
 }
