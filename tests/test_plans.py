@@ -130,3 +130,21 @@ def test_curation2_broadcast_shapes(spark):
 def test_repetition_aggs_have_map_side_partials(spark):
     df = QUERIES["repetition_score"](spark, SF_DIR)
     assert plan_has(df, "partial_"), "bigram agg lost map-side combine"
+
+
+def test_cross_source_overlap_sketch_shapes(spark):
+    """The source sketch must partial-aggregate map-side (the shuffle
+    carries 16-hash rows per source, not the shingle stream), and the
+    pairwise stage must be a broadcast of the sketch table — never a
+    shuffled or cartesian join over shingles."""
+    df = QUERIES["cross_source_overlap"](spark, SF_DIR)
+    assert plan_has(df, "partial_min")
+    assert plan_has(df, "BroadcastNestedLoopJoin")  # tiny sketch x sketch
+    assert plan_lacks(df, "CartesianProduct")
+
+
+def test_exe_maple_is_arrow_batched(spark):
+    """The exe adapter rides mapInPandas (ArrowEvalPython/MapInPandas),
+    never row-at-a-time BatchEvalPython."""
+    df = QUERIES["mr_wordcount_exe"](spark, SF_DIR)
+    assert plan_lacks(df, "BatchEvalPython")
