@@ -392,6 +392,94 @@ GROUP BY CUBE(event_type, dow)
 """
 
 
+# ------------------------------------------------- curation pipeline
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data pipeline as ONE composed plan:
+    quality gate -> transitive near-dup removal -> deterministic
+    train/val/test walls -> per (source, split) token ledger. This is
+    the query a user actually ships after evaluating the individual
+    stages.
+
+    Scale shape: a SINGLE corpus scan computes the quality features,
+    the split hash, and the token count; the dup-cluster labels
+    (dedup_components — tiny: only docs in dup clusters) ride in as a
+    broadcast left join, so the only corpus-wide exchange is the final
+    partial-agg groupBy. No fact-fact shuffle anywhere.
+
+    Quality features mirror text_analysis.quality_score (kept inline
+    so the scan stays single-pass instead of re-joining a second
+    derived scan on doc_id)."""
+    from distributed_system_mapreduce_spark.operators.dedup import (
+        dedup_components,
+    )
+    from distributed_system_mapreduce_spark.operators.text_analysis import (
+        QUALITY_TAU,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    labels = dedup_components(spark, sf_dir)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < "cc", "train")
+        .when(bucket < "e6", "val")
+        .otherwise("test")
+    )
+    feats = docs.select(
+        "doc_id", "source", split.alias("split"),
+        X.n_tokens().cast("long").alias("n_toks"),
+        X.stopword_count().cast("long").alias("n_stop"),
+        F.length("text").cast("long").alias("n_len"),
+        F.expr(r"length(regexp_replace(text, '[^A-Za-z]', ''))")
+        .cast("long").alias("n_alpha"),
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    quality = (
+        F.least(dbl("n_toks") / F.lit(100.0), F.lit(1.0)) * 0.5
+        + (dbl("n_stop") / dbl("n_toks")) * 0.25
+        + (dbl("n_alpha") / dbl("n_len")) * 0.25
+    )
+    kept = (
+        feats.join(F.broadcast(labels), "doc_id", "left")
+        .filter(F.col("component").isNull()
+                | (F.col("component") == F.col("doc_id")))
+        .filter(quality >= QUALITY_TAU)
+    )
+    return (
+        kept.groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_toks").alias("total_tokens"))
+    )
+
+
+def _curation_pipeline_sql() -> str:
+    from distributed_system_mapreduce_spark.operators.dedup import (
+        DEDUP_COMPONENTS_SQL,
+    )
+    from distributed_system_mapreduce_spark.operators.text_analysis import (
+        QUALITY_SCORE_SQL,
+        QUALITY_TAU,
+    )
+
+    return f"""
+WITH comp AS ({DEDUP_COMPONENTS_SQL}),
+q AS ({QUALITY_SCORE_SQL})
+SELECT d.source,
+       CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < 'cc'
+              THEN 'train'
+            WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < 'e6'
+              THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(q.n_toks) AS BIGINT) AS total_tokens
+FROM documents d
+JOIN q ON d.doc_id = q.doc_id
+LEFT JOIN comp c ON d.doc_id = c.doc_id
+WHERE (c.component IS NULL OR c.component = d.doc_id)
+  AND q.quality >= {QUALITY_TAU}
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "tfidf_topterms": tfidf_topterms,
     "bm25_rank": bm25_rank,
@@ -399,6 +487,7 @@ QUERIES = {
     "quality_topk_per_group": quality_topk_per_group,
     "pii_scrub": pii_scrub,
     "events_cube": events_cube,
+    "curation_pipeline": curation_pipeline,
 }
 
 ORACLES = {
@@ -408,4 +497,5 @@ ORACLES = {
     "quality_topk_per_group": _quality_topk_sql(),
     "pii_scrub": PII_SCRUB_SQL,
     "events_cube": EVENTS_CUBE_SQL,
+    "curation_pipeline": _curation_pipeline_sql(),
 }

@@ -68,6 +68,7 @@ _PRIORITY = [
     "repetition_score", "ngram_counts", "contamination_check",
     "domain_mix", "mix_rebalance_sample", "packing_stats",
     "train_val_split", "quality_topk_per_group", "pii_scrub", "events_cube",
+    "curation_pipeline",
     # -- output types canonicalized this round (r1 hash-mismatch) -------
     "vote_round1", "corpus_stats",
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",

@@ -148,3 +148,13 @@ def test_exe_maple_is_arrow_batched(spark):
     never row-at-a-time BatchEvalPython."""
     df = QUERIES["mr_wordcount_exe"](spark, SF_DIR)
     assert plan_lacks(df, "BatchEvalPython")
+
+
+def test_curation_pipeline_is_single_scan_no_fact_shuffle_join(spark):
+    """The composed pipeline must stay one corpus scan + broadcast
+    label join + one partial-agg exchange — never a fact-fact
+    SortMergeJoin."""
+    df = QUERIES["curation_pipeline"](spark, SF_DIR)
+    assert plan_has(df, "BroadcastHashJoin")
+    assert plan_lacks(df, "SortMergeJoin")
+    assert plan_has(df, "partial_count")
