@@ -42,6 +42,7 @@ _HELP = """commands (reference CLI parity, run_server.go:328):
                                 over <prefix>, append to <dest>;
                                 del=1 drops <prefix> after
   query <name> [sf_dir]         run a registered analytic query
+  explain <name> [sf_dir]       show a query's physical plan
   queries                       list registered queries
   id | members | join | leave | gossip | all-to-all
                                 delegated to the cluster platform
@@ -130,7 +131,7 @@ def run_command(spark, args: list[str]) -> int:
         if delete_input:
             store.delete(prefix)
         print(f"juice done: {dest} ({store._path(dest)})")
-    elif verb == "query" and len(rest) in (1, 2):
+    elif verb in ("query", "explain") and len(rest) in (1, 2):
         from distributed_system_mapreduce_spark import registry
         from distributed_system_mapreduce_spark.tables import DEFAULT_SF_DIR
 
@@ -139,7 +140,11 @@ def run_command(spark, args: list[str]) -> int:
             print(f"unknown query {name!r}; see `queries`")
             return 2
         sf_dir = rest[1] if len(rest) == 2 else DEFAULT_SF_DIR
-        registry.QUERIES[name](spark, sf_dir).show(50, truncate=False)
+        df = registry.QUERIES[name](spark, sf_dir)
+        if verb == "explain":
+            df.explain("formatted")
+        else:
+            df.show(50, truncate=False)
     elif verb == "queries" and not rest:
         from distributed_system_mapreduce_spark import registry
 

@@ -68,3 +68,7 @@ def test_query_verb_and_delegated_and_help(spark, store_root, capsys):
     assert run_command(spark, ["queries"]) == 0
     out = capsys.readouterr().out
     assert "wordcount" in out
+    assert run_command(spark, ["explain", "q6_forecast_revenue",
+                               SF_DIR]) == 0
+    out = capsys.readouterr().out
+    assert "PushedFilters" in out or "Physical Plan" in out
