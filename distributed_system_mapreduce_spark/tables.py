@@ -28,6 +28,13 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     sf_dir = sf_dir or DEFAULT_SF_DIR
+    # Defensive tz pin: the caller may hand us a session built without
+    # session.py (the round driver's own). Every NTZ->timestamp cast,
+    # epoch extraction, and to_date boundary in the queries assumes
+    # UTC — a session in another zone would shift midnight-aligned
+    # TPC-H dates and diverge from the DuckDB oracle's naive-UTC
+    # semantics. Runtime-settable SQL conf, so safe to set per call.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # Defensive: the caller may hand us a session built without
         # session.py (e.g. the round driver's own). nanosAsLong is a
