@@ -215,8 +215,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle arrays (two hash joins on doc_id + a narrow map), not a
     shingle-level equi-join — no shuffle of raw shingle
     text.""".format(tau=JACCARD_TAU)
-    cand = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
-    ds = _doc_shingles(spark, sf_dir)
+    # ONE tokenize+explode+groupBy(doc_id) pass produces BOTH the 16
+    # minhash columns (for the LSH candidate stage) and the per-doc
+    # shingle array (for the exact verify stage) — a naive composition
+    # of dedup_minhash + _doc_shingles re-shingles the corpus twice
+    # (measured ~1.8s -> ~1.2s at sf0.1, and every downstream consumer
+    # — components, apply, curation_pipeline — inherits the saving).
+    sh = _shingle_df(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh{i}")
+        for i in range(N_HASHES)
+    ] + [F.collect_list("s").alias("sh")]
+    store = sh.groupBy("doc_id").agg(*aggs).localCheckpoint()
+    cand = _candidates_from(_bands_from(store)).select("doc_a", "doc_b")
+    ds = store.select("doc_id", "sh")
     return _exact_jaccard(cand, ds)
 
 
