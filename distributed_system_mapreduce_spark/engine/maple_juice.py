@@ -81,24 +81,28 @@ def _pipe_lines(cmd: str, lines: Iterable[str]) -> Iterator[str]:
             raise RuntimeError(f"exe {cmd!r} exited with status {rc}")
 
 
+def _kv_frame(lines: list[str]) -> pd.DataFrame:
+    s = pd.Series(lines, dtype="object").str.strip()
+    s = s[s != ""]
+    parts = s.str.partition(" ")  # vectorized first-space split
+    return pd.DataFrame({"key": parts[0].to_numpy(),
+                         "value": parts[2].to_numpy()})
+
+
 def _parse_kv(out_lines: Iterable[str],
-              chunk: int = 1 << 14) -> Iterator[pd.DataFrame]:
+              chunk: int = 1 << 16) -> Iterator[pd.DataFrame]:
     """Parse `key value` stdout lines (splitMapleResultFile's
-    first-space split, maple_juice.go:266) into KV-schema chunks."""
-    keys: list[str] = []
-    vals: list[str] = []
+    first-space split, maple_juice.go:266) into KV-schema chunks.
+    The per-line work stays in pandas' C string kernels — a Python
+    loop here dominates exe-job runtime on token-per-line output."""
+    buf: list[str] = []
     for out in out_lines:
-        out = out.strip()
-        if not out:
-            continue
-        k, _, v = out.partition(" ")
-        keys.append(k)
-        vals.append(v)
-        if len(keys) >= chunk:
-            yield pd.DataFrame({"key": keys, "value": vals})
-            keys, vals = [], []
-    if keys:
-        yield pd.DataFrame({"key": keys, "value": vals})
+        buf.append(out)
+        if len(buf) >= chunk:
+            yield _kv_frame(buf)
+            buf = []
+    if buf:
+        yield _kv_frame(buf)
 
 
 def wrap_line_job(
@@ -275,10 +279,10 @@ class MapleJuice:
         if partition not in ("hash", "range"):
             raise ValueError("partition must be 'hash' or 'range'")
 
-        def key_lines(pdf: pd.DataFrame) -> Iterator[str]:
-            keys = pdf[key_col]
-            vals = pdf["value"]
-            return (f"{k} {v}" for k, v in zip(keys, vals))
+        def key_lines(pdf: pd.DataFrame) -> list[str]:
+            # vectorized `key value` line build (C string kernel)
+            return (pdf[key_col].astype("string") + " "
+                    + pdf["value"].astype("string")).tolist()
 
         if partition == "hash":
             def apply(pdf: pd.DataFrame) -> pd.DataFrame:

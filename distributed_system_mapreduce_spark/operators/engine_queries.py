@@ -124,7 +124,8 @@ def mr_vote_winner(spark: SparkSession, sf_dir: str) -> DataFrame:
 # juice sums one key's counts — the wc_maple/juice_wordcount pair as
 # external processes instead of Python callables.
 _WC_MAPLE_EXE = ("python3 -c 'import sys; "
-                 "[print(t, 1) for ln in sys.stdin for t in ln.split()]'")
+                 'sys.stdout.write("".join('
+                 't + " 1\\n" for ln in sys.stdin for t in ln.split()))\'')
 _WC_JUICE_EXE = ("python3 -c 'import sys; "
                  'rows = [l.split(" ", 1) for l in sys.stdin if l.strip()]; '
                  "print(rows[0][0], sum(int(v) for _, v in rows))'")
