@@ -82,13 +82,26 @@ def kmeans_embed(spark: SparkSession, sf_dir: str,
                 F.col("embedding").alias("cemb"))
     )
     prev = {r["cid"]: list(r["cemb"]) for r in cents.collect()}
+    d2 = F.expr(V.dist2_expr("embedding", "cemb"))
     for _ in range(KMEANS_ITERS):
-        asg = _assign(vecs, cents).select("vec_id", "cluster")
+        # Fused assign+carry: the argmin aggregate also carries the
+        # vector (every row in a vec_id group repeats it, so first()
+        # is exact) — the old join-back of the assignment onto vecs
+        # cost a second corpus shuffle per round.
+        asg = (
+            vecs.join(F.broadcast(cents))
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct(d2.alias("d2"), F.col("cid").alias("cid")))
+                .alias("best"),
+                F.first("embedding").alias("emb"),
+            )
+            .select(F.col("best.cid").alias("cluster"), "emb")
+        )
         upd = (
-            vecs.join(asg, "vec_id")
-            .select("cluster",
-                    F.posexplode(F.col("embedding").cast("array<double>"))
-                    .alias("pos", "x"))
+            asg.select("cluster",
+                       F.posexplode(F.col("emb").cast("array<double>"))
+                       .alias("pos", "x"))
             .groupBy("cluster", "pos")
             .agg(F.avg("x").alias("m"))
             .groupBy("cluster")
