@@ -536,6 +536,79 @@ WHERE c.component IS NULL OR c.component = d.doc_id
 """
 
 
+# ------------------------------------------- exact-substring windows
+SUBSTR_W = 8  # window length in tokens, stride 1
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication annotation: for every doc, how many
+    of its {w}-token windows (stride 1, rolling fingerprint = md5 of
+    the window text) also appear in ANOTHER doc — the
+    train-set-memorization signal behind substring-level dedup
+    (boilerplate headers, licence blocks, copypasta), which
+    shingle-level near-dup misses when only a passage repeats.
+
+    Deliberately an ANNOTATION, not a pair list: hot windows
+    (boilerplate shared by thousands of docs) would explode a pairwise
+    join quadratically; per-window doc counts + a per-doc rollup stay
+    linear in corpus size. Shape: explode windows (distinct per doc)
+    -> groupBy(window) count -> co-partitioned join back -> groupBy
+    (doc) — three window-keyed exchanges, all partial-aggregated,
+    no pairs.""".format(w=SUBSTR_W)
+    docs = spread(load_table(spark, "documents", sf_dir))
+    toks = docs.select("doc_id", X.tokens().alias("toks"))
+    win_expr = (
+        f"transform(sequence(1, size(toks) - {SUBSTR_W} + 1), "
+        f"i -> md5(concat_ws(' ', slice(toks, i, {SUBSTR_W}))))"
+    )
+    wins = (
+        toks.filter(F.size("toks") >= SUBSTR_W)
+        .select("doc_id",
+                F.explode(F.array_distinct(F.expr(win_expr))).alias("wh"))
+    )
+    hot = wins.groupBy("wh").agg(F.count("*").alias("n_docs"))
+    agg = (
+        wins.join(hot, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum((F.col("n_docs") > 1).cast("long")).alias("n_shared"),
+        )
+    )
+    return agg.select(
+        "doc_id", "n_windows", "n_shared",
+        (F.col("n_shared").cast("double")
+         / F.col("n_windows").cast("double")).alias("shared_frac"),
+    )
+
+
+DEDUP_SUBSTRING_SQL = f"""
+WITH wins AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(list_slice(toks, i, i + {SUBSTR_W} - 1), ' '))
+           AS wh
+  FROM (
+    SELECT doc_id, toks,
+           unnest(range(1, len(toks) - {SUBSTR_W} + 2)) AS i
+    FROM (SELECT doc_id, {X.TOKENS_SQL} AS toks FROM documents)
+    WHERE len(toks) >= {SUBSTR_W}
+  )
+),
+hot AS (SELECT wh, COUNT(*) AS n_docs FROM wins GROUP BY wh)
+SELECT doc_id, n_windows, n_shared,
+       CAST(n_shared AS DOUBLE) / CAST(n_windows AS DOUBLE)
+         AS shared_frac
+FROM (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared
+  FROM wins JOIN hot USING (wh)
+  GROUP BY doc_id
+)
+"""
+
+
 # ------------------------------------------- cross-source overlap
 def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-pair shingle-overlap matrix, MinHash-estimated — the
@@ -610,9 +683,11 @@ QUERIES = {
     "dedup_components": dedup_components,
     "dedup_apply": dedup_apply,
     "cross_source_overlap": cross_source_overlap,
+    "dedup_substring": dedup_substring,
 }
 
 ORACLES = {
+    "dedup_substring": DEDUP_SUBSTRING_SQL,
     "dedup_minhash_estimate": DEDUP_MINHASH_ESTIMATE_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash": DEDUP_MINHASH_SQL,

@@ -62,7 +62,7 @@ _PRIORITY = [
     "events_asof_order", "purchase_attribution",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_minhash_estimate", "dedup_components", "dedup_apply",
-    "cross_source_overlap",
+    "cross_source_overlap", "dedup_substring",
     "ann_topk_brute", "ann_topk_lsh", "ann_topk_ivf", "dedup_embedding",
     "multimodal_meta",
     "repetition_score", "ngram_counts", "contamination_check",
