@@ -62,13 +62,11 @@ _PRIORITY = [
     "events_asof_order", "purchase_attribution",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_minhash_estimate", "dedup_components", "dedup_apply",
-    "cross_source_overlap", "dedup_substring",
     "ann_topk_brute", "ann_topk_lsh", "ann_topk_ivf", "dedup_embedding",
     "multimodal_meta",
     "repetition_score", "ngram_counts", "contamination_check",
     "domain_mix", "mix_rebalance_sample", "packing_stats",
     "train_val_split", "quality_topk_per_group", "pii_scrub", "events_cube",
-    "curation_pipeline",
     # -- output types canonicalized this round (r1 hash-mismatch) -------
     "vote_round1", "corpus_stats",
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
@@ -81,6 +79,8 @@ _PRIORITY = [
     "q8_market_share",
     "q9_product_profit", "q11_part_value_concentration",
     "q12_late_shipments",
+    # -- new this round (oracle-backed extras beyond the r1 verdict) ----
+    "cross_source_overlap", "dedup_substring", "curation_pipeline",
     # -- rows-only (no oracle by design; weaker driver check) -----------
     "kmeans_embed", "approx_price_quantiles",
     "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
