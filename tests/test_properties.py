@@ -121,3 +121,29 @@ def test_salted_join_equals_plain_join(spark):
         tuple(r) for r in salted_join(ev, cust, "user_id").collect())
     want = sorted(tuple(r) for r in ev.join(cust, "user_id").collect())
     assert got == want
+
+
+def test_dedup_substring_detects_planted_run(spark, tmp_path):
+    """Semantic check on a synthetic corpus: two docs sharing one
+    12-token run are flagged with exactly the shared windows an
+    8-token stride-1 scan implies (12 - 8 + 1 = 5); an unrelated doc
+    reports zero."""
+    from distributed_system_mapreduce_spark.operators.dedup import (
+        dedup_substring,
+    )
+
+    run = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    docs = [
+        (1, f"intro one two three {run} outro aa bb cc", "s1", "en"),
+        (2, f"different preamble {run} and a different tail here", "s1", "en"),
+        (3, "totally unrelated text with enough tokens to window "
+            "one two three four five six seven eight nine ten", "s2", "en"),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, source string, lang string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: (r["n_shared"], r["n_windows"])
+           for r in dedup_substring(spark, str(tmp_path)).collect()}
+    assert out[3][0] == 0
+    assert out[1][0] == 5 and out[2][0] == 5  # 12-token run -> 5 windows
+    assert out[1][1] > 5 and out[2][1] > 5
