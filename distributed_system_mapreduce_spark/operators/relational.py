@@ -361,6 +361,66 @@ GROUP BY CAST(ts AS DATE), event_type
 """
 
 
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: per event type, z-score each day's
+    event count against that type's daily distribution — the pipeline
+    health-check that catches an ingest gap or a bot spike.
+
+    Determinism: the moments are EXACT integer aggregates (sum of
+    counts, sum of squared counts), so mean/variance come out of pure
+    int arithmetic and the only float ops are the final fixed-order
+    divisions and a correctly-rounded sqrt — bit-identical in both
+    engines, no DECIMAL needed. Two partial-agg shuffles (day rollup,
+    type moments) + one broadcast join back; at extreme per-day counts
+    (~>3e9) the squared sum needs a DECIMAL accumulator instead of
+    BIGINT."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = (
+        ev.groupBy(F.to_date(F.col("ts")).alias("day"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+    j = daily.join(F.broadcast(stats), "event_type")
+    mean = F.col("s").cast("double") / F.col("n_days").cast("double")
+    var = (
+        (F.col("n_days") * F.col("ss") - F.col("s") * F.col("s"))
+        .cast("double")
+        / (F.col("n_days") * (F.col("n_days") - F.lit(1))).cast("double")
+    )
+    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    return j.select(
+        "day", "event_type", F.col("n").alias("n_events"),
+        z.alias("z"),
+        (F.abs(z) >= 2.0).cast("long").alias("is_anomaly"),
+    )
+
+
+EVENTS_ANOMALY_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS n_days, SUM(n) AS s, SUM(n * n) AS ss
+  FROM daily GROUP BY event_type
+)
+SELECT day, event_type, n AS n_events,
+       (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+         / sqrt(CAST(n_days * ss - s * s AS DOUBLE)
+                / CAST(n_days * (n_days - 1) AS DOUBLE)) AS z,
+       CAST(CASE WHEN abs(
+           (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+             / sqrt(CAST(n_days * ss - s * s AS DOUBLE)
+                    / CAST(n_days * (n_days - 1) AS DOUBLE))) >= 2.0
+         THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM daily JOIN stats USING (event_type)
+"""
+
+
 def events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running revenue: ordered window cumulative sum.
 
@@ -504,9 +564,11 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "distinct_users_by_type": distinct_users_by_type,
     "events_pivot": events_pivot,
+    "events_anomaly": events_anomaly,
 }
 
 ORACLES = {
+    "events_anomaly": EVENTS_ANOMALY_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier": Q5_SQL,

@@ -81,6 +81,7 @@ _PRIORITY = [
     "q12_late_shipments",
     # -- new this round (oracle-backed extras beyond the r1 verdict) ----
     "cross_source_overlap", "dedup_substring", "curation_pipeline",
+    "events_anomaly",
     # -- rows-only (no oracle by design; weaker driver check) -----------
     "kmeans_embed", "approx_price_quantiles",
     "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
