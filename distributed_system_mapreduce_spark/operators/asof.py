@@ -122,11 +122,16 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts")
         .withColumn("bin", F.explode(F.array(pbin - 1, pbin)))
     )
+    # explicit aliases: both sides derive from the same scan, so bare
+    # column refs would be self-referential (Spark resolves them by
+    # heuristic and warns "trivially true equals predicate")
+    purchases = purchases.alias("p")
+    touches = touches.alias("t")
     return (
         purchases.join(
             touches,
-            (purchases["user_id"] == touches["user_id"])
-            & (purchases["bin"] == touches["bin"]))
+            (F.col("p.user_id") == F.col("t.user_id"))
+            & (F.col("p.bin") == F.col("t.bin")))
         .filter(
             (F.col("touch_ts") < F.col("ts"))
             & (F.col("touch_ts") >= F.col("ts")
