@@ -44,3 +44,17 @@ def test_approx_distinct_within_error_bound(spark):
     assert set(approx) == set(exact)
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(1, 0.05 * n), (k, approx[k], n)
+
+
+def test_registry_prefix_is_oracle_dense():
+    """The driver's correctness gate covers a ~50-entry prefix of the
+    registry; keep every slot in that prefix oracle-backed so no
+    budget is spent on weaker rows-only checks."""
+    ks = list(QUERIES)
+    assert all(k in ORACLES for k in ks[:50]), [
+        k for k in ks[:50] if k not in ORACLES]
+    # the round-1 verdict's flip set must sit inside the prefix
+    for k in ("q8_market_share", "q9_product_profit",
+              "q11_part_value_concentration", "q12_late_shipments",
+              "events_sessionize", "corpus_stats", "vote_round1"):
+        assert ks.index(k) < 50, k
