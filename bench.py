@@ -68,6 +68,9 @@ def main() -> None:
         "queries": {n: times[n] for n in HEADLINE if n in times},
         "sf": float(sf),
         "n_queries": len(times),
+        # round-over-round comparable: r1's recorded value was the
+        # all-queries total (53.2s over 74 queries at sf0.1)
+        "total_all_queries": round(sum(times.values()), 3),
         "detail": "BENCH_DETAIL.json",
     }))
 
