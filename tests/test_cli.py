@@ -72,3 +72,19 @@ def test_query_verb_and_delegated_and_help(spark, store_root, capsys):
                                SF_DIR]) == 0
     out = capsys.readouterr().out
     assert "PushedFilters" in out or "Physical Plan" in out
+
+
+def test_repl_loop_dispatches_and_exits(spark, store_root, monkeypatch,
+                                        capsys):
+    import distributed_system_mapreduce_spark.__main__ as cli
+
+    monkeypatch.setattr(cli, "get_spark_for_repl", None, raising=False)
+    inputs = iter(["store", "members", "exit"])
+    monkeypatch.setattr("builtins.input", lambda *_: next(inputs))
+    # reuse the live session instead of building a new one
+    monkeypatch.setattr(
+        "distributed_system_mapreduce_spark.session.get_spark",
+        lambda *a, **k: spark)
+    assert cli.main([]) == 0
+    out = capsys.readouterr().out
+    assert "resource manager" in out or "Spark UI" in out

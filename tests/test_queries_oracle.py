@@ -58,3 +58,17 @@ def test_registry_prefix_is_oracle_dense():
               "q11_part_value_concentration", "q12_late_shipments",
               "events_sessionize", "corpus_stats", "vote_round1"):
         assert ks.index(k) < 50, k
+
+
+def test_load_table_repins_utc_session_tz(spark):
+    """The driver may run queries in a non-UTC session; load_table
+    must re-pin UTC on every call (NTZ casts and to_date boundaries
+    depend on it)."""
+    from distributed_system_mapreduce_spark.tables import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        load_table(spark, "events", SF_DIR)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
