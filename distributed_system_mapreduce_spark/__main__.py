@@ -43,6 +43,7 @@ _HELP = """commands (reference CLI parity, run_server.go:328):
                                 del=1 drops <prefix> after
   query <name> [sf_dir]         run a registered analytic query
   explain <name> [sf_dir]       show a query's physical plan
+  sql <statement> [sf_dir]      run ad-hoc SQL over the table views
   queries                       list registered queries
   id | members | join | leave | gossip | all-to-all
                                 delegated to the cluster platform
@@ -145,6 +146,15 @@ def run_command(spark, args: list[str]) -> int:
             df.explain("formatted")
         else:
             df.show(50, truncate=False)
+    elif verb == "sql" and len(rest) in (1, 2):
+        from distributed_system_mapreduce_spark.tables import (
+            DEFAULT_SF_DIR,
+            register_views,
+        )
+
+        sf_dir = rest[1] if len(rest) == 2 else DEFAULT_SF_DIR
+        register_views(spark, sf_dir)
+        spark.sql(rest[0]).show(50, truncate=False)
     elif verb == "queries" and not rest:
         from distributed_system_mapreduce_spark import registry
 

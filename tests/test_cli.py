@@ -88,3 +88,12 @@ def test_repl_loop_dispatches_and_exits(spark, store_root, monkeypatch,
     assert cli.main([]) == 0
     out = capsys.readouterr().out
     assert "resource manager" in out or "Spark UI" in out
+
+
+def test_sql_verb_over_views(spark, store_root, capsys):
+    from tests.conftest import SF_DIR
+
+    assert run_command(spark, [
+        "sql", "SELECT count(*) AS n FROM documents", SF_DIR]) == 0
+    out = capsys.readouterr().out
+    assert "500" in out
