@@ -14,14 +14,24 @@ from pyspark.sql import functions as F
 
 # Whitespace tokenization — the reference's bufio.ScanWords semantics
 # (wc_maple): split on runs of whitespace, drop empties, no case fold.
-TOKENS_EXPR = r"filter(split(text, '\\s+'), t -> t <> '')"
-TOKENS_SQL = r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
+#
+# EXPLICIT whitespace class, not `\s`: Java regex (Spark) counts
+# vertical tab 0x0B as \s, RE2 (DuckDB) does NOT — fuzz-caught
+# divergence. The explicit class [ \t\n\r\f\v] matches Go's
+# unicode.IsSpace ASCII subset (the reference's ScanWords) and
+# Python's str.split(), so the exe adapter agrees too. Spark SQL
+# string literals process backslash escapes (hence \\t -> regex \t);
+# DuckDB's don't. Java has no \v ESCAPE with this meaning (its \v is
+# a vertical-whitespace class), so the Spark side spells it \x0B.
+_WS_CLASS_EXPR = r"[ \\t\\n\\r\\f\\x0B]"
+_WS_CLASS_SQL = r"[ \t\n\r\f\v]"
+TOKENS_EXPR = rf"filter(split(text, '{_WS_CLASS_EXPR}+'), t -> t <> '')"
+TOKENS_SQL = (f"list_filter(string_split_regex(text, '{_WS_CLASS_SQL}+'), "
+              "t -> t <> '')")
 
 # BPE-ish token pattern: letter runs, single digits, single symbols.
-# Spark SQL string literals process backslash escapes, DuckDB's don't
-# (standard SQL) — hence the doubled backslash on the Spark side only.
-BPE_PATTERN_SQL = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
-BPE_PATTERN_EXPR = BPE_PATTERN_SQL.replace("\\", "\\\\")
+BPE_PATTERN_SQL = rf"[A-Za-z]+|[0-9]|[^A-Za-z0-9{_WS_CLASS_SQL[1:-1]}]"
+BPE_PATTERN_EXPR = rf"[A-Za-z]+|[0-9]|[^A-Za-z0-9{_WS_CLASS_EXPR[1:-1]}]"
 
 # English-y stopwords present in the synthetic vocab + classic ones.
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on")

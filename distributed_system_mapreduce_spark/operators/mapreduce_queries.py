@@ -35,18 +35,21 @@ def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     does a map-side partial aggregate before the single hash shuffle.
     """
     docs = load_table(spark, "documents", sf_dir)
+    # explicit whitespace class (not \s): Java counts \x0B as \s,
+    # RE2 doesn't — see functions/text.py
     return (
-        docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("word"))
+        docs.select(F.explode(
+            F.split(F.col("text"), r"[ \t\n\r\f\x0B]+")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )
 
 
-WORDCOUNT_SQL = """
+WORDCOUNT_SQL = r"""
 SELECT word, count(*) AS cnt
 FROM (
-  SELECT unnest(string_split_regex(text, '\\s+')) AS word
+  SELECT unnest(string_split_regex(text, '[ \t\n\r\f\v]+')) AS word
   FROM documents
 )
 WHERE word <> ''

@@ -147,3 +147,53 @@ def test_dedup_substring_detects_planted_run(spark, tmp_path):
     assert out[3][0] == 0
     assert out[1][0] == 5 and out[2][0] == 5  # 12-token run -> 5 windows
     assert out[1][1] > 5 and out[2][1] > 5
+
+
+def test_tokenizer_cross_engine_fuzz(spark):
+    """Batch fuzz of the portability contract underlying every text
+    query: Spark TOKENS_EXPR and DuckDB TOKENS_SQL must tokenize
+    identically. 300 seeded adversarial texts (whitespace runs, edge
+    punctuation, empties) compared in ONE job per engine."""
+    import random
+
+    import duckdb
+
+    from distributed_system_mapreduce_spark.functions import text as X
+
+    rng = random.Random(20260813)
+    pieces = ["the", "a1", "B", "x-y", "e.g", "don't", "42", "!!", "..",
+              "word", "CAPS", "mIxEd", "a_b", "#tag", "(par)", "[br]"]
+    ws = [" ", "  ", "\t", "\n", "\r\n", " \t ", "\f", "\v"]
+    texts = ["", " ", "\t\n", "one", " lead", "trail ", "  both  "]
+    for _ in range(300):
+        n = rng.randint(1, 12)
+        t = rng.choice(ws).join(rng.choice(pieces) for _ in range(n))
+        if rng.random() < 0.3:
+            t = rng.choice(ws) + t
+        if rng.random() < 0.3:
+            t = t + rng.choice(ws)
+        texts.append(t)
+
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got = {r["i"]: r["toks"] for r in
+           sdf.select("i", F.expr(X.TOKENS_EXPR).alias("toks")).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    [(i, t) for i, t in enumerate(texts)])
+    want = dict(con.execute(
+        f"SELECT i, {X.TOKENS_SQL} FROM t").fetchall())
+
+    assert got == {k: list(v) for k, v in want.items()}
+
+    # BPE-ish token counts must agree on the same adversarial set
+    got_bpe = {r["i"]: r["n"] for r in sdf.select(
+        "i", F.expr(f"regexp_count(text, '{X.BPE_PATTERN_EXPR}')")
+        .alias("n")).collect()}
+    want_bpe = dict(con.execute(
+        f"SELECT i, {X.BPE_COUNT_SQL} FROM t").fetchall())
+    assert got_bpe == want_bpe
