@@ -197,3 +197,55 @@ def test_tokenizer_cross_engine_fuzz(spark):
     want_bpe = dict(con.execute(
         f"SELECT i, {X.BPE_COUNT_SQL} FROM t").fetchall())
     assert got_bpe == want_bpe
+
+
+def test_vector_fold_cross_engine_fuzz(spark):
+    """dot / dist2 / norm / LSH bucket must be BIT-identical across
+    engines (the property that makes ANN oracle-checkable). 200
+    seeded random float32 vector pairs, one job per engine, repr()
+    equality (exact doubles)."""
+    import random
+    import struct
+
+    import duckdb
+
+    from distributed_system_mapreduce_spark.functions import vectors as V
+
+    rng = random.Random(42)
+
+    def f32(x):
+        # round-trip to float32 like the parquet embedding columns
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    pairs = []
+    for i in range(200):
+        a = [f32(rng.uniform(-2, 2)) for _ in range(V.DIM)]
+        b = [f32(rng.uniform(-2, 2)) for _ in range(V.DIM)]
+        pairs.append((i, a, b))
+
+    sdf = spark.createDataFrame(
+        pairs, "i long, a array<float>, b array<float>")
+    from pyspark.sql import functions as F
+
+    got = {
+        r["i"]: (repr(r["dot"]), repr(r["d2"]), repr(r["nrm"]), r["bkt"])
+        for r in sdf.select(
+            "i",
+            F.expr(V.dot_expr("a", "b")).alias("dot"),
+            F.expr(V.dist2_expr("a", "b")).alias("d2"),
+            F.expr(V.norm_expr("a")).alias("nrm"),
+            F.expr(V.lsh_bucket_expr("a")).alias("bkt"),
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE v (i BIGINT, a FLOAT[], b FLOAT[])")
+    con.executemany("INSERT INTO v VALUES (?, ?, ?)", pairs)
+    want = {
+        i: (repr(d), repr(d2), repr(n), bkt)
+        for i, d, d2, n, bkt in con.execute(f"""
+            SELECT i, {V.dot_sql('a', 'b')}, {V.dist2_sql('a', 'b')},
+                   {V.norm_sql('a')}, {V.lsh_bucket_sql('a')}
+            FROM v""").fetchall()
+    }
+    assert got == want
