@@ -65,6 +65,17 @@ _DELEGATED = {
 }
 
 
+def _sniff_fmt(path: str) -> str:
+    """Dataset format for a stored name: directories are engine-written
+    parquet; single put files go by extension (the reference's inputs
+    are plain line files, so 'text' is the default)."""
+    if os.path.isdir(path):
+        return "parquet"
+    ext = os.path.splitext(path)[1].lower()
+    return {".parquet": "parquet", ".csv": "csv",
+            ".json": "json", ".jsonl": "json"}.get(ext, "text")
+
+
 def _store(spark):
     from distributed_system_mapreduce_spark.sources.filestore import FileStore
 
@@ -111,8 +122,7 @@ def run_command(spark, args: list[str]) -> int:
 
         exe, n, prefix, src = rest[:4]
         col = rest[4] if len(rest) == 5 else None
-        fmt = "text" if os.path.isfile(store._path(src)) else "parquet"
-        src_df = store.read(src, fmt=fmt)
+        src_df = store.read(src, fmt=_sniff_fmt(store._path(src)))
         kv = MapleJuice(spark).maple_exe(
             src_df, exe, num_tasks=int(n), input_col=col)
         store.write(kv, prefix)
