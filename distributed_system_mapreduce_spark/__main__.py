@@ -66,14 +66,22 @@ _DELEGATED = {
 
 
 def _sniff_fmt(path: str) -> str:
-    """Dataset format for a stored name: directories are engine-written
-    parquet; single put files go by extension (the reference's inputs
-    are plain line files, so 'text' is the default)."""
+    """Dataset format for a stored name. Files go by extension; for a
+    directory, look at what's inside — engine writes produce parquet
+    parts, but `put <localdir>` can store a directory of plain line
+    clips (the reference's canonical maple input shape). The
+    reference's inputs are line files, so 'text' is the default."""
+    ext_map = {".parquet": "parquet", ".csv": "csv",
+               ".json": "json", ".jsonl": "json"}
     if os.path.isdir(path):
-        return "parquet"
-    ext = os.path.splitext(path)[1].lower()
-    return {".parquet": "parquet", ".csv": "csv",
-            ".json": "json", ".jsonl": "json"}.get(ext, "text")
+        for f in sorted(os.listdir(path)):
+            if f.startswith(("_", ".")):
+                continue
+            fmt = ext_map.get(os.path.splitext(f)[1].lower())
+            if fmt:
+                return fmt
+        return "text"
+    return ext_map.get(os.path.splitext(path)[1].lower(), "text")
 
 
 def _store(spark):
@@ -87,7 +95,17 @@ def run_command(spark, args: list[str]) -> int:
     """Execute one CLI command; returns a process exit code.
 
     Split out from main() so tests (and the REPL loop) drive the same
-    dispatch the one-shot invocation uses."""
+    dispatch the one-shot invocation uses. Bad arguments (non-numeric
+    task counts, missing files) print an error and return 2 — the
+    reference's loop never dies on a typo."""
+    try:
+        return _dispatch(spark, args)
+    except (ValueError, FileNotFoundError) as exc:
+        print(f"error: {exc}")
+        return 2
+
+
+def _dispatch(spark, args: list[str]) -> int:
     verb, rest = args[0], args[1:]
 
     if verb in _DELEGATED:
@@ -190,7 +208,11 @@ def main(argv: list[str] | None = None) -> int:
             line = input("-> ")
         except EOFError:
             return 0
-        args = shlex.split(line)
+        try:
+            args = shlex.split(line)
+        except ValueError as exc:  # unbalanced quote: keep the loop alive
+            print(f"error: {exc}")
+            continue
         if not args:
             print(_HELP)
             continue

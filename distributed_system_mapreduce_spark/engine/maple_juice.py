@@ -56,18 +56,28 @@ def _pipe_lines(cmd: str, lines: Iterable[str]) -> Iterator[str]:
     so memory stays bounded by the OS pipe buffer regardless of
     partition size — no spooling the partition to disk or RAM."""
     proc = subprocess.Popen(
-        cmd, shell=True, text=True,
+        cmd, shell=True, text=True, encoding="utf-8",
         stdin=subprocess.PIPE, stdout=subprocess.PIPE,
     )
+    feed_error: list[BaseException] = []
 
     def feed() -> None:
+        # ANY failure must still close stdin (the exe needs EOF or it
+        # blocks forever -> the whole task hangs) and be re-raised in
+        # the main thread, not swallowed in the writer.
         try:
             for ln in lines:
                 proc.stdin.write(ln)
                 proc.stdin.write("\n")
-            proc.stdin.close()
         except BrokenPipeError:
             pass  # exe exited early; surfaced via returncode below
+        except BaseException as exc:  # noqa: BLE001 - re-raised below
+            feed_error.append(exc)
+        finally:
+            try:
+                proc.stdin.close()
+            except BrokenPipeError:
+                pass
 
     writer = threading.Thread(target=feed, daemon=True)
     writer.start()
@@ -77,6 +87,9 @@ def _pipe_lines(cmd: str, lines: Iterable[str]) -> Iterator[str]:
         writer.join()
         proc.stdout.close()
         rc = proc.wait()
+        if feed_error:
+            raise RuntimeError(
+                f"exe {cmd!r}: stdin writer failed") from feed_error[0]
         if rc != 0:
             raise RuntimeError(f"exe {cmd!r} exited with status {rc}")
 
@@ -272,10 +285,14 @@ class MapleJuice:
         dest as `key value` lines, CreatAppendSdfsReduceFile).
 
         hash  -> Catalyst hash exchange (groupBy), one process per key
-                 group at its reducer.
-        range -> repartitionByRange + in-partition grouping (the
-                 reference's sorted Shuffle:688), still one process
-                 per key but keys contiguous per task."""
+                 group at its reducer. num_tasks is advisory here, as
+                 in juice(): the exchange is sized by
+                 spark.sql.shuffle.partitions + AQE, the right knob at
+                 scale (parallelism caps at #keys either way since the
+                 reference contract is one exe run per key).
+        range -> repartitionByRange(num_tasks) + in-partition grouping
+                 (the reference's sorted Shuffle:688), still one
+                 process per key but keys contiguous per task."""
         if partition not in ("hash", "range"):
             raise ValueError("partition must be 'hash' or 'range'")
 

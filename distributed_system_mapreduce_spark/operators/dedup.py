@@ -207,7 +207,24 @@ GROUP BY a.doc_id, b.doc_id
 
 
 # ------------------------------------------- exact jaccard on candidates
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cut(df: DataFrame, persist: bool) -> DataFrame:
+    """Lineage cut for iterative/multi-consumer subtrees: default is
+    localCheckpoint (executor-local, zero config — the test posture);
+    persist=True is the cluster posture (MEMORY_AND_DISK cache,
+    materialized now, lineage preserved so executor loss can
+    recompute). In persist mode cache lifetime belongs to the caller/
+    session (clearCache or unpersist when done)."""
+    if not persist:
+        return df.localCheckpoint()
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    return df
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
+                        persist: bool = False) -> DataFrame:
     """Exact word-bigram Jaccard over the LSH candidate pairs,
     thresholded at {tau}. candidates->verify keeps the exact
     computation linear in candidate count, not quadratic in corpus
@@ -221,12 +238,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of dedup_minhash + _doc_shingles re-shingles the corpus twice
     # (measured ~1.8s -> ~1.2s at sf0.1, and every downstream consumer
     # — components, apply, curation_pipeline — inherits the saving).
+    # persist=True (propagated from dedup_components' cluster posture)
+    # cuts with a lineage-preserving cache instead of localCheckpoint.
     sh = _shingle_df(spark, sf_dir)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh{i}")
         for i in range(N_HASHES)
     ] + [F.collect_list("s").alias("sh")]
-    store = sh.groupBy("doc_id").agg(*aggs).localCheckpoint()
+    store = sh.groupBy("doc_id").agg(*aggs)
+    store = _cut(store, persist)
     cand = _candidates_from(_bands_from(store)).select("doc_a", "doc_b")
     ds = store.select("doc_id", "sh")
     return _exact_jaccard(cand, ds)
@@ -430,41 +450,35 @@ def dedup_components(spark: SparkSession, sf_dir: str,
 
     persist=False (default, test path): localCheckpoint cuts lineage
     each round — executor-local storage, zero config. persist=True is
-    the cluster posture: edges and each round's labels are cached
-    MEMORY_AND_DISK and materialized, superseded rounds explicitly
-    unpersisted, so a lost-executor recompute can fall back to lineage
-    instead of dying on a missing local checkpoint block."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-
-    if persist:
-        from pyspark import StorageLevel
-
-        def cut(df: DataFrame) -> DataFrame:
-            df = df.persist(StorageLevel.MEMORY_AND_DISK)
-            df.count()  # materialize now; rounds reuse the cache
-            return df
-    else:
-        def cut(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint()
+    the cluster posture, propagated through the WHOLE chain (the
+    shingle/signature store inside dedup_ngram_jaccard included):
+    every cut is a materialized MEMORY_AND_DISK cache with lineage
+    preserved, superseded label rounds and the edge table explicitly
+    unpersisted, so a lost-executor recompute falls back to lineage
+    instead of dying on a missing local checkpoint block. The returned
+    labels (and the chain's store) stay cached — session/caller
+    releases them (spark.catalog.clearCache() or unpersist)."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir, persist=persist).select(
+        "doc_a", "doc_b")
 
     fwd = pairs.select(F.col("doc_a").alias("src"),
                        F.col("doc_b").alias("dst"))
-    edges = cut(fwd.union(
+    edges = _cut(fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ))
-    labels = cut(
+    ), persist)
+    labels = _cut(
         edges.select(F.col("src").alias("doc_id")).distinct()
-        .withColumn("component", F.col("doc_id"))
+        .withColumn("component", F.col("doc_id")), persist,
     )
     while True:
         nbr = (
             edges.join(labels, edges["src"] == labels["doc_id"])
             .select(F.col("dst").alias("doc_id"), "component")
         )
-        new_labels = cut(
+        new_labels = _cut(
             labels.unionByName(nbr)
             .groupBy("doc_id")
-            .agg(F.min("component").alias("component"))
+            .agg(F.min("component").alias("component")), persist,
         )
         changed = (
             new_labels.alias("n")
@@ -477,6 +491,8 @@ def dedup_components(spark: SparkSession, sf_dir: str,
         labels = new_labels
         if changed == 0:
             break
+    if persist:
+        edges.unpersist()
     return labels
 
 
@@ -561,10 +577,14 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(sequence(1, size(toks) - {SUBSTR_W} + 1), "
         f"i -> md5(concat_ws(' ', slice(toks, i, {SUBSTR_W}))))"
     )
+    # materialize: both the hot-window aggregate and the join-back
+    # consume this subtree — without the checkpoint the full
+    # tokenize+window+md5 corpus pass runs twice
     wins = (
         toks.filter(F.size("toks") >= SUBSTR_W)
         .select("doc_id",
                 F.explode(F.array_distinct(F.expr(win_expr))).alias("wh"))
+        .localCheckpoint()
     )
     hot = wins.groupBy("wh").agg(F.count("*").alias("n_docs"))
     agg = (

@@ -9,6 +9,8 @@ Python callables against engine/maple_juice.py.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
@@ -23,10 +25,17 @@ from distributed_system_mapreduce_spark.operators.mapreduce_queries import (
 from distributed_system_mapreduce_spark.tables import load_table
 
 
+# ASCII whitespace class — the oracle's tokenizer (functions/text.py).
+# NOT str.split(): Python splits on ALL unicode whitespace (NBSP,
+# NEL, U+2028...) which the cross-engine contract excludes.
+_WS_RE = re.compile(r"[ \t\n\r\f\x0b]+")
+
+
 def _wc_maple(line: str):
     # wc_maple: emit (word, "1") per whitespace token (bufio.ScanWords)
-    for tok in line.split():
-        yield tok, "1"
+    for tok in _WS_RE.split(line):
+        if tok:
+            yield tok, "1"
 
 
 def _wc_juice(key: str, grp: pd.DataFrame) -> pd.DataFrame:
@@ -123,9 +132,13 @@ def mr_vote_winner(spark: SparkSession, sf_dir: str) -> DataFrame:
 # that contract verbatim: maple emits `word 1` per whitespace token,
 # juice sums one key's counts — the wc_maple/juice_wordcount pair as
 # external processes instead of Python callables.
-_WC_MAPLE_EXE = ("python3 -c 'import sys; "
-                 'sys.stdout.write("".join('
-                 't + " 1\\n" for ln in sys.stdin for t in ln.split()))\'')
+# the exe splits on the same explicit ASCII class as the oracle
+# tokenizer, not str.split() (all-unicode whitespace)
+_WC_MAPLE_EXE = (
+    "python3 -c 'import sys, re; "
+    'w = re.compile("[ \\\\t\\\\n\\\\r\\\\f\\\\x0b]+").split; '
+    'sys.stdout.write("".join('
+    't + " 1\\n" for ln in sys.stdin for t in w(ln) if t))\'')
 _WC_JUICE_EXE = ("python3 -c 'import sys; "
                  'rows = [l.split(" ", 1) for l in sys.stdin if l.strip()]; '
                  "print(rows[0][0], sum(int(v) for _, v in rows))'")

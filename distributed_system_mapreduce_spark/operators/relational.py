@@ -386,16 +386,23 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = daily.join(F.broadcast(stats), "event_type")
     mean = F.col("s").cast("double") / F.col("n_days").cast("double")
-    var = (
-        (F.col("n_days") * F.col("ss") - F.col("s") * F.col("s"))
-        .cast("double")
-        / (F.col("n_days") * (F.col("n_days") - F.lit(1))).cast("double")
+    var_num = (F.col("n_days") * F.col("ss")
+               - F.col("s") * F.col("s")).cast("double")
+    var_den = (F.col("n_days") * (F.col("n_days") - F.lit(1))).cast("double")
+    # Degenerate guard: one observed day (var denominator 0) or zero
+    # variance would divide by zero — ANSI sessions THROW on that, and
+    # CASE branches evaluate lazily on both engines, so the division
+    # must live inside the guarded branch.
+    ok = (F.col("n_days") > 1) & (var_num > 0)
+    z = F.when(
+        ok,
+        (F.col("n").cast("double") - mean) / F.sqrt(var_num / var_den),
     )
-    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
     return j.select(
         "day", "event_type", F.col("n").alias("n_events"),
         z.alias("z"),
-        (F.abs(z) >= 2.0).cast("long").alias("is_anomaly"),
+        F.when(ok & (F.abs(z) >= 2.0), 1).otherwise(0)
+        .cast("long").alias("is_anomaly"),
     )
 
 
@@ -409,10 +416,12 @@ stats AS (
   FROM daily GROUP BY event_type
 )
 SELECT day, event_type, n AS n_events,
-       (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
-         / sqrt(CAST(n_days * ss - s * s AS DOUBLE)
-                / CAST(n_days * (n_days - 1) AS DOUBLE)) AS z,
-       CAST(CASE WHEN abs(
+       CASE WHEN n_days > 1 AND n_days * ss - s * s > 0 THEN
+         (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+           / sqrt(CAST(n_days * ss - s * s AS DOUBLE)
+                  / CAST(n_days * (n_days - 1) AS DOUBLE))
+       END AS z,
+       CAST(CASE WHEN n_days > 1 AND n_days * ss - s * s > 0 AND abs(
            (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
              / sqrt(CAST(n_days * ss - s * s AS DOUBLE)
                     / CAST(n_days * (n_days - 1) AS DOUBLE))) >= 2.0

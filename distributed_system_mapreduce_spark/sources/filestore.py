@@ -35,7 +35,8 @@ class FileStore:
         os.makedirs(self.root, exist_ok=True)
 
     def _path(self, name: str) -> str:
-        if "/" in name or name.startswith("."):
+        # backtick would also break the quoted DROP TABLE in delete()
+        if "/" in name or "`" in name or name.startswith("."):
             raise ValueError(f"flat namespace only: {name!r}")
         return os.path.join(self.root, name)
 

@@ -249,3 +249,52 @@ def test_vector_fold_cross_engine_fuzz(spark):
             FROM v""").fetchall()
     }
     assert got == want
+
+
+def test_events_anomaly_degenerate_groups_dont_throw(spark, tmp_path):
+    """A type seen on one day (variance denominator 0) or with zero
+    variance must yield NULL z / is_anomaly=0 — not an ANSI
+    DIVIDE_BY_ZERO crash — identically on both engines."""
+    import datetime
+
+    import duckdb
+
+    from distributed_system_mapreduce_spark.operators.relational import (
+        EVENTS_ANOMALY_SQL,
+        events_anomaly,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    # 'solo': one day only; 'flat': 3 days, identical counts;
+    # 'vary': 3 days, varying counts
+    for day, counts in [(0, {"solo": 5, "flat": 4, "vary": 2}),
+                        (1, {"flat": 4, "vary": 9}),
+                        (2, {"flat": 4, "vary": 1})]:
+        for typ, n in counts.items():
+            for _ in range(n):
+                eid += 1
+                rows.append((eid, base + datetime.timedelta(days=day),
+                             eid % 3, typ, 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = events_anomaly(spark, str(tmp_path)).collect()
+    got = {(str(r["day"]), r["event_type"]): (r["z"], r["is_anomaly"])
+           for r in out}
+    assert all(v == (None, 0) for k, v in got.items() if k[1] in
+               ("solo", "flat"))
+    assert any(v[0] is not None for k, v in got.items() if k[1] == "vary")
+
+    con = duckdb.connect()
+    con.execute(f"""CREATE VIEW events AS SELECT * FROM
+        read_parquet('{tmp_path}/events.parquet/*.parquet')""")
+    want = {(str(r[0]), r[1]): (r[3], r[4]) for r in con.execute(
+        EVENTS_ANOMALY_SQL.replace("n AS n_events", "n AS n_events")
+    ).fetchall()}
+    got_cmp = {k: (repr(v[0]), v[1]) for k, v in got.items()}
+    want_cmp = {k: (repr(v[0]), v[1]) for k, v in want.items()}
+    assert got_cmp == want_cmp
