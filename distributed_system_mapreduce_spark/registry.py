@@ -24,11 +24,13 @@ from distributed_system_mapreduce_spark.operators import (
     relational,
     relational_ext,
     relational_ext2,
+    relational_ext3,
     similarity,
     text_analysis,
 )
 
 _MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
+            relational_ext3,
             engine_queries, text_analysis, curation, curation2, dedup,
             similarity, clustering,
             multimodal, asof]
@@ -82,6 +84,7 @@ _PRIORITY = [
     # -- new this round (oracle-backed extras beyond the r1 verdict) ----
     "cross_source_overlap", "dedup_substring", "curation_pipeline",
     "events_anomaly",
+    "events_props_stats", "events_retention", "events_sliding_window",
     # -- rows-only (no oracle by design; weaker driver check) -----------
     "kmeans_embed", "approx_price_quantiles",
     "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
