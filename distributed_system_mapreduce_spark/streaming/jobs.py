@@ -65,13 +65,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
 
 
 def windowed_counts(events: DataFrame, window: str = "1 day",
-                    watermark: str = "2 days") -> DataFrame:
-    """Tumbling-window per-type counts with a late-data watermark —
-    the streaming twin of events_daily_rollup. State is bounded by
-    watermark horizon x event_type cardinality."""
+                    watermark: str = "2 days",
+                    slide: str | None = None) -> DataFrame:
+    """Tumbling (or, with ``slide``, hopping) window per-type counts
+    with a late-data watermark — the streaming twin of
+    events_daily_rollup / events_sliding_window. State is bounded by
+    watermark horizon x event_type cardinality (x size/slide overlap
+    factor for hopping windows)."""
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .groupBy(F.window("ts", window, slide or window).alias("w"),
+                 "event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,6)"))

@@ -36,6 +36,31 @@ def test_windowed_counts_match_batch_rollup(spark):
         q.stop()
 
 
+def test_hopping_windowed_counts_match_batch_sliding(spark):
+    """windowed_counts(slide=...) must agree with the batch
+    events_sliding_window on (win_start, type) -> n_events."""
+    from distributed_system_mapreduce_spark.operators.relational_ext3 import (
+        events_sliding_window,
+    )
+
+    stream = read_events_stream(spark, SF_DIR)
+    q = run_stream_to_memory(
+        windowed_counts(stream, window="1 day", slide="6 hours"),
+        "wc_hop_stream")
+    try:
+        got = {
+            (r["day"], r["event_type"]): r["n_events"]
+            for r in spark.table("wc_hop_stream").collect()
+        }
+        want = {
+            (r["win_start"], r["event_type"]): r["n_events"]
+            for r in events_sliding_window(spark, SF_DIR).collect()
+        }
+        assert got == want
+    finally:
+        q.stop()
+
+
 def test_dedup_stream_matches_distinct_event_ids(spark):
     from distributed_system_mapreduce_spark.tables import load_table
 
