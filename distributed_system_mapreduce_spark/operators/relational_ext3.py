@@ -181,14 +181,58 @@ GROUP BY 1, 2
 """
 
 
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining: the 20 most common event-type trigrams across
+    per-user ordered event streams (the "what do users do next"
+    path-analysis query).
+
+    Plan: lead() windows partitioned by user_id (never global), one
+    partial-agg shuffle over at most |types|³ groups, global top-20 as
+    TakeOrderedAndProject with a full deterministic tie-break.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).where(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    return (
+        paths.groupBy("t1", "t2", "t3")
+        .agg(F.count("*").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "t1", "t2", "t3")
+        .limit(20)
+    )
+
+
+EVENTS_PATH_TRIGRAMS_SQL = """
+SELECT t1, t2, t3, COUNT(*) AS n_paths
+FROM (
+  SELECT event_type AS t1,
+         LEAD(event_type, 1) OVER w AS t2,
+         LEAD(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+GROUP BY t1, t2, t3
+ORDER BY n_paths DESC, t1 ASC, t2 ASC, t3 ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "events_props_stats": events_props_stats,
     "events_retention": events_retention,
     "events_sliding_window": events_sliding_window,
+    "events_path_trigrams": events_path_trigrams,
 }
 
 ORACLES = {
     "events_props_stats": EVENTS_PROPS_SQL,
     "events_retention": EVENTS_RETENTION_SQL,
     "events_sliding_window": EVENTS_SLIDING_SQL,
+    "events_path_trigrams": EVENTS_PATH_TRIGRAMS_SQL,
 }

@@ -302,6 +302,72 @@ def approx_distinct_users_by_type(spark: SparkSession, sf_dir: str
     )
 
 
+def rare_token_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rare-token rate: the share of a doc's tokens whose
+    corpus frequency sits below the 25th percentile of the vocabulary's
+    frequency distribution — the OOV/typo-noise quality signal a
+    curation pass thresholds on (CCNet-style rare-vocab filtering).
+
+    Plan shape at 100 TB: tokenize+explode is narrow; the vocabulary
+    rollup is a partial-agg shuffle whose OUTPUT is vocab-sized («
+    corpus); the percentile threshold is an aggregate over that small
+    table, broadcast back as a 1-row cross join; the rare-token SET is
+    broadcast into the exploded token stream (vocab-bounded — switch
+    to a shuffle equi-join on token if the vocab outgrows broadcast);
+    the per-doc rollup shuffles on doc_id. Rates are a single division
+    of exact ints -> deterministic double.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.select(
+        "doc_id", X.n_tokens().cast("long").alias("n_tokens"))
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(X.TOKENS_EXPR)).alias("t"))
+    cf = tok.groupBy("t").agg(F.count("*").alias("cf"))
+    thr = cf.agg(F.expr("percentile(cf, 0.25)").alias("thr"))
+    rare = cf.join(F.broadcast(thr), F.col("cf") < F.col("thr")) \
+             .select("t")
+    rc = (
+        tok.join(F.broadcast(rare), "t")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_rare"))
+    )
+    return (
+        base.join(rc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_rare", F.lit(0)).cast("long").alias("n_rare"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.coalesce("n_rare", F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double"),
+            ).otherwise(F.lit(0.0)).alias("rare_rate"),
+        )
+    )
+
+
+RARE_TOKEN_RATE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({X.TOKENS_SQL}) AS t FROM documents
+),
+cf AS (SELECT t, COUNT(*) AS cf FROM tok GROUP BY t),
+thr AS (SELECT quantile_cont(cf, 0.25) AS thr FROM cf),
+rare AS (SELECT t FROM cf, thr WHERE cf < thr),
+rc AS (
+  SELECT doc_id, COUNT(*) AS n_rare
+  FROM tok JOIN rare USING (t) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       {X.N_TOKENS_SQL} AS n_tokens,
+       CAST(COALESCE(n_rare, 0) AS BIGINT) AS n_rare,
+       CASE WHEN {X.N_TOKENS_SQL} > 0 THEN
+         CAST(COALESCE(n_rare, 0) AS DOUBLE)
+           / CAST({X.N_TOKENS_SQL} AS DOUBLE)
+       ELSE 0.0 END AS rare_rate
+FROM documents d LEFT JOIN rc USING (doc_id)
+"""
+
+
 QUERIES = {
     "token_count": token_count,
     "lang_id": lang_id,
@@ -311,6 +377,7 @@ QUERIES = {
     "term_doc_freq": term_doc_freq,
     "doc_fingerprint": doc_fingerprint,
     "approx_distinct_users_by_type": approx_distinct_users_by_type,
+    "rare_token_rate": rare_token_rate,
 }
 
 ORACLES = {
@@ -323,4 +390,5 @@ ORACLES = {
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     # approx_distinct_users_by_type: rows-only (sketch values are
     # engine-specific); error bound asserted in tests instead.
+    "rare_token_rate": RARE_TOKEN_RATE_SQL,
 }
