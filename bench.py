@@ -36,6 +36,11 @@ def main() -> None:
     # warm the JVM + parquet footers with a cheap scan
     QUERIES["q6_forecast_revenue"](spark, sf_dir).write.format(
         "noop").mode("overwrite").save()
+    # warm the Python/Arrow worker pool so the first mapInPandas query
+    # doesn't get billed the daemon startup cost
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long").write.format(
+        "noop").mode("overwrite").save()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     times: dict[str, float] = {}

@@ -97,3 +97,28 @@ def lsh_bucket_sql(a: str) -> str:
         for p in range(N_PLANES)
     ]
     return " || ".join(bits)
+
+
+# Banded LSH (the minhash-LSH banding recipe applied to hyperplane
+# sign sketches): band b's bucket = the sign pattern of planes
+# [b*planes_per_band, (b+1)*planes_per_band). A candidate pair needs
+# agreement on ALL planes of SOME band — recall rises from the
+# single-bucket (1-θ/π)^planes to 1-(1-(1-θ/π)^ppb)^bands, at the cost
+# of bands× bucket joins. Tune planes_per_band ~ log2(n/target_bucket)
+# as the corpus grows to keep per-band buckets constant-sized.
+def lsh_band_bucket_expr(a: str, band: int, planes_per_band: int) -> str:
+    bits = [
+        f"CASE WHEN {dot_expr(a, _plane_weights_expr(p))} > 0 "
+        f"THEN '1' ELSE '0' END"
+        for p in range(band * planes_per_band, (band + 1) * planes_per_band)
+    ]
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def lsh_band_bucket_sql(a: str, band: int, planes_per_band: int) -> str:
+    bits = [
+        f"CASE WHEN {dot_sql(a, _plane_weights_sql(p))} > 0 "
+        f"THEN '1' ELSE '0' END"
+        for p in range(band * planes_per_band, (band + 1) * planes_per_band)
+    ]
+    return " || ".join(bits)

@@ -70,6 +70,11 @@ def kmeans_embed(spark: SparkSession, sf_dir: str,
     default). The cache lives until the session evicts it — callers
     owning the session lifecycle can unpersist after consuming the
     result."""
+    # NOTE on partitioning: at this SF the scan is one row group and
+    # the per-round jobs are SCHEDULING-bound, so a spread() here
+    # measured slower (32 micro-tasks x 8 jobs beat by 1 task x 8);
+    # on a real corpus the parquet splits into many partitions on its
+    # own and persist=True below keeps them resident across rounds.
     vecs = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", "embedding")
     if persist:
