@@ -61,7 +61,7 @@ def main() -> None:
     # Full per-query map goes to a file; the final stdout line stays
     # short (headline queries only) so the driver's line capture never
     # truncates mid-JSON (r1's ~2 KB line came back unparsed).
-    detail_path = os.path.join(
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
         json.dump({"sf": float(sf), "queries": times}, fh, indent=1,

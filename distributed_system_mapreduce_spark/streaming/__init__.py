@@ -1,6 +1,7 @@
 from distributed_system_mapreduce_spark.streaming.jobs import (  # noqa: F401
     dedup_stream,
     enrich_with_customers,
+    props_windowed_stats,
     read_events_stream,
     run_stream_to_memory,
     session_window_counts,

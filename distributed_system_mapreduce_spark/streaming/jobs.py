@@ -174,6 +174,28 @@ def session_window_counts(events: DataFrame,
     )
 
 
+def props_windowed_stats(events: DataFrame, window: str = "1 day",
+                         watermark: str = "2 days") -> DataFrame:
+    """Semi-structured streaming: parse the props JSON column
+    (get_json_object — JVM codegen, no Python in the stream) and roll
+    up the numeric $.k field per (day, type) — the streaming twin of
+    the batch events_props_stats aggregate. State bounded by watermark
+    horizon x type cardinality."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.withColumn("k", k)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+        .select(F.col("w.start").alias("day"), "event_type",
+                "n_events", "n_with_k", "sum_k")
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "2 days") -> DataFrame:
     """Streaming exact dedup on event_id — the at-least-once ->
     exactly-once repair stage every ingest pipeline needs.

@@ -8,6 +8,7 @@ from distributed_system_mapreduce_spark.operators.relational import (
 from distributed_system_mapreduce_spark.streaming import (
     dedup_stream,
     enrich_with_customers,
+    props_windowed_stats,
     read_events_stream,
     run_stream_to_memory,
     sessionize_stream,
@@ -55,6 +56,41 @@ def test_hopping_windowed_counts_match_batch_sliding(spark):
         want = {
             (r["win_start"], r["event_type"]): r["n_events"]
             for r in events_sliding_window(spark, SF_DIR).collect()
+        }
+        assert got == want
+    finally:
+        q.stop()
+
+
+def test_props_stream_matches_batch_json_rollup(spark):
+    """Streaming JSON extraction must agree with the same expressions
+    evaluated in batch over the static table."""
+    from pyspark.sql import functions as F
+
+    from distributed_system_mapreduce_spark.tables import load_table
+
+    stream = read_events_stream(spark, SF_DIR)
+    q = run_stream_to_memory(props_windowed_stats(stream), "props_stream")
+    try:
+        got = {
+            (r["day"], r["event_type"]): (r["n_events"], r["n_with_k"],
+                                          r["sum_k"])
+            for r in spark.table("props_stream").collect()
+        }
+        ev = load_table(spark, "events", SF_DIR)
+        k = F.get_json_object(F.col("props"), "$.k").cast("long")
+        want = {
+            (r["day"], r["event_type"]): (r["n_events"], r["n_with_k"],
+                                          r["sum_k"])
+            for r in (
+                ev.withColumn("k", k)
+                .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+                .agg(F.count("*").alias("n_events"),
+                     F.count("k").alias("n_with_k"),
+                     F.sum("k").cast("long").alias("sum_k"))
+                .select(F.col("w.start").alias("day"), "event_type",
+                        "n_events", "n_with_k", "sum_k")
+            ).collect()
         }
         assert got == want
     finally:
