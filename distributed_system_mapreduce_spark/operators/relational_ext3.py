@@ -223,11 +223,47 @@ LIMIT 20
 """
 
 
+def events_skew_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type rollup through the SALTED two-phase aggregation path
+    (functions/skew.py) — the hot-key posture for when one key owns a
+    double-digit share of a 100 TB table and a single reducer would
+    choke. Salting is value-neutral for associative aggregates, so
+    the oracle is the plain GROUP BY: identical output is exactly the
+    property that makes the salted plan safe to swap in at scale.
+
+    Exactness: value goes through a DECIMAL accumulator BEFORE the
+    two-phase sum (decimal addition is associative; a double sum
+    would be partitioning-dependent), final output cast to DOUBLE.
+    """
+    from distributed_system_mapreduce_spark.functions.skew import salted_agg
+
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "v", F.col("value").cast("decimal(18,6)"))
+    out = salted_agg(
+        ev, "event_type",
+        {"n_events": ("count", "*"), "sum_value": ("sum", "v")},
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+EVENTS_SKEW_ROLLUP_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "events_props_stats": events_props_stats,
     "events_retention": events_retention,
     "events_sliding_window": events_sliding_window,
     "events_path_trigrams": events_path_trigrams,
+    "events_skew_rollup": events_skew_rollup,
 }
 
 ORACLES = {
@@ -235,4 +271,5 @@ ORACLES = {
     "events_retention": EVENTS_RETENTION_SQL,
     "events_sliding_window": EVENTS_SLIDING_SQL,
     "events_path_trigrams": EVENTS_PATH_TRIGRAMS_SQL,
+    "events_skew_rollup": EVENTS_SKEW_ROLLUP_SQL,
 }

@@ -85,7 +85,7 @@ _PRIORITY = [
     "cross_source_overlap", "dedup_substring", "curation_pipeline",
     "events_anomaly",
     "events_props_stats", "events_retention", "events_sliding_window",
-    "events_path_trigrams", "rare_token_rate",
+    "events_path_trigrams", "rare_token_rate", "events_skew_rollup",
     # -- rows-only (no oracle by design; weaker driver check) -----------
     "kmeans_embed", "approx_price_quantiles",
     "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
