@@ -170,6 +170,78 @@ def resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The stub kernel is DETERMINISTIC md5 arithmetic, so the Arrow
+# decode stage is fully oracle-checkable: the SQL below replicates
+# _pseudo_features byte-for-byte (h[i] = i-th md5 digest byte parsed
+# from the hex string), proving the mapInPandas plumbing delivers
+# exactly the kernel's output. Swapping in decode_real would move
+# these back to rows-only (real codecs aren't SQL-expressible).
+
+
+def _h(i: int) -> str:
+    """DuckDB: i-th byte of md5(text) as an integer."""
+    a, b = 2 * i + 1, 2 * i + 2
+    hx = "'0123456789abcdef'"
+    return (f"((strpos({hx}, substr(md5(text), {a}, 1)) - 1) * 16 + "
+            f"strpos({hx}, substr(md5(text), {b}, 1)) - 1)")
+
+
+_DECODE_BASE_SQL = f"""
+  SELECT doc_id,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1]
+           AS media_type,
+         octet_length(encode(text)) AS n_bytes,
+         md5(text) AS checksum,
+         {_h(0)} AS h0, {_h(1)} AS h1, {_h(2)} AS h2, {_h(3)} AS h3,
+         {_h(4)} AS h4, {_h(5)} AS h5, {_h(6)} AS h6
+  FROM documents
+"""
+
+MULTIMODAL_DECODE_SQL = f"""
+SELECT doc_id, media_type, n_bytes, checksum,
+       CASE WHEN media_type = 'image' THEN 64 + h0 % 192
+            WHEN media_type = 'video' THEN 160 + h0 % 320 END AS width,
+       CASE WHEN media_type = 'image' THEN 64 + h1 % 192
+            WHEN media_type = 'video' THEN 90 + h1 % 270 END AS height,
+       CASE WHEN media_type = 'image' THEN 1 + h2 % 4
+            WHEN media_type = 'audio' THEN 1 + h2 % 2
+            ELSE 3 END AS n_channels,
+       CASE WHEN media_type = 'audio' THEN (8 + h3 % 40) * 1000
+            END AS sample_rate,
+       CASE WHEN media_type = 'audio' THEN 500 + (h4 * 256 + h5) % 60000
+            WHEN media_type = 'video' THEN 1000 + (h4 * 256 + h5) % 120000
+            END AS duration_ms,
+       CASE WHEN media_type = 'video' THEN 24 + h6 % 240 END AS n_frames
+FROM ({_DECODE_BASE_SQL})
+"""
+
+MULTIMODAL_FRAME_SAMPLE_SQL = f"""
+SELECT doc_id, n_frames, unnest(range(0, n_frames, 24)) AS frame_idx
+FROM (
+  SELECT doc_id, 24 + h6 % 240 AS n_frames
+  FROM ({_DECODE_BASE_SQL}) WHERE media_type = 'video'
+)
+"""
+
+# pad uses // (floor int div): Spark's double->long cast truncates,
+# DuckDB's CAST rounds — integer division sidesteps the divergence
+MULTIMODAL_RESIZE_SQL = f"""
+SELECT doc_id, width, height, scale,
+       CAST(round(width * scale) AS BIGINT) AS resized_w,
+       CAST(round(height * scale) AS BIGINT) AS resized_h,
+       (224 - CAST(round(width * scale) AS BIGINT)) // 2 AS pad_x,
+       (224 - CAST(round(height * scale) AS BIGINT)) // 2 AS pad_y
+FROM (
+  SELECT doc_id, width, height,
+         least(224.0 / width, 224.0 / height) AS scale
+  FROM (
+    SELECT doc_id, 64 + h0 % 192 AS width, 64 + h1 % 192 AS height
+    FROM ({_DECODE_BASE_SQL}) WHERE media_type = 'image'
+  )
+)
+"""
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_decode": multimodal_decode,
@@ -179,6 +251,7 @@ QUERIES = {
 
 ORACLES = {
     "multimodal_meta": MULTIMODAL_META_SQL,
-    # multimodal_decode / frame_sample / resize: rows-only
-    # (downstream of the Python stub kernel)
+    "multimodal_decode": MULTIMODAL_DECODE_SQL,
+    "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_SQL,
+    "multimodal_resize": MULTIMODAL_RESIZE_SQL,
 }

@@ -86,9 +86,11 @@ _PRIORITY = [
     "events_anomaly",
     "events_props_stats", "events_retention", "events_sliding_window",
     "events_path_trigrams", "rare_token_rate", "events_skew_rollup",
+    # multimodal decode family: stub kernel is deterministic md5
+    # arithmetic, so the Arrow stage is oracle-checked end-to-end
+    "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
     # -- rows-only (no oracle by design; weaker driver check) -----------
     "kmeans_embed", "approx_price_quantiles",
-    "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
     # -- r1 driver-green (re-confirmation) ------------------------------
     "wordcount", "vote_winner", "split_by_key", "range_partition_hist",
     "mr_wordcount", "mr_wordcount_range", "mr_vote_winner",
