@@ -420,6 +420,137 @@ GROUP BY bucket_lo
 """
 
 
+# ------------------------------------------- per-source adaptive gate
+def quality_adaptive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ADAPTIVE quality gate report: each source keeps its
+    docs scoring at or above its OWN median quality — the per-domain
+    threshold trick real curation uses instead of one global tau
+    (a global cut empties clean-but-terse domains and keeps the best
+    of a spammy one).
+
+    Plan: per-row quality (narrow), per-source exact percentile (one
+    partial shuffle over bounded groups — switch to approx_percentile
+    if sources are unbounded), thresholds broadcast back onto an
+    un-shuffled scan, conditional counts in one more partial agg.
+    Median interpolation matches DuckDB quantile_cont bit-for-bit
+    (same guarantee price_quantiles relies on)."""
+    from distributed_system_mapreduce_spark.operators.text_analysis import (
+        quality_score,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    scored = quality_score(spark, sf_dir).select("doc_id", "quality")
+    sq = docs.join(scored, "doc_id")
+    thr = sq.groupBy("source").agg(
+        F.expr("percentile(quality, 0.5)").alias("thr"))
+    return (
+        sq.join(F.broadcast(thr), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("quality") >= F.col("thr"), 1)
+                  .otherwise(0)).cast("long").alias("n_kept"),
+            F.first("thr").alias("thr"),
+        )
+    )
+
+
+def _quality_adaptive_sql() -> str:
+    from distributed_system_mapreduce_spark.operators.text_analysis import (
+        QUALITY_SCORE_SQL,
+    )
+
+    return f"""
+WITH sq AS (
+  SELECT d.source, q.quality
+  FROM ({QUALITY_SCORE_SQL}) q JOIN documents d USING (doc_id)
+),
+thr AS (
+  SELECT source, quantile_cont(quality, 0.5) AS thr
+  FROM sq GROUP BY source
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN quality >= thr THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       ANY_VALUE(thr) AS thr
+FROM sq JOIN thr USING (source)
+GROUP BY source
+"""
+
+
+# ------------------------------------------------ token-budget sampling
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget downsample: each source keeps docs
+    in md5-walk order until HALF its token mass is spent — the 'fit
+    the mixture into a training budget' selection, reproducible across
+    runs and engines (same salt-hash-order contract as
+    train_val_split / mix_rebalance_sample).
+
+    Plan: per-doc token counts (narrow), per-source budgets = one
+    partial-agg shuffle broadcast back, running prefix sum via a
+    window PARTITIONED BY source (never global). A pathologically hot
+    source turns that window into a straggler at 100 TB — then shard
+    it with the two-level prefix-sum pattern (per-shard cumsum +
+    O(#shards) offsets, as range_partition_hist does globally)."""
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.select(
+        "doc_id", "source",
+        X.n_tokens().cast("long").alias("n_toks"),
+        F.md5(F.concat(F.lit("budget:"),
+                       F.col("doc_id").cast("string"))).alias("h"),
+    )
+    budgets = base.groupBy("source").agg(
+        F.expr("CAST(sum(n_toks) AS LONG) div 2").alias("budget"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source").orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.withColumn("cum_toks", F.sum("n_toks").over(w))
+    return (
+        cum.join(F.broadcast(budgets), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("cum_toks") <= F.col("budget"), 1)
+                  .otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("cum_toks") <= F.col("budget"),
+                         F.col("n_toks")).otherwise(0))
+            .cast("long").alias("tokens_kept"),
+            F.first("budget").alias("budget"),
+        )
+    )
+
+
+TOKEN_BUDGET_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source, {X.N_TOKENS_SQL} AS n_toks,
+         md5('budget:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+budgets AS (
+  SELECT source, CAST(SUM(n_toks) AS BIGINT) // 2 AS budget
+  FROM base GROUP BY source
+),
+cum AS (
+  SELECT doc_id, source, n_toks,
+         SUM(n_toks) OVER (PARTITION BY source ORDER BY h, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum_toks
+  FROM base
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN cum_toks <= budget THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN cum_toks <= budget THEN n_toks ELSE 0 END)
+            AS BIGINT) AS tokens_kept,
+       ANY_VALUE(budget) AS budget
+FROM cum JOIN budgets USING (source)
+GROUP BY source
+"""
+
+
 QUERIES = {
     "repetition_score": repetition_score,
     "ngram_counts": ngram_counts,
@@ -427,6 +558,8 @@ QUERIES = {
     "domain_mix": domain_mix,
     "mix_rebalance_sample": mix_rebalance_sample,
     "packing_stats": packing_stats,
+    "quality_adaptive_filter": quality_adaptive_filter,
+    "token_budget_sample": token_budget_sample,
 }
 
 ORACLES = {
@@ -436,4 +569,6 @@ ORACLES = {
     "domain_mix": DOMAIN_MIX_SQL,
     "mix_rebalance_sample": MIX_REBALANCE_SAMPLE_SQL,
     "packing_stats": PACKING_STATS_SQL,
+    "quality_adaptive_filter": _quality_adaptive_sql(),
+    "token_budget_sample": TOKEN_BUDGET_SQL,
 }
