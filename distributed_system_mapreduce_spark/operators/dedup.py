@@ -460,9 +460,19 @@ def dedup_components(spark: SparkSession, sf_dir: str,
     releases them (spark.catalog.clearCache() or unpersist)."""
     pairs = dedup_ngram_jaccard(spark, sf_dir, persist=persist).select(
         "doc_a", "doc_b")
+    return min_label_components(pairs, persist=persist)
 
-    fwd = pairs.select(F.col("doc_a").alias("src"),
-                       F.col("doc_b").alias("dst"))
+
+def min_label_components(pairs: DataFrame, persist: bool = False,
+                         ) -> DataFrame:
+    """Connected components over an undirected pair list (first two
+    columns = the edge endpoints) via iterative min-label propagation
+    — the shared engine behind dedup_components (text near-dup graph)
+    and embedding_components (semantic near-dup graph). Returns
+    (doc_id, component). See dedup_components for the round/lineage
+    discipline."""
+    a, b = pairs.columns[:2]
+    fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     edges = _cut(fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ), persist)

@@ -396,11 +396,51 @@ WHERE cosine >= {DUP_TAU}
 """
 
 
+def embedding_components(spark: SparkSession, sf_dir: str,
+                         persist: bool = False) -> DataFrame:
+    """Semantic near-dup clusters: connected components over the
+    embedding near-dup pair graph (dedup_embedding edges), each vector
+    labeled with its cluster representative (min vec_id) — the
+    embedding-side twin of the text pipeline's dedup_components, and
+    the step that turns pairwise cosine hits into keep-one-per-cluster
+    decisions.
+
+    Reuses the shared min-label propagation engine (dedup.py); edges
+    come from the LSH-bucket + cosine>=tau pair stage, so the graph is
+    tiny vs the corpus and rounds are join + partial-agg shuffles.
+    Oracle: independent recursive-CTE transitive closure."""
+    from distributed_system_mapreduce_spark.operators.dedup import (
+        min_label_components,
+    )
+
+    pairs = dedup_embedding(spark, sf_dir).select("vec_a", "vec_b")
+    return min_label_components(pairs, persist=persist).select(
+        F.col("doc_id").alias("vec_id"), "component")
+
+
+EMBEDDING_COMPONENTS_SQL = f"""
+WITH RECURSIVE e AS (
+  SELECT vec_a AS src, vec_b AS dst FROM ({DEDUP_EMBEDDING_SQL})
+  UNION
+  SELECT vec_b, vec_a FROM ({DEDUP_EMBEDDING_SQL})
+),
+reach(a, b) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src
+)
+SELECT a AS vec_id, MIN(b) AS component
+FROM reach
+GROUP BY a
+"""
+
+
 QUERIES = {
     "ann_topk_brute": ann_topk_brute,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
     "dedup_embedding": dedup_embedding,
+    "embedding_components": embedding_components,
 }
 
 ORACLES = {
@@ -408,4 +448,5 @@ ORACLES = {
     "ann_topk_lsh": ANN_TOPK_LSH_SQL,
     "ann_topk_ivf": ANN_TOPK_IVF_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
+    "embedding_components": EMBEDDING_COMPONENTS_SQL,
 }
