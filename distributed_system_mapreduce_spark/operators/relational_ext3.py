@@ -258,12 +258,102 @@ GROUP BY event_type
 """
 
 
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the 20 part pairs most often
+    ordered together (support = number of orders containing both).
+
+    Scale shape: the self-join is keyed on l_orderkey, so the pair
+    fan-out per order is (lines choose 2) — bounded by the 7-line
+    TPC-H order cap, i.e. LINEAR in orders, never corpus x corpus.
+    One equi-join shuffle + one partial-agg shuffle + TakeOrdered
+    top-k with a full tie-break."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+BASKET_PAIRS_SQL = """
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       COUNT(*) AS n_orders
+FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a ASC, part_b ASC
+LIMIT 20
+"""
+
+
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU per day — the stickiness ratio every
+    growth dashboard wants, which needs a ROLLING DISTINCT (windowed
+    count-distincts don't merge).
+
+    The scale trick: reduce to distinct (user, day) pairs first (one
+    shuffle, corpus -> bounded), then explode each pair onto the 7
+    days it covers and count distinct per target day — the fan-out is
+    x7 on the ALREADY-distinct pairs, not on raw events. Ratio is a
+    single exact-int division. Days with no 7-day history still
+    report (their window is just shorter)."""
+    ev = load_table(spark, "events", sf_dir)
+    pairs = ev.select(
+        F.to_date("ts").alias("day"), "user_id").distinct()
+    dau = pairs.groupBy("day").agg(
+        F.countDistinct("user_id").alias("dau"))
+    covering = pairs.select(
+        F.explode(F.expr(
+            "sequence(day, date_add(day, 6))")).alias("day"),
+        "user_id",
+    )
+    wau = covering.groupBy("day").agg(
+        F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day", "dau", "wau",
+            (F.col("dau").cast("double") / F.col("wau").cast("double"))
+            .alias("stickiness"),
+        )
+    )
+
+
+EVENTS_DAU_WAU_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+dau AS (
+  SELECT day, COUNT(DISTINCT user_id) AS dau FROM pairs GROUP BY day
+),
+wau AS (
+  SELECT day + CAST(k AS INTEGER) AS day, COUNT(DISTINCT user_id) AS wau
+  FROM pairs CROSS JOIN range(0, 7) AS r(k)
+  GROUP BY 1
+)
+SELECT day, dau, wau,
+       CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+FROM dau JOIN wau USING (day)
+"""
+
+
 QUERIES = {
     "events_props_stats": events_props_stats,
     "events_retention": events_retention,
     "events_sliding_window": events_sliding_window,
     "events_path_trigrams": events_path_trigrams,
     "events_skew_rollup": events_skew_rollup,
+    "basket_pairs": basket_pairs,
+    "events_dau_wau": events_dau_wau,
 }
 
 ORACLES = {
@@ -272,4 +362,6 @@ ORACLES = {
     "events_sliding_window": EVENTS_SLIDING_SQL,
     "events_path_trigrams": EVENTS_PATH_TRIGRAMS_SQL,
     "events_skew_rollup": EVENTS_SKEW_ROLLUP_SQL,
+    "basket_pairs": BASKET_PAIRS_SQL,
+    "events_dau_wau": EVENTS_DAU_WAU_SQL,
 }
