@@ -88,6 +88,58 @@ def test_exe_awk_maple_range_juice(spark):
     assert got == _as_dict(wordcount(spark, SF_DIR))
 
 
+def test_exe_two_round_vote_pipeline(spark):
+    """The reference's flagship election (command_backup: maple_vote ->
+    juice_vote -> maple_vote_two -> juice_vote_two) with ALL FOUR
+    phases as external processes, against the engine-API result (which
+    is itself oracle-checked as mr_vote_winner)."""
+    from pyspark.sql import functions as F
+
+    from distributed_system_mapreduce_spark.operators.engine_queries import (
+        mr_vote_winner,
+    )
+    from distributed_system_mapreduce_spark.operators.mapreduce_queries import (
+        _ballots,
+    )
+
+    maple1 = (
+        "python3 -c 'import sys\n"
+        "for ln in sys.stdin:\n"
+        "    c1, c2, c3 = ln.split()\n"
+        "    for a, b in ((c1, c2), (c2, c3), (c1, c3)):\n"
+        "        s, g = (a, b) if a < b else (b, a)\n"
+        "        print(s + \",\" + g, 1 if a == s else 0)'"
+    )
+    juice1 = (
+        "python3 -c 'import sys\n"
+        "rows = [ln.split() for ln in sys.stdin]\n"
+        "ones = sum(v == \"1\" for _, v in rows)\n"
+        "s, g = rows[0][0].split(\",\")\n"
+        "print(rows[0][0], s if ones > len(rows) - ones else g)'"
+    )
+    maple2 = "awk '{print \"all\", $2}'"
+    juice2 = (
+        "python3 -c 'import sys, collections\n"
+        "c = collections.Counter(ln.split()[1] for ln in sys.stdin)\n"
+        "w = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]\n"
+        "print(w[0], w[1])'"
+    )
+
+    mj = MapleJuice(spark)
+    lines = _ballots(spark, SF_DIR).select(
+        F.concat_ws(" ", "c1", "c2", "c3").alias("line"))
+    r1 = mj.juice_exe(mj.maple_exe(lines, maple1), juice1)
+    r1_lines = r1.select(F.concat_ws(" ", "key", "value").alias("line"))
+    out = mj.juice_exe(mj.maple_exe(r1_lines, maple2), juice2)
+    # final juice stdout lines "winner count" parse into (key, value)
+    got = {(r["key"], int(r["value"])) for r in out.collect()}
+    want = {
+        (r["candidate"], int(r["pair_wins"]))
+        for r in mr_vote_winner(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
 def test_exe_failure_surfaces(spark):
     mj = MapleJuice(spark)
     df = spark.createDataFrame([("x",)], "line string")
