@@ -396,6 +396,170 @@ WHERE cosine >= {DUP_TAU}
 """
 
 
+# ------------------------------------------------ product quantization
+PQ_M = 8        # subspaces (DIM/PQ_M dims each)
+PQ_K = 16       # codewords per subspace (codebook = first PQ_K vecs)
+PQ_SUB = V.DIM // PQ_M
+
+
+def _pq_d2_expr(es: str, cs: str) -> str:
+    """Spark SQL: squared L2 between an 8-dim slice of `embedding`
+    (1-based start `es`) and a slice of the flat codebook `flat_cw`
+    (start `cs`) — strict indexed left fold, the same shape as the
+    DuckDB twin below so summation order matches bit-for-bit."""
+    diff = (
+        f"(CAST(element_at(embedding, CAST({es} + j - 1 AS INT)) AS DOUBLE)"
+        f" - element_at(flat_cw, CAST({cs} + j - 1 AS INT)))")
+    return (f"aggregate(sequence(1, {PQ_SUB}), CAST(0 AS DOUBLE), "
+            f"(acc, j) -> acc + {diff} * {diff})")
+
+
+def _pq_d2_sql(es: str, cs: str) -> str:
+    diff = (f"(CAST(embedding[{es} + j - 1] AS DOUBLE) - "
+            f"flat_cw[{cs} + j - 1])")
+    return (f"list_reduce(list_transform(range(1, {PQ_SUB + 1}), "
+            f"j -> {diff} * {diff}), (acc, x) -> acc + x)")
+
+
+# corpus encode: codes[m] = argmin_k d2(subvec_m, codeword_{m,k});
+# first-min tie-break is identical on both engines (array_position /
+# list_position return the first match of the same computed doubles)
+_PQ_DISTS = "transform(sequence(0, {K1}), k -> {d2})"
+_PQ_CODES_EXPR = (
+    f"transform(sequence(0, {PQ_M - 1}), m -> array_position("
+    + _PQ_DISTS.format(
+        K1=PQ_K - 1,
+        d2=_pq_d2_expr(f"m * {PQ_SUB} + 1",
+                       f"k * {V.DIM} + m * {PQ_SUB} + 1"))
+    + ", array_min("
+    + _PQ_DISTS.format(
+        K1=PQ_K - 1,
+        d2=_pq_d2_expr(f"m * {PQ_SUB} + 1",
+                       f"k * {V.DIM} + m * {PQ_SUB} + 1"))
+    + ")) - 1)"
+)
+_PQ_CODES_SQL = (
+    f"list_transform(range(0, {PQ_M}), m -> list_position("
+    + "list_transform(range(0, {K}), k -> {d2})".format(
+        K=PQ_K,
+        d2=_pq_d2_sql(f"m * {PQ_SUB} + 1",
+                      f"k * {V.DIM} + m * {PQ_SUB} + 1"))
+    + ", list_min("
+    + "list_transform(range(0, {K}), k -> {d2})".format(
+        K=PQ_K,
+        d2=_pq_d2_sql(f"m * {PQ_SUB} + 1",
+                      f"k * {V.DIM} + m * {PQ_SUB} + 1"))
+    + ")) - 1)"
+)
+
+# query-side ADC lookup table: lut[m*K + k] = d2(q_subvec_m, cw_{m,k})
+_PQ_LUT_EXPR = (
+    f"transform(sequence(0, {PQ_M * PQ_K - 1}), i -> "
+    + _pq_d2_expr(f"(i div {PQ_K}) * {PQ_SUB} + 1",
+                  f"(i % {PQ_K}) * {V.DIM} + (i div {PQ_K}) * {PQ_SUB} + 1")
+    + ")"
+)
+_PQ_LUT_SQL = (
+    f"list_transform(range(0, {PQ_M * PQ_K}), i -> "
+    + _pq_d2_sql(f"(i // {PQ_K}) * {PQ_SUB} + 1",
+                 f"(i % {PQ_K}) * {V.DIM} + (i // {PQ_K}) * {PQ_SUB} + 1")
+    + ")"
+)
+
+# asymmetric distance: fixed-order fold over subspaces
+_PQ_EST_EXPR = (
+    f"aggregate(sequence(0, {PQ_M - 1}), CAST(0 AS DOUBLE), (acc, m) -> "
+    f"acc + element_at(lut, CAST(m * {PQ_K} "
+    f"+ element_at(codes, CAST(m + 1 AS INT)) + 1 AS INT)))"
+)
+_PQ_EST_SQL = (
+    f"list_reduce(list_transform(range(0, {PQ_M}), m -> "
+    f"lut[m * {PQ_K} + codes[m + 1] + 1]), (acc, x) -> acc + x)"
+)
+
+
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (IVF-PQ's compression half): every
+    corpus vector is encoded as PQ_M codebook indices (64 floats ->
+    8 nibbles, a 64x memory cut — the trick that lets a 100 TB vector
+    corpus live in RAM as a scannable index), queries score candidates
+    with the asymmetric-distance LUT (one 8-add fold per candidate,
+    no 64-dim arithmetic in the scan loop) and exact order by the
+    estimate. Completes the ANN family: brute (exact baseline),
+    banded LSH + IVF (candidate pruning), PQ (compressed scan).
+
+    Deterministic sample codebook (first PQ_K vectors' subvectors, the
+    same convention as IVF/k-means seeding), so the DuckDB oracle
+    replicates the encode + LUT + fold bit-for-bit. Recall vs brute is
+    floored in tests/test_similarity_quality.py."""
+    from pyspark.sql import Window
+
+    vecs = spread(load_table(spark, "embeddings", sf_dir)).select(
+        "vec_id", "embedding")
+    cb = (
+        vecs.filter(F.col("vec_id") < PQ_K)
+        .agg(F.expr(
+            "flatten(transform("
+            "sort_array(collect_list(struct(vec_id, embedding))), "
+            "s -> transform(s.embedding, x -> CAST(x AS DOUBLE))))"
+        ).alias("flat_cw"))
+    )
+    corpus = (
+        vecs.crossJoin(F.broadcast(cb))
+        .select("vec_id", F.expr(_PQ_CODES_EXPR).alias("codes"))
+    )
+    queries = (
+        vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .crossJoin(F.broadcast(cb))
+        .select(F.col("vec_id").alias("query_id"),
+                F.expr(_PQ_LUT_EXPR).alias("lut"))
+    )
+    pairs = (
+        F.broadcast(queries)
+        .join(corpus, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(_PQ_EST_EXPR).alias("est_dist2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("est_dist2"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+ANN_TOPK_PQ_SQL = f"""
+WITH cb AS (
+  SELECT flatten(list(list_transform(embedding, x -> CAST(x AS DOUBLE))
+                      ORDER BY vec_id)) AS flat_cw
+  FROM embeddings WHERE vec_id < {PQ_K}
+),
+corpus AS (
+  SELECT vec_id, {_PQ_CODES_SQL} AS codes
+  FROM embeddings CROSS JOIN cb
+),
+queries AS (
+  SELECT vec_id AS query_id, {_PQ_LUT_SQL} AS lut
+  FROM embeddings CROSS JOIN cb
+  WHERE vec_id % {QUERY_MOD} = 0
+)
+SELECT query_id, neighbor_id, est_dist2, rank FROM (
+  SELECT query_id, neighbor_id, est_dist2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY est_dist2 ASC, neighbor_id ASC)
+           AS rank
+  FROM (
+    SELECT query_id, c.vec_id AS neighbor_id, {_PQ_EST_SQL} AS est_dist2
+    FROM queries q JOIN corpus c ON q.query_id <> c.vec_id
+  )
+)
+WHERE rank <= {TOP_K}
+"""
+
+
 def embedding_components(spark: SparkSession, sf_dir: str,
                          persist: bool = False) -> DataFrame:
     """Semantic near-dup clusters: connected components over the
@@ -441,6 +605,7 @@ QUERIES = {
     "ann_topk_ivf": ann_topk_ivf,
     "dedup_embedding": dedup_embedding,
     "embedding_components": embedding_components,
+    "ann_topk_pq": ann_topk_pq,
 }
 
 ORACLES = {
@@ -449,4 +614,5 @@ ORACLES = {
     "ann_topk_ivf": ANN_TOPK_IVF_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
     "embedding_components": EMBEDDING_COMPONENTS_SQL,
+    "ann_topk_pq": ANN_TOPK_PQ_SQL,
 }

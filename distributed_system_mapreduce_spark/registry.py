@@ -88,6 +88,7 @@ _PRIORITY = [
     "events_path_trigrams", "rare_token_rate", "events_skew_rollup",
     "quality_adaptive_filter", "token_budget_sample",
     "embedding_components", "basket_pairs", "events_dau_wau",
+    "ann_topk_pq",
     # multimodal decode family: stub kernel is deterministic md5
     # arithmetic, so the Arrow stage is oracle-checked end-to-end
     "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
