@@ -17,6 +17,7 @@ from distributed_system_mapreduce_spark.operators import (
     clustering,
     curation,
     curation2,
+    curation3,
     dedup,
     engine_queries,
     mapreduce_queries,
@@ -25,13 +26,15 @@ from distributed_system_mapreduce_spark.operators import (
     relational_ext,
     relational_ext2,
     relational_ext3,
+    relational_ext4,
     similarity,
     text_analysis,
 )
 
 _MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
-            relational_ext3,
-            engine_queries, text_analysis, curation, curation2, dedup,
+            relational_ext3, relational_ext4,
+            engine_queries, text_analysis, curation, curation2, curation3,
+            dedup,
             similarity, clustering,
             multimodal, asof]
 
@@ -89,6 +92,8 @@ _PRIORITY = [
     "quality_adaptive_filter", "token_budget_sample",
     "embedding_components", "basket_pairs", "events_dau_wau",
     "ann_topk_pq",
+    "events_transition_matrix", "events_inter_arrival", "pagerank_parts",
+    "pack_chunks", "bigram_lift",
     # multimodal decode family: stub kernel is deterministic md5
     # arithmetic, so the Arrow stage is oracle-checked end-to-end
     "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",

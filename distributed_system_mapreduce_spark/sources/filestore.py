@@ -136,3 +136,80 @@ class FileStore:
         """Catalog read — required for bucketed datasets (a raw path
         read loses bucket metadata)."""
         return self.spark.table(name)
+
+    # ------------------------------------------- keyed incremental merge
+    _MERGE_BUCKET = "_kbucket"
+
+    def write_keyed(self, df: DataFrame, name: str, key: str,
+                    n_buckets: int = 32) -> None:
+        """Lay a dataset out hash-partitioned on its key so later
+        merges touch only the partitions holding changed keys. The
+        reference's closest notion is re-`put`-ing a whole SDFS file
+        per update (PutFile, file_system.go:825) — here an update
+        rewrites 1/n_buckets of the data, not all of it. Size
+        n_buckets so one bucket ~ one comfortable task (at 100 TB:
+        thousands)."""
+        from pyspark.sql import functions as F
+
+        (
+            df.withColumn(
+                self._MERGE_BUCKET, F.pmod(F.xxhash64(key), n_buckets))
+            .write.format("parquet").mode("overwrite")
+            .partitionBy(self._MERGE_BUCKET)
+            .save(self._path(name))
+        )
+        # sidecar: the bucket count can't be inferred from the data
+        # (top buckets may be empty) and a wrong modulus on merge
+        # would silently strand old row versions in other buckets
+        with open(os.path.join(self._path(name), "_n_buckets"), "w") as f:
+            f.write(str(n_buckets))
+
+    def merge(self, changes: DataFrame, name: str, key: str,
+              delete_col: str | None = None) -> None:
+        """Upsert `changes` into a write_keyed dataset by key; rows
+        with `delete_col` true are deletes. Only the hash partitions
+        containing changed keys are read back (partition pruning
+        against the bucket column) and rewritten (dynamic partition
+        overwrite) — untouched buckets' files are not opened, moved,
+        or rewritten, which is what makes a 0.1% daily delta on a
+        100 TB table a 0.1%-ish job rather than a full rewrite.
+
+        Last-writer-wins within `changes` is the caller's problem
+        (pre-dedup by key); concurrent mergers need an external lock —
+        the reference's SDFS write-lock (file_system.go) delegated to
+        the platform like the rest of its consistency story."""
+        from pyspark.sql import functions as F
+
+        p = self._path(name)
+        if not os.path.exists(p):
+            raise FileNotFoundError(name)
+        base = self.spark.read.parquet(p)
+        with open(os.path.join(p, "_n_buckets")) as f:
+            n_buckets = int(f.read().strip())
+        ch = changes.withColumn(
+            self._MERGE_BUCKET, F.pmod(F.xxhash64(key), n_buckets))
+        # bounded driver state: at most n_buckets ints
+        touched = sorted(
+            r[0] for r in ch.select(self._MERGE_BUCKET).distinct().collect())
+        # no broadcast hint: the delta's key set may itself be large;
+        # AQE picks broadcast when it is in fact small
+        surviving = base.where(
+            F.col(self._MERGE_BUCKET).isin(touched)
+        ).join(ch.select(key).distinct(), key, "left_anti")
+        upserts = (
+            ch.filter(~F.col(delete_col)).drop(delete_col)
+            if delete_col else ch
+        )
+        out = surviving.unionByName(upserts)
+        prev = self.spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static")
+        self.spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                out.write.format("parquet").mode("overwrite")
+                .partitionBy(self._MERGE_BUCKET).save(p)
+            )
+        finally:
+            self.spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev)

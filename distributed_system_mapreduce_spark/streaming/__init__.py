@@ -7,5 +7,7 @@ from distributed_system_mapreduce_spark.streaming.jobs import (  # noqa: F401
     session_window_counts,
     sessionize_stream,
     stream_to_filestore,
+    topk_per_window,
     windowed_counts,
+    windowed_user_counts,
 )

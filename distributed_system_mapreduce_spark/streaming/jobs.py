@@ -88,6 +88,38 @@ def windowed_counts(events: DataFrame, window: str = "1 day",
     )
 
 
+def windowed_user_counts(events: DataFrame, window: str = "1 day",
+                         watermark: str = "2 days") -> DataFrame:
+    """Per-window per-user activity counts — the streaming half of a
+    windowed TOP-K: the unbounded stream is reduced to finalized
+    (window, user) rows by the watermark; ranking happens downstream
+    on those finalized rows (topk_per_window), because rank() over a
+    still-open window would be retracted. State: watermark horizon x
+    active users per window — bounded, independent of stream length."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("day"), "user_id", "n_events")
+    )
+
+
+def topk_per_window(finalized: DataFrame, k: int = 5) -> DataFrame:
+    """Rank finalized (day, user) counts to the top-k users per day.
+    Run inside foreachBatch (append mode emits each window exactly
+    once, so a window's rows land in one micro-batch together) or on
+    the drained availableNow output. Deterministic full tie-break."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("day").orderBy(
+        F.desc("n_events"), F.asc("user_id"))
+    return (
+        finalized.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
 _SESSION_OUT = StructType([
     StructField("user_id", LongType()),
     StructField("n_sessions", LongType()),

@@ -118,3 +118,46 @@ def test_read_jsonl_quarantines_corrupt_lines(spark, tmp_path):
     bad = [r["_corrupt"] for r in rows if r["_corrupt"] is not None]
     assert good == {1: "ok one", 3: "ok two"}
     assert len(bad) == 1 and "broken json" in bad[0]
+
+
+def test_keyed_merge_upsert_delete(fs, spark):
+    """merge() applies upserts + deletes by key and rewrites ONLY the
+    hash buckets containing changed keys — untouched buckets' data
+    files must remain byte-for-byte the same files (no rewrite)."""
+    import pyspark.sql.functions as F
+
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "id long, v string")
+    fs.write_keyed(base, "kv", "id", n_buckets=8)
+    before = {f: os.path.getmtime(f) for f in fs.ls("kv")}
+
+    changes = spark.createDataFrame(
+        [(3, "v3-new", False), (200, "v200", False), (7, None, True)],
+        "id long, v string, is_delete boolean")
+    fs.merge(changes, "kv", "id", delete_col="is_delete")
+
+    got = {r["id"]: r["v"] for r in fs.read("kv").collect()}
+    want = {i: f"v{i}" for i in range(100) if i != 7}
+    want[3] = "v3-new"
+    want[200] = "v200"
+    assert got == want
+
+    touched = {
+        r[0] for r in changes.select(
+            F.pmod(F.xxhash64("id"), F.lit(8))).collect()
+    }
+    after = {f: os.path.getmtime(f) for f in fs.ls("kv")}
+    untouched_before = {
+        f: t for f, t in before.items()
+        if not any(f"_kbucket={b}" in f for b in touched)
+    }
+    assert untouched_before  # the delta must not have hit every bucket
+    for f, t in untouched_before.items():
+        assert f in after and after[f] == t, f"{f} was rewritten"
+
+
+def test_merge_requires_existing_dataset(fs, spark):
+    df = spark.createDataFrame([(1, "a", False)],
+                               "id long, v string, is_delete boolean")
+    with pytest.raises(FileNotFoundError):
+        fs.merge(df, "nope", "id", delete_col="is_delete")

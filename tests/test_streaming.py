@@ -12,9 +12,45 @@ from distributed_system_mapreduce_spark.streaming import (
     read_events_stream,
     run_stream_to_memory,
     sessionize_stream,
+    topk_per_window,
     windowed_counts,
+    windowed_user_counts,
 )
 from tests.conftest import SF_DIR
+
+
+def test_windowed_topk_matches_batch_rank(spark):
+    """Streaming (window, user) counts drained with availableNow,
+    ranked to per-day top-5, must equal the same rank computed from
+    the batch table — including the deterministic tie-break."""
+    from pyspark.sql import functions as F
+
+    from distributed_system_mapreduce_spark.tables import load_table
+
+    stream = read_events_stream(spark, SF_DIR)
+    # complete mode so trailing windows (not yet past the watermark
+    # when the availableNow drain ends) are present for comparison;
+    # production uses append + foreachBatch on finalized rows
+    q = run_stream_to_memory(windowed_user_counts(stream), "topk_stream")
+    try:
+        got = sorted(
+            (r["day"], r["user_id"], r["n_events"])
+            for r in topk_per_window(spark.table("topk_stream")).collect()
+        )
+        batch = (
+            load_table(spark, "events", SF_DIR)
+            .groupBy(F.window(F.col("ts").cast("timestamp"), "1 day")
+                     .alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("w.start").alias("day"), "user_id", "n_events")
+        )
+        want = sorted(
+            (r["day"], r["user_id"], r["n_events"])
+            for r in topk_per_window(batch).collect()
+        )
+        assert got == want and len(got) > 0
+    finally:
+        q.stop()
 
 
 def test_windowed_counts_match_batch_rollup(spark):
