@@ -156,25 +156,26 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("src"),
                 F.col("b.l_partkey").alias("dst"))
         .distinct()
-        .localCheckpoint()
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    n_nodes = F.broadcast(deg.agg(F.count("*").alias("n")))
+    # fold the degree in via a src-partitioned window (one shuffle, no
+    # join) and checkpoint ONCE: each round then needs one equi-join +
+    # one partial agg against this single materialized table
+    edeg = edges.withColumn(
+        "deg", F.count("*").over(Window.partitionBy("src"))
+    ).localCheckpoint()
+    nodes = edeg.select("src").distinct()
+    n_nodes = F.broadcast(nodes.agg(F.count("*").alias("n")))
     # every node appears as src (the edge list is symmetric by
-    # construction), so deg doubles as the node list
-    ranks = deg.crossJoin(n_nodes).select(
+    # construction), so the src set is the node list
+    ranks = nodes.crossJoin(n_nodes).select(
         F.col("src").alias("part"),
         F.expr(f"CAST({_PR_SCALE} AS BIGINT) div n").alias("rank"),
     )
     for _ in range(_PR_ROUNDS):
-        contrib = ranks.join(
-            deg, ranks["part"] == deg["src"]
-        ).select(
-            F.col("part"), F.expr("rank div deg").alias("contrib"))
         incoming = (
-            edges.join(contrib, edges["src"] == contrib["part"])
+            edeg.join(ranks, edeg["src"] == ranks["part"])
             .groupBy("dst")
-            .agg(F.sum("contrib").cast("long").alias("s"))
+            .agg(F.sum(F.expr("rank div deg")).cast("long").alias("s"))
         )
         ranks = incoming.crossJoin(n_nodes).select(
             F.col("dst").alias("part"),
