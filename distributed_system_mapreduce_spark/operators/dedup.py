@@ -704,7 +704,52 @@ JOIN ({_SRC_SKETCH_SQL}) b ON a.source < b.source
 """
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: match an INCOMING batch of documents against
+    the standing corpus's LSH index without re-pairing the corpus with
+    itself — the daily-ingest posture at 100 TB, where the corpus
+    signatures are computed once and persisted (FileStore.write_keyed
+    on band buckets) and each day's delta only probes them.
+
+    Here the batch is simulated as doc_id % 10 == 0 (the "new" docs);
+    both sides derive from ONE localCheckpointed band table, standing
+    in for the persisted index (the checkpoint is the
+    materialization). The probe is the same (band, sig) equi-join as
+    dedup_minhash but new x corpus instead of corpus x corpus — its
+    cost scales with the DELTA, not the corpus. Output: per new doc,
+    how many corpus near-dup candidates it hits and the best (lowest
+    doc_id) match.
+    """
+    bands = _bands(spark, sf_dir).localCheckpoint()
+    newb = bands.where(F.col("doc_id") % 10 == 0).alias("n")
+    idxb = bands.where(F.col("doc_id") % 10 != 0).alias("i")
+    cand = (
+        newb.join(idxb, ["band", "sig"])
+        .select(F.col("n.doc_id").alias("doc_id"),
+                F.col("i.doc_id").alias("match_id"))
+        .distinct()
+    )
+    return cand.groupBy("doc_id").agg(
+        F.count("*").alias("n_matches"),
+        F.min("match_id").alias("best_match"),
+    )
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT n.doc_id AS doc_id, i.doc_id AS match_id
+  FROM bands n JOIN bands i ON n.band = i.band AND n.sig = i.sig
+  WHERE n.doc_id % 10 = 0 AND i.doc_id % 10 <> 0
+)
+SELECT doc_id, COUNT(*) AS n_matches, MIN(match_id) AS best_match
+FROM cand
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
+    "dedup_incremental": dedup_incremental,
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -717,6 +762,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "dedup_substring": DEDUP_SUBSTRING_SQL,
     "dedup_minhash_estimate": DEDUP_MINHASH_ESTIMATE_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,

@@ -218,14 +218,154 @@ LIMIT 20
 """
 
 
+# strong-tie threshold: parts must be co-ordered in >= 2 distinct
+# orders for an edge — random single co-occurrences are noise, and the
+# support filter is also what keeps wedge fan-out (sum of deg^2) sane.
+_TRI_SUPPORT = 2
+
+
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle census over the STRONG co-purchase graph
+    (edges = part pairs co-ordered in >= _TRI_SUPPORT distinct orders):
+    nodes, edges, and closed triangles — the classic clustering
+    measure (and the classic MapReduce benchmark, which the reference
+    would run as two maple/juice rounds over an edge file).
+
+    Shape: edges are canonical u < v, so each triangle is counted
+    exactly once as u < v < w — two equi-join shuffles (wedge build on
+    the shared middle node, then closure probe), one scalar agg. Wedge
+    fan-out is sum(deg^2) over the support-filtered graph; if a
+    hub survives the support filter at scale, the standard upgrade is
+    degree-orientation (direct each edge low->high degree, bounding
+    out-degree by sqrt(2m)) — same join plan, different edge
+    direction rule.
+    """
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("u"),
+                 F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= _TRI_SUPPORT)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    ab, bc, ac = edges.alias("ab"), edges.alias("bc"), edges.alias("ac")
+    wedges = ab.join(bc, F.col("ab.v") == F.col("bc.u"))
+    tris = wedges.join(
+        ac, (F.col("ab.u") == F.col("ac.u"))
+        & (F.col("bc.v") == F.col("ac.v")))
+    nodes = edges.select(F.col("u").alias("x")).union(
+        edges.select("v")).distinct()
+    return (
+        F.broadcast(nodes.agg(F.count("*").alias("n_nodes")))
+        .crossJoin(F.broadcast(edges.agg(F.count("*").alias("n_edges"))))
+        .crossJoin(F.broadcast(tris.agg(F.count("*").alias("n_triangles"))))
+    )
+
+
+TRIANGLE_COUNT_SQL = f"""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_TRI_SUPPORT}
+)
+SELECT
+  (SELECT COUNT(*) FROM (
+     SELECT u AS x FROM edges UNION SELECT v FROM edges)) AS n_nodes,
+  (SELECT COUNT(*) FROM edges) AS n_edges,
+  (SELECT COUNT(*) FROM edges ab
+     JOIN edges bc ON ab.v = bc.u
+     JOIN edges ac ON ab.u = ac.u AND bc.v = ac.v) AS n_triangles
+"""
+
+
+# orders columns profiled; min/max compare as strings (identical
+# byte-wise semantics in both engines) so one schema fits every type
+_PROFILE_COLS = (
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority",
+)
+
+
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-quality profile of the orders table: per column,
+    null count, exact distinct count, and lexicographic min/max — the
+    "dataset card" / ingest-sanity scan every pipeline runs first.
+
+    Shape: ONE scan computing 4 aggregates x 6 columns (the multiple
+    exact count-distincts compile to a single Expand + two-phase agg —
+    #cols x row replication map-side, still one shuffle of partial
+    states), then the 1-row result is exploded to long form
+    driver-free. At extreme widths swap the exact distincts for
+    approx_count_distinct and drop the Expand entirely.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    n = F.count("*")
+    aggs = [n.alias("_n")]
+    for c in _PROFILE_COLS:
+        s = F.col(c).cast("string")
+        aggs += [
+            (n - F.count(s)).alias(f"{c}_nulls"),
+            F.countDistinct(s).alias(f"{c}_dist"),
+            F.min(s).alias(f"{c}_min"),
+            F.max(s).alias(f"{c}_max"),
+        ]
+    one = o.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"{c}_nulls").alias("n_nulls"),
+            F.col(f"{c}_dist").alias("n_distinct"),
+            F.col(f"{c}_min").alias("min_value"),
+            F.col(f"{c}_max").alias("max_value"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    return one.select(F.explode(F.array(*entries)).alias("e")).select("e.*")
+
+
+_PROFILE_ROWS_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, _n AS n_rows, {c}_nulls AS n_nulls,
+       {c}_dist AS n_distinct, {c}_min AS min_value, {c}_max AS max_value
+       FROM one"""
+    for c in _PROFILE_COLS
+)
+
+PROFILE_ORDERS_SQL = f"""
+WITH one AS (
+  SELECT COUNT(*) AS _n,
+         {", ".join(
+    f"COUNT(*) - COUNT(CAST({c} AS VARCHAR)) AS {c}_nulls, "
+    f"COUNT(DISTINCT CAST({c} AS VARCHAR)) AS {c}_dist, "
+    f"MIN(CAST({c} AS VARCHAR)) AS {c}_min, "
+    f"MAX(CAST({c} AS VARCHAR)) AS {c}_max"
+    for c in _PROFILE_COLS)}
+  FROM orders
+)
+{_PROFILE_ROWS_SQL}
+"""
+
+
 QUERIES = {
     "events_transition_matrix": events_transition_matrix,
     "events_inter_arrival": events_inter_arrival,
     "pagerank_parts": pagerank_parts,
+    "triangle_count": triangle_count,
+    "profile_orders": profile_orders,
 }
 
 ORACLES = {
     "events_transition_matrix": EVENTS_TRANSITION_SQL,
     "events_inter_arrival": EVENTS_INTER_ARRIVAL_SQL,
     "pagerank_parts": PAGERANK_PARTS_SQL,
+    "triangle_count": TRIANGLE_COUNT_SQL,
+    "profile_orders": PROFILE_ORDERS_SQL,
 }
