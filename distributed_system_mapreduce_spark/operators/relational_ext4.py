@@ -354,12 +354,117 @@ WITH one AS (
 """
 
 
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars per event type: open/high/low/close of `value`
+    plus count and volume — the time-series candle rollup.
+
+    Open/close are picked by row_number windows partitioned by
+    (day, type) with a full (ts, event_id) tie-break — deterministic
+    in both engines, unlike first()/arg_min on a timestamp alone when
+    timestamps tie. min/max/count are plain partial aggs; volume goes
+    through a DECIMAL accumulator, DOUBLE at output.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        F.to_date("ts").alias("day"), "event_type", "ts", "event_id",
+        "value")
+    wo = Window.partitionBy("day", "event_type").orderBy(
+        "ts", "event_id")
+    wc = Window.partitionBy("day", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id"))
+    marked = ev.select(
+        "day", "event_type", "value",
+        F.row_number().over(wo).alias("rn_o"),
+        F.row_number().over(wc).alias("rn_c"),
+    )
+    return marked.groupBy("day", "event_type").agg(
+        F.max(F.when(F.col("rn_o") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_c") == 1, F.col("value"))).alias("close"),
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double").alias("volume"),
+    )
+
+
+EVENTS_OHLC_SQL = """
+WITH marked AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY CAST(ts AS DATE), event_type
+                            ORDER BY ts, event_id) AS rn_o,
+         ROW_NUMBER() OVER (PARTITION BY CAST(ts AS DATE), event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn_c
+  FROM events
+)
+SELECT day, event_type,
+       MAX(CASE WHEN rn_o = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_c = 1 THEN value END) AS close,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
+FROM marked
+GROUP BY day, event_type
+"""
+
+
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill a sparse measure: the JSON ``$.k`` prop is only
+    present on some events; carry the user's last observed value
+    forward onto every event (sensor/state gap-fill). Output is
+    per-event, summarized per (type, has-fill) for a bounded result:
+    the full-width filled stream is the intermediate.
+
+    last(ignorenulls) over a user-partitioned running frame — the
+    canonical carry-forward; never a global window.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = ev.select(
+        "event_type",
+        k.alias("k"),
+        F.last(k, ignorenulls=True).over(w).alias("k_filled"),
+    )
+    return filled.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count("k").alias("n_observed"),
+        F.count("k_filled").alias("n_filled"),
+        F.sum("k_filled").cast("long").alias("sum_filled"),
+    )
+
+
+EVENTS_GAP_FILL_SQL = """
+WITH filled AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         LAST_VALUE(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS k_filled
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(k) AS n_observed,
+       COUNT(k_filled) AS n_filled,
+       CAST(SUM(k_filled) AS BIGINT) AS sum_filled
+FROM filled
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "events_transition_matrix": events_transition_matrix,
     "events_inter_arrival": events_inter_arrival,
     "pagerank_parts": pagerank_parts,
     "triangle_count": triangle_count,
     "profile_orders": profile_orders,
+    "events_ohlc": events_ohlc,
+    "events_gap_fill": events_gap_fill,
 }
 
 ORACLES = {
@@ -368,4 +473,6 @@ ORACLES = {
     "pagerank_parts": PAGERANK_PARTS_SQL,
     "triangle_count": TRIANGLE_COUNT_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,
+    "events_ohlc": EVENTS_OHLC_SQL,
+    "events_gap_fill": EVENTS_GAP_FILL_SQL,
 }
