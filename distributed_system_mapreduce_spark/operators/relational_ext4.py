@@ -457,6 +457,85 @@ GROUP BY event_type
 """
 
 
+def orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog timeline: per day, orders opened, orders
+    fulfilled (last line shipped), and the running count of still-open
+    orders — the interval-to-timeline shape behind every WIP/queue
+    dashboard.
+
+    The running sum is EXACT and global yet never computed in a
+    global window (single-partition sort = non-viable at scale): daily
+    deltas aggregate first (calendar-bounded rows), then per-YEAR
+    totals — O(#years) scalars — stitch year-partitioned cumsum
+    windows into the global prefix sum, the same distributed
+    prefix-sum discipline as range_partition_hist.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    opens = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count("*").alias("n_opened"))
+    fulf = (
+        li.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("day"))
+        .groupBy("day").agg(F.count("*").alias("n_fulfilled"))
+    )
+    days = (
+        opens.join(fulf, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_opened", F.lit(0)).alias("n_opened"),
+            F.coalesce("n_fulfilled", F.lit(0)).alias("n_fulfilled"),
+        )
+        .withColumn("yr", F.year("day"))
+        .withColumn("delta", F.col("n_opened") - F.col("n_fulfilled"))
+    )
+    ytot = {
+        r["yr"]: r["t"]
+        for r in days.groupBy("yr").agg(
+            F.sum("delta").alias("t")).collect()
+    }
+    offs, run = [], 0
+    for yr in sorted(ytot):
+        offs.append((yr, run))
+        run += ytot[yr]
+    off_df = spark.createDataFrame(offs or [(0, 0)], "yr int, off long")
+    w = (
+        Window.partitionBy("yr").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        days.join(F.broadcast(off_df), "yr")
+        .select(
+            "day", "n_opened", "n_fulfilled",
+            (F.sum("delta").over(w) + F.col("off")).alias("backlog"),
+        )
+    )
+
+
+ORDERS_BACKLOG_SQL = """
+WITH opens AS (
+  SELECT o_orderdate AS day, COUNT(*) AS n_opened FROM orders GROUP BY 1
+),
+fulf AS (
+  SELECT day, COUNT(*) AS n_fulfilled
+  FROM (SELECT l_orderkey, MAX(l_shipdate) AS day
+        FROM lineitem GROUP BY 1)
+  GROUP BY day
+),
+days AS (
+  SELECT COALESCE(o.day, f.day) AS day,
+         COALESCE(n_opened, 0) AS n_opened,
+         COALESCE(n_fulfilled, 0) AS n_fulfilled
+  FROM opens o FULL JOIN fulf f ON o.day = f.day
+)
+SELECT day, n_opened, n_fulfilled,
+       CAST(SUM(n_opened - n_fulfilled)
+              OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS backlog
+FROM days
+"""
+
+
 QUERIES = {
     "events_transition_matrix": events_transition_matrix,
     "events_inter_arrival": events_inter_arrival,
@@ -465,9 +544,11 @@ QUERIES = {
     "profile_orders": profile_orders,
     "events_ohlc": events_ohlc,
     "events_gap_fill": events_gap_fill,
+    "orders_backlog": orders_backlog,
 }
 
 ORACLES = {
+    "orders_backlog": ORDERS_BACKLOG_SQL,
     "events_transition_matrix": EVENTS_TRANSITION_SQL,
     "events_inter_arrival": EVENTS_INTER_ARRIVAL_SQL,
     "pagerank_parts": PAGERANK_PARTS_SQL,

@@ -95,7 +95,7 @@ _PRIORITY = [
     "events_transition_matrix", "events_inter_arrival", "pagerank_parts",
     "pack_chunks", "bigram_lift",
     "dedup_incremental", "triangle_count", "profile_orders",
-    "events_ohlc", "events_gap_fill",
+    "events_ohlc", "events_gap_fill", "orders_backlog",
     # multimodal decode family: stub kernel is deterministic md5
     # arithmetic, so the Arrow stage is oracle-checked end-to-end
     "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
