@@ -20,6 +20,7 @@ from distributed_system_mapreduce_spark.operators import (
     curation3,
     dedup,
     engine_queries,
+    export,
     mapreduce_queries,
     multimodal,
     relational,
@@ -36,7 +37,7 @@ _MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
             engine_queries, text_analysis, curation, curation2, curation3,
             dedup,
             similarity, clustering,
-            multimodal, asof]
+            multimodal, asof, export]
 
 _MERGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -96,6 +97,7 @@ _PRIORITY = [
     "pack_chunks", "bigram_lift",
     "dedup_incremental", "triangle_count", "profile_orders",
     "events_ohlc", "events_gap_fill", "orders_backlog",
+    "training_batches_digest",
     # multimodal decode family: stub kernel is deterministic md5
     # arithmetic, so the Arrow stage is oracle-checked end-to-end
     "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
