@@ -536,6 +536,98 @@ FROM days
 """
 
 
+def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands pattern: distinct (user, day) pairs, island id =
+    day minus row_number (constant within a consecutive run), then
+    per-island lengths rolled up per user.
+
+    Every window is user-partitioned; the distinct reduces the stream
+    to at most users x days rows before any window sort. Output is
+    exact integers only.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    pairs = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = pairs.select(
+        "user_id", "day",
+        F.date_sub("day", F.row_number().over(w)).alias("island"),
+    )
+    per_island = islands.groupBy("user_id", "island").agg(
+        F.count("*").alias("streak"))
+    return per_island.groupBy("user_id").agg(
+        F.sum("streak").cast("long").alias("n_active_days"),
+        F.count("*").alias("n_streaks"),
+        F.max("streak").alias("max_streak"),
+    )
+
+
+EVENTS_STREAKS_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+islands AS (
+  SELECT user_id, day,
+         day - CAST(ROW_NUMBER() OVER
+           (PARTITION BY user_id ORDER BY day) AS INTEGER) AS island
+  FROM pairs
+),
+per_island AS (
+  SELECT user_id, island, COUNT(*) AS streak
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(SUM(streak) AS BIGINT) AS n_active_days,
+       COUNT(*) AS n_streaks,
+       MAX(streak) AS max_streak
+FROM per_island
+GROUP BY user_id
+"""
+
+
+def supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier fulfillment latency: days between order date and
+    each line's ship date — supply-chain SLA profiling.
+
+    One fact-fact equi-join shuffle on orderkey (AQE handles skew),
+    integer day arithmetic, one partial-agg shuffle per supplier; the
+    mean is a single division of exact ints.
+    """
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_suppkey",
+        F.datediff("l_shipdate", "o_orderdate").alias("lead_days"))
+    n = F.count("*")
+    return j.groupBy("l_suppkey").agg(
+        n.alias("n_lines"),
+        F.min("lead_days").alias("min_lead"),
+        F.max("lead_days").alias("max_lead"),
+        F.sum("lead_days").cast("long").alias("sum_lead"),
+        (F.sum("lead_days").cast("double") / n.cast("double"))
+        .alias("avg_lead"),
+    )
+
+
+SUPPLIER_LEAD_TIME_SQL = """
+SELECT l_suppkey,
+       COUNT(*) AS n_lines,
+       MIN(lead_days) AS min_lead,
+       MAX(lead_days) AS max_lead,
+       CAST(SUM(lead_days) AS BIGINT) AS sum_lead,
+       CAST(SUM(lead_days) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS avg_lead
+FROM (
+  SELECT l_suppkey,
+         date_diff('day', o_orderdate, l_shipdate) AS lead_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+GROUP BY l_suppkey
+"""
+
+
 QUERIES = {
     "events_transition_matrix": events_transition_matrix,
     "events_inter_arrival": events_inter_arrival,
@@ -545,10 +637,14 @@ QUERIES = {
     "events_ohlc": events_ohlc,
     "events_gap_fill": events_gap_fill,
     "orders_backlog": orders_backlog,
+    "events_streaks": events_streaks,
+    "supplier_lead_time": supplier_lead_time,
 }
 
 ORACLES = {
     "orders_backlog": ORDERS_BACKLOG_SQL,
+    "events_streaks": EVENTS_STREAKS_SQL,
+    "supplier_lead_time": SUPPLIER_LEAD_TIME_SQL,
     "events_transition_matrix": EVENTS_TRANSITION_SQL,
     "events_inter_arrival": EVENTS_INTER_ARRIVAL_SQL,
     "pagerank_parts": PAGERANK_PARTS_SQL,
