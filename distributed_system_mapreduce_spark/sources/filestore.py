@@ -137,6 +137,80 @@ class FileStore:
         read loses bucket metadata)."""
         return self.spark.table(name)
 
+    # ----------------------------------- data skipping: z-order + manifest
+    def write_zorder(self, df: DataFrame, name: str, col_a: str,
+                     col_b: str, n_files: int = 32,
+                     bits: int = 16) -> None:
+        """Z-order (Morton-curve) layout over two integer dimensions:
+        interleave the low `bits` bits of both columns and range-
+        partition on the curve position, so each output file covers a
+        small RECTANGLE in (a, b) space instead of a thin slice of one
+        dimension. With per-file min/max stats (see manifest()), box
+        predicates on EITHER OR BOTH columns then skip most files —
+        the multi-dimensional clustering trick behind Delta/Iceberg
+        OPTIMIZE ZORDER, built from plain Spark: a bit-twiddling
+        expression + repartitionByRange + parquet.
+
+        Values are clamped into [0, 2^bits) rank space by pmod — for
+        real workloads rank-transform first (z-order needs bounded
+        ints, not raw keys)."""
+        from pyspark.sql import functions as F
+
+        a = F.pmod(F.col(col_a).cast("long"), 1 << bits)
+        b = F.pmod(F.col(col_b).cast("long"), 1 << bits)
+        z = None
+        for i in range(bits):
+            ta = F.shiftleft(F.shiftright(a, i).bitwiseAND(1), 2 * i)
+            tb = F.shiftleft(F.shiftright(b, i).bitwiseAND(1), 2 * i + 1)
+            z = ta.bitwiseOR(tb) if z is None else z.bitwiseOR(ta).bitwiseOR(tb)
+        (
+            df.withColumn("_z", z)
+            .repartitionByRange(n_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+            .write.format("parquet").mode("overwrite")
+            .save(self._path(name))
+        )
+
+    def manifest(self, name: str, cols: list[str]) -> DataFrame:
+        """Per-file min/max stats for `cols` — the data-skipping index
+        (what a lakehouse table format keeps in its metadata layer).
+        One scan computes it; persisted as `<name>__manifest` so
+        read_pruned() plans from the manifest without touching data."""
+        from pyspark.sql import functions as F
+
+        df = self.read(name).withColumn("_f", F.input_file_name())
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+        m = df.groupBy("_f").agg(*aggs)
+        self.write(m, f"{name}__manifest")
+        return m
+
+    def read_pruned(self, name: str, ranges: dict[str, tuple]) -> DataFrame:
+        """Manifest-driven file skipping: keep only files whose
+        [min, max] envelope intersects every requested range, read
+        just those paths, and apply the residual filter. The manifest
+        read is metadata-scale; the data scan touches the surviving
+        files only — this is the explicit form of the pruning a
+        lakehouse format does inside its scan planning, and the test
+        asserts both equivalence with the full scan and that files
+        were actually skipped."""
+        from pyspark.sql import functions as F
+
+        man = self.read(f"{name}__manifest")
+        cond = F.lit(True)
+        for c, (lo, hi) in ranges.items():
+            cond = cond & (F.col(f"{c}_max") >= lo) & (F.col(f"{c}_min") <= hi)
+        files = [r["_f"] for r in man.where(cond).select("_f").collect()]
+        if not files:
+            out = self.read(name).limit(0)
+        else:
+            out = self.spark.read.parquet(*files)
+        for c, (lo, hi) in ranges.items():
+            out = out.where((F.col(c) >= lo) & (F.col(c) <= hi))
+        return out
+
     # ------------------------------------------- keyed incremental merge
     _MERGE_BUCKET = "_kbucket"
 
