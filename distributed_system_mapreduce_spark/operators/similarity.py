@@ -271,7 +271,7 @@ _CELL_SQL = f"""
 """.format(dist=V.dist2_sql("v.embedding", "s.cemb"))
 
 
-NPROBE = 2  # query probes its 2 nearest cells (corpus vecs stay in 1)
+NPROBE = 4  # query probes its 4 nearest cells (corpus vecs stay in 1)
 
 
 def _query_probes(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -45,10 +45,11 @@ def test_lsh_recall_beats_chance(spark):
 
 
 def test_ivf_recall_beats_chance(spark):
-    """nprobe=2 IVF (16 cells => ~12% probed chance) must beat chance
-    by a wide margin (nprobe=1 measured 0.2 here)."""
+    """nprobe=4 IVF (16 cells => ~25% probed chance) must beat chance
+    by a wide margin (nprobe=1 measured 0.2, nprobe=2 0.28, nprobe=4
+    0.52 here — recall/cost knob documented in ann_topk_ivf)."""
     r = _recall_vs_brute(spark, "ann_topk_ivf")
-    assert r >= 0.25, r
+    assert r >= 0.40, r
 
 
 def test_pq_recall_beats_chance(spark):
