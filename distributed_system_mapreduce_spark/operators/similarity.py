@@ -126,7 +126,7 @@ _BUCKET_SQL = f"""
 """
 
 
-N_BANDS = 4  # banded LSH: recall 1-(1-p^ppb)^bands vs single-bucket p^8
+N_BANDS = 6  # banded LSH: recall 1-(1-p^ppb)^bands vs single-bucket p^8
 PLANES_PER_BAND = 4  # grow ~log2(corpus/target_bucket) at scale
 
 

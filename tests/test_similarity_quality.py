@@ -39,9 +39,10 @@ def _recall_vs_brute(spark, name):
 def test_lsh_recall_beats_chance(spark):
     """Banded sign-LSH must retrieve a large multiple of the chance
     recall (per-band bucket fraction ~ 1/2^ppb ~ 6%; the pre-banding
-    single-bucket formulation measured 0.0 here)."""
+    single-bucket formulation measured 0.0 here; 4 bands 0.34, 6
+    bands 0.52)."""
     r = _recall_vs_brute(spark, "ann_topk_lsh")
-    assert r >= 0.25, r
+    assert r >= 0.40, r
 
 
 def test_ivf_recall_beats_chance(spark):
