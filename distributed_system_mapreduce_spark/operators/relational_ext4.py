@@ -307,17 +307,27 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_count_distinct and drop the Expand entirely.
     """
     o = load_table(spark, "orders", sf_dir)
+    # project the string casts ONCE per row — aggregate expressions
+    # are re-evaluated per Expand replica otherwise (#distinct-cols x)
+    proj = o.select(
+        *[F.col(c) for c in _PROFILE_COLS],
+        *[F.col(c).cast("string").alias(f"_{c}_s")
+          for c in _PROFILE_COLS],
+    )
     n = F.count("*")
     aggs = [n.alias("_n")]
     for c in _PROFILE_COLS:
-        s = F.col(c).cast("string")
+        s = F.col(f"_{c}_s")
         aggs += [
             (n - F.count(s)).alias(f"{c}_nulls"),
-            F.countDistinct(s).alias(f"{c}_dist"),
+            # distinct over the NATIVE column (string cast is
+            # injective for these types, so counts agree with the
+            # VARCHAR oracle) — keeps the Expand stream narrow
+            F.countDistinct(c).alias(f"{c}_dist"),
             F.min(s).alias(f"{c}_min"),
             F.max(s).alias(f"{c}_max"),
         ]
-    one = o.agg(*aggs)
+    one = proj.agg(*aggs)
     entries = [
         F.struct(
             F.lit(c).alias("col_name"),
@@ -344,7 +354,7 @@ WITH one AS (
   SELECT COUNT(*) AS _n,
          {", ".join(
     f"COUNT(*) - COUNT(CAST({c} AS VARCHAR)) AS {c}_nulls, "
-    f"COUNT(DISTINCT CAST({c} AS VARCHAR)) AS {c}_dist, "
+    f"COUNT(DISTINCT {c}) AS {c}_dist, "
     f"MIN(CAST({c} AS VARCHAR)) AS {c}_min, "
     f"MAX(CAST({c} AS VARCHAR)) AS {c}_max"
     for c in _PROFILE_COLS)}
