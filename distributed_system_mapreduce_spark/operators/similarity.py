@@ -599,12 +599,49 @@ GROUP BY a
 """
 
 
+def embedding_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style emit: a vector survives semantic dedup iff it is
+    in no near-dup component, or it is its component's representative
+    (min vec_id) — the embedding-side twin of the text pipeline's
+    dedup_apply, completing pairs -> components -> kept-corpus.
+
+    The corpus scan stays un-shuffled: component labels cover only
+    vectors in the near-dup graph (tiny vs corpus) and broadcast onto
+    a left join; the keep-filter is narrow."""
+    vecs = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label")
+    comp = embedding_components(spark, sf_dir)
+    return (
+        vecs.join(F.broadcast(comp), "vec_id", "left")
+        .filter(F.col("component").isNull()
+                | (F.col("component") == F.col("vec_id")))
+        .select(
+            "vec_id", "label",
+            F.coalesce("component", F.col("vec_id")).alias("component"),
+            F.col("component").isNotNull().cast("long")
+            .alias("was_clustered"),
+        )
+    )
+
+
+EMBEDDING_DEDUP_APPLY_SQL = f"""
+WITH comp AS ({EMBEDDING_COMPONENTS_SQL})
+SELECT v.vec_id, v.label,
+       COALESCE(c.component, v.vec_id) AS component,
+       CAST(CASE WHEN c.component IS NOT NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS was_clustered
+FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.vec_id
+WHERE c.component IS NULL OR c.component = v.vec_id
+"""
+
+
 QUERIES = {
     "ann_topk_brute": ann_topk_brute,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
     "dedup_embedding": dedup_embedding,
     "embedding_components": embedding_components,
+    "embedding_dedup_apply": embedding_dedup_apply,
     "ann_topk_pq": ann_topk_pq,
 }
 
@@ -614,5 +651,6 @@ ORACLES = {
     "ann_topk_ivf": ANN_TOPK_IVF_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
     "embedding_components": EMBEDDING_COMPONENTS_SQL,
+    "embedding_dedup_apply": EMBEDDING_DEDUP_APPLY_SQL,
     "ann_topk_pq": ANN_TOPK_PQ_SQL,
 }

@@ -98,6 +98,7 @@ _PRIORITY = [
     "dedup_incremental", "triangle_count", "profile_orders",
     "events_ohlc", "events_gap_fill", "orders_backlog",
     "training_batches_digest", "events_streaks", "supplier_lead_time",
+    "embedding_dedup_apply",
     # multimodal decode family: stub kernel is deterministic md5
     # arithmetic, so the Arrow stage is oracle-checked end-to-end
     "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
