@@ -5,6 +5,7 @@ from distributed_system_mapreduce_spark.streaming.jobs import (  # noqa: F401
     read_events_stream,
     run_stream_to_memory,
     session_window_counts,
+    sessionize_closed_stream,
     sessionize_stream,
     stream_to_filestore,
     topk_per_window,

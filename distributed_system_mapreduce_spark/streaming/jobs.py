@@ -183,6 +183,93 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
     )
 
 
+_CLOSED_OUT = StructType([
+    StructField("user_id", LongType()),
+    StructField("session_start", TimestampType()),
+    StructField("session_end", TimestampType()),
+    StructField("n_events", LongType()),
+])
+
+_CLOSED_STATE = StructType([
+    StructField("start_us", LongType()),
+    StructField("last_us", LongType()),
+    StructField("n", LongType()),
+])
+
+
+def _sessionize_closed_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Emit CLOSED sessions: a session closes when a later event
+    opens the next one, or when the event-time TIMEOUT fires (the
+    watermark passed last_event + gap with no new activity) — the
+    timer is what lets a continuous run both bound its state and
+    flush tail sessions without waiting for the user to come back."""
+    gap_us = SESSION_GAP_S * 1_000_000
+    out = {"user_id": [], "start_us": [], "end_us": [], "n": []}
+
+    def close(start_us, end_us, n):
+        out["user_id"].append(key[0])
+        out["start_us"].append(start_us)
+        out["end_us"].append(end_us)
+        out["n"].append(n)
+
+    if state.hasTimedOut:
+        if state.exists:
+            s, e, n = state.get
+            close(s, e, n)
+        state.remove()
+    else:
+        cur = state.get if state.exists else None
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            allpdf = pd.concat(chunks).sort_values("ts") \
+                if len(chunks) > 1 else chunks[0].sort_values("ts")
+            for ts in allpdf["ts"]:
+                us = int(ts.value // 1000)
+                if cur is None:
+                    cur = (us, us, 1)
+                elif us - cur[1] > gap_us:
+                    close(*cur)
+                    cur = (us, us, 1)
+                else:
+                    cur = (cur[0], us, cur[2] + 1)
+        if cur is not None:
+            state.update(cur)
+            # event-time timer: fire when the watermark passes the
+            # open session's gap horizon (ms granularity)
+            state.setTimeoutTimestamp(cur[1] // 1000 + SESSION_GAP_S * 1000)
+    if out["user_id"]:
+        yield pd.DataFrame({
+            "user_id": out["user_id"],
+            "session_start": pd.to_datetime(out["start_us"], unit="us"),
+            "session_end": pd.to_datetime(out["end_us"], unit="us"),
+            "n_events": out["n"],
+        })
+
+
+def sessionize_closed_stream(events: DataFrame,
+                             watermark: str = "1 hour") -> DataFrame:
+    """Closed-session emitter: applyInPandasWithState with an
+    EVENT-TIME TIMEOUT. Unlike sessionize_stream (running per-user
+    counters, NoTimeout, state = #users forever), this one's state is
+    only the OPEN sessions inside the watermark+gap horizon — the
+    bounded-state posture for an unbounded-user 100 TB/day stream —
+    and each closed session is emitted exactly once, either when the
+    next session opens or when its timeout fires."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_closed_fn,
+            outputStructType=_CLOSED_OUT,
+            stateStructType=_CLOSED_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def session_window_counts(events: DataFrame,
                           gap: str = "30 minutes",
                           watermark: str = "2 days") -> DataFrame:

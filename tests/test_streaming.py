@@ -355,3 +355,95 @@ def test_session_window_matches_custom_sessionizer(spark):
         assert per_user_events == want_events
     finally:
         q.stop()
+
+
+def test_closed_sessions_with_event_time_timeout(spark, tmp_path):
+    """sessionize_closed_stream must emit every closed session exactly
+    once: sessions followed by later activity close inline; idle tail
+    sessions close when their EVENT-TIME TIMEOUT fires as the
+    watermark advances across micro-batches. Input is split into
+    time-ordered weekly files (maxFilesPerTrigger=1) so the watermark
+    actually moves between batches."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from distributed_system_mapreduce_spark.streaming.jobs import (
+        EVENT_SCHEMA,
+        SESSION_GAP_S,
+        sessionize_closed_stream,
+    )
+    from distributed_system_mapreduce_spark.tables import load_table
+
+    ev = load_table(spark, "events", SF_DIR)
+    # weekly time-sliced files, written oldest-first so the file
+    # source replays them in event-time order
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    cur, idx = pd.Timestamp(lo).floor("D"), 0
+    while cur <= pd.Timestamp(hi):
+        nxt = cur + pd.Timedelta(days=7)
+        part = ev.where(
+            (F.col("ts") >= F.lit(cur.to_pydatetime()))
+            & (F.col("ts") < F.lit(nxt.to_pydatetime())))
+        pdf = part.toPandas()
+        if len(pdf):
+            # pyarrow must write timestamp[us] no-tz to match the
+            # reader's TIMESTAMP_NTZ expectation
+            pdf.to_parquet(src / f"wk{idx:03d}.parquet",
+                           coerce_timestamps="us",
+                           allow_truncated_timestamps=True)
+        cur, idx = nxt, idx + 1
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = run_stream_to_memory(
+        sessionize_closed_stream(stream), "closed_sessions",
+        output_mode="append")
+    try:
+        got = [
+            (r["user_id"], pd.Timestamp(r["session_start"]).value // 1000,
+             pd.Timestamp(r["session_end"]).value // 1000, r["n_events"])
+            for r in spark.table("closed_sessions").collect()
+        ]
+        # batch truth: per-user gap sessions
+        w = Window.partitionBy("user_id").orderBy("ts")
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        gap_new = (
+            (us - F.lag(us, 1).over(w)) > SESSION_GAP_S * 1_000_000
+        ).cast("long")
+        sess = (
+            ev.select("user_id", us.alias("us"),
+                      F.coalesce(gap_new, F.lit(1)).alias("new_s"))
+            .withColumn("sid", F.sum("new_s").over(
+                Window.partitionBy("user_id").orderBy("us")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .groupBy("user_id", "sid")
+            .agg(F.min("us").alias("s"), F.max("us").alias("e"),
+                 F.count("*").alias("n"))
+        )
+        truth = {(r["user_id"], r["s"], r["e"], r["n"])
+                 for r in sess.collect()}
+        last_per_user = {
+            (r["user_id"], r["s"], r["e"], r["n"])
+            for r in sess.withColumn(
+                "rk", F.row_number().over(
+                    Window.partitionBy("user_id").orderBy(F.desc("e"))))
+            .where("rk = 1").collect()
+        }
+        got_set = set(got)
+        assert len(got) == len(got_set)  # exactly-once
+        assert got_set <= truth  # every emission is a real session
+        # all non-final sessions MUST have been emitted (closed by the
+        # next session's arrival, batching-independent)
+        assert truth - last_per_user <= got_set
+        # and the event-time timeout must have fired for at least some
+        # idle tail sessions (weekly batches push the watermark far
+        # past most users' last activity)
+        assert got_set & last_per_user, "no timeout-closed sessions"
+    finally:
+        q.stop()
