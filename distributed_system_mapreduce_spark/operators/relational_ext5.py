@@ -1,0 +1,293 @@
+"""Relational/curation wave 5: rolling-order statistics, vocabulary
+growth, graph degree census, month-over-month trend, and text
+normalization.
+
+Reference analogue: each of these is the shape of a 1-2 round
+maple/juice chain over SDFS intermediates (per-key shuffle + reduce,
+/root/reference/maple_juice/maple_juice.go:241 exe contract); here
+each is a single Catalyst plan with partial aggregation.
+
+Exactness discipline matches relational.py / relational_ext4.py:
+integer arithmetic wherever possible, DECIMAL accumulators for money,
+doubles only in fixed evaluation order replicated verbatim in the
+DuckDB oracle (e.g. the rolling median is (a+b)/2 of two sorted
+elements on BOTH engines — never the engine's own median(), whose
+interpolation expression may differ in float op order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from distributed_system_mapreduce_spark.functions import text as X
+from distributed_system_mapreduce_spark.tables import load_table
+
+_ROLL_N = 10  # rolling frame length (rows), per user
+
+
+def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median of `value` over each user's last
+    {n} events (rows frame, ordered by ts/event_id) — the robust
+    smoother behind rate-limit/anomaly baselines where the mean is
+    skew-fragile.
+
+    Shape: one user-partitioned window (never global) with a BOUNDED
+    rows frame — state per row is {n} doubles, independent of corpus
+    size. The median is computed from the sorted frame array with an
+    explicit (a+b)/2 midpoint so the float expression is identical on
+    both engines (engine-native median()/quantile interpolation is
+    a + 0.5*(b-a) in some engines — not bit-identical).
+    """.format(n=_ROLL_N)
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-(_ROLL_N - 1), Window.currentRow)
+    )
+    fr = ev.select(
+        "event_id", "user_id", "event_type", "value",
+        F.array_sort(F.collect_list("value").over(w)).alias("s"),
+    )
+    return fr.select(
+        "event_id", "user_id", "event_type", "value",
+        F.expr(
+            "CASE WHEN size(s) % 2 = 1 "
+            "THEN element_at(s, CAST((size(s)+1) DIV 2 AS INT)) "
+            "ELSE (element_at(s, CAST(size(s) DIV 2 AS INT)) "
+            "      + element_at(s, CAST(size(s) DIV 2 + 1 AS INT))) / 2 END"
+        ).alias("roll_med"),
+    )
+
+
+EVENTS_ROLLING_MEDIAN_SQL = f"""
+WITH fr AS (
+  SELECT event_id, user_id, event_type, value,
+         list_sort(list(value) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN {_ROLL_N - 1} PRECEDING AND CURRENT ROW)) AS s
+  FROM events
+)
+SELECT event_id, user_id, event_type, value,
+       CASE WHEN len(s) % 2 = 1 THEN s[(len(s)+1) // 2]
+            ELSE (s[len(s) // 2] + s[len(s) // 2 + 1]) / 2 END AS roll_med
+FROM fr
+"""
+
+
+_VOCAB_BUCKET = 50  # docs per growth-curve bucket
+
+
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve over word-BIGRAM units:
+    scanning documents in doc_id order, how many NEW distinct bigrams
+    does each bucket of {b} docs contribute, and what is the
+    cumulative vocabulary size — the tokenizer-sizing /
+    merge-candidate-space diagnostic (unigrams saturate instantly on a
+    bounded vocab; the bigram space is where growth lives).
+
+    Shape: per-doc array_distinct before the explode (caps the shuffle
+    at distinct-bigrams-per-doc), one partial-agg shuffle to
+    min(doc_id) per bigram, one to bucket counts. The cumulative sum
+    is NOT a global window: buckets are O(#docs/{b}) aggregate rows,
+    so a broadcast triangular self-join (b2 <= b) computes the prefix
+    sum with bounded fan-out — same discipline as orders_backlog's
+    stitched cumsum.
+    """.format(b=_VOCAB_BUCKET)
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", X.tokens().alias("toks"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.expr(X.shingles_from("toks")))).alias("tok"),
+    )
+    first = grams.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    nb = (
+        first.select(F.expr(f"first_doc DIV {_VOCAB_BUCKET}").alias("bucket"))
+        .groupBy("bucket").agg(F.count("*").alias("n_new_tokens"))
+    )
+    b2 = nb.select(F.col("bucket").alias("b2"),
+                   F.col("n_new_tokens").alias("m"))
+    return (
+        nb.join(F.broadcast(b2), F.col("b2") <= F.col("bucket"))
+        .groupBy("bucket", "n_new_tokens")
+        .agg(F.sum("m").cast("long").alias("vocab_size"))
+    )
+
+
+VOCAB_GROWTH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({X.SHINGLES_SQL})) AS tok
+  FROM documents
+),
+first AS (SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok),
+nb AS (
+  SELECT first_doc // {_VOCAB_BUCKET} AS bucket,
+         COUNT(*) AS n_new_tokens
+  FROM first GROUP BY 1
+)
+SELECT a.bucket, a.n_new_tokens,
+       CAST(SUM(b.n_new_tokens) AS BIGINT) AS vocab_size
+FROM nb a JOIN nb b ON b.bucket <= a.bucket
+GROUP BY a.bucket, a.n_new_tokens
+"""
+
+
+_DEG_SUPPORT = 2  # same strong-tie threshold as triangle_count
+
+
+def graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the strong co-purchase graph (edges =
+    part pairs co-ordered in >= {s} distinct orders): degree ->
+    node count — the skew census you run BEFORE any per-node graph
+    algorithm (it is what tells you whether pagerank/triangles need
+    hub-splitting at scale).
+
+    Shape: the canonical u<v edge build (linear in orders, see
+    triangle_count), symmetrized by a cheap union, then two partial-agg
+    shuffles (degree per node, nodes per degree). Output is bounded by
+    the max degree.
+    """.format(s=_DEG_SUPPORT)
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("u"),
+                 F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= _DEG_SUPPORT)
+        .select("u", "v")
+    )
+    sym = edges.union(edges.select(F.col("v"), F.col("u")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+GRAPH_DEGREE_DIST_SQL = f"""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_DEG_SUPPORT}
+),
+sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+deg AS (SELECT u AS node, COUNT(*) AS degree FROM sym GROUP BY u)
+SELECT degree, COUNT(*) AS n_nodes
+FROM deg GROUP BY degree
+"""
+
+
+def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month order volume and revenue growth — the trend
+    dashboard: per calendar month, order count, revenue, and the
+    relative change vs the previous month (NULL for the first).
+
+    Revenue goes through a DECIMAL(18,2) accumulator (o_totalprice is
+    a 2-decimal money double; summation-order-independent), DOUBLE at
+    output. The previous-month lookup is a broadcast self-join on
+    month_key - 1 over the ALREADY-AGGREGATED month table (bounded by
+    the calendar) — no global window anywhere.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    m = (
+        o.groupBy(F.year("o_orderdate").alias("yr"),
+                  F.month("o_orderdate").alias("mon"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("revenue"),
+        )
+        .withColumn("mkey", F.col("yr") * 12 + F.col("mon"))
+    )
+    prev = m.select(
+        (F.col("mkey") + 1).alias("mkey"),
+        F.col("revenue").alias("prev_revenue"),
+    )
+    return (
+        m.join(F.broadcast(prev), "mkey", "left")
+        .select(
+            "yr", "mon", "n_orders", "revenue", "prev_revenue",
+            ((F.col("revenue") - F.col("prev_revenue"))
+             / F.col("prev_revenue")).alias("mom_growth"),
+        )
+    )
+
+
+ORDERS_MOM_GROWTH_SQL = """
+WITH m AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS yr,
+         EXTRACT(month FROM o_orderdate) AS mon,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS revenue,
+         EXTRACT(year FROM o_orderdate) * 12
+           + EXTRACT(month FROM o_orderdate) AS mkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT a.yr, a.mon, a.n_orders, a.revenue,
+       b.revenue AS prev_revenue,
+       (a.revenue - b.revenue) / b.revenue AS mom_growth
+FROM m a LEFT JOIN m b ON a.mkey = b.mkey + 1
+"""
+
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic text canonicalization emit: lowercase, map
+    non-alphanumerics to spaces, collapse space runs, trim — the
+    cleanup pass that precedes tokenizer training, plus a changed flag
+    and the post-normalization token count.
+
+    Narrow per-row expressions only (no shuffle at all — the plan is
+    scan -> project); the regex classes are chosen from the Java/RE2
+    common subset (see functions/text.py on the \\v divergence) so
+    Spark and DuckDB replace identically.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +", " "))
+    staged = docs.select("doc_id", "text", norm.alias("norm_text"))
+    return staged.select(
+        "doc_id",
+        "norm_text",
+        F.expr("size(filter(split(norm_text, ' '), t -> t <> ''))")
+        .alias("n_tokens_norm"),
+        (F.col("norm_text") != F.col("text")).cast("long").alias("changed"),
+    )
+
+
+TEXT_NORMALIZE_SQL = """
+WITH n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+  FROM documents
+)
+SELECT doc_id, norm_text,
+       len(list_filter(string_split(norm_text, ' '), t -> t <> ''))
+         AS n_tokens_norm,
+       CAST(norm_text <> text AS BIGINT) AS changed
+FROM n
+"""
+
+
+QUERIES = {
+    "events_rolling_median": events_rolling_median,
+    "vocab_growth": vocab_growth,
+    "graph_degree_dist": graph_degree_dist,
+    "orders_mom_growth": orders_mom_growth,
+    "text_normalize": text_normalize,
+}
+
+ORACLES = {
+    "events_rolling_median": EVENTS_ROLLING_MEDIAN_SQL,
+    "vocab_growth": VOCAB_GROWTH_SQL,
+    "graph_degree_dist": GRAPH_DEGREE_DIST_SQL,
+    "orders_mom_growth": ORDERS_MOM_GROWTH_SQL,
+    "text_normalize": TEXT_NORMALIZE_SQL,
+}

@@ -28,12 +28,13 @@ from distributed_system_mapreduce_spark.operators import (
     relational_ext2,
     relational_ext3,
     relational_ext4,
+    relational_ext5,
     similarity,
     text_analysis,
 )
 
 _MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
-            relational_ext3, relational_ext4,
+            relational_ext3, relational_ext4, relational_ext5,
             engine_queries, text_analysis, curation, curation2, curation3,
             dedup,
             similarity, clustering,
@@ -99,6 +100,8 @@ _PRIORITY = [
     "events_ohlc", "events_gap_fill", "orders_backlog",
     "training_batches_digest", "events_streaks", "supplier_lead_time",
     "embedding_dedup_apply",
+    "events_rolling_median", "vocab_growth", "graph_degree_dist",
+    "orders_mom_growth", "text_normalize",
     # multimodal decode family: stub kernel is deterministic md5
     # arithmetic, so the Arrow stage is oracle-checked end-to-end
     "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
