@@ -1,0 +1,118 @@
+"""Continuous-aggregate ("hypertable rollup") maintenance: a daily
+rollup table kept current by keyed merges of only the changed keys —
+the TimescaleDB-style materialized rollup pattern on top of
+FileStore.write_keyed/merge.
+
+The reference's closest notion is re-running a juice round and
+re-`put`-ing the whole result file (PutFile, file_system.go:825);
+here a delta ingest touches only the hash buckets holding changed
+(day, type) keys — the property that makes a daily 0.1% delta on a
+100 TB rollup a 0.1%-ish job.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_system_mapreduce_spark.sources.filestore import FileStore
+from distributed_system_mapreduce_spark.tables import load_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture
+def fs(spark, tmp_path):
+    return FileStore(spark, str(tmp_path / "store"))
+
+
+def _rollup(ev):
+    """Daily per-type rollup with an additive state (count + decimal
+    sum) and a single string merge key. Additivity is what makes the
+    incremental path exact: new_state = old_state + delta_state."""
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"))
+        .select(
+            F.concat_ws("|", F.col("day").cast("string"), "event_type")
+            .alias("rk"),
+            "day", "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+def test_incremental_rollup_matches_full_recompute(fs, spark):
+    ev = load_table(spark, "events", SF_DIR)
+    base = ev.where(F.col("event_id") % 3 != 0)
+    delta = ev.where(F.col("event_id") % 3 == 0)
+
+    fs.write_keyed(_rollup(base), "daily_rollup", "rk", n_buckets=8)
+    before = {f: os.path.getmtime(f) for f in fs.ls("daily_rollup")}
+
+    # Incremental maintenance: aggregate ONLY the delta, add it onto
+    # the standing state for the touched keys (outer join covers
+    # brand-new keys), and merge — the base raw data is never re-read.
+    d = _rollup(delta).select(
+        "rk", F.col("n_events").alias("d_n"), F.col("sum_value").alias("d_s"))
+    old = fs.read("daily_rollup").join(d.select("rk"), "rk", "left_semi")
+    merged = (
+        old.join(d, "rk", "full_outer")
+        .select(
+            "rk",
+            F.coalesce("day", F.to_date(F.split("rk", "\\|")[0])).alias("day"),
+            F.coalesce("event_type", F.split("rk", "\\|")[1])
+            .alias("event_type"),
+            (F.coalesce("n_events", F.lit(0))
+             + F.coalesce("d_n", F.lit(0))).alias("n_events"),
+            (F.coalesce(F.col("sum_value"), F.lit(0).cast("decimal(18,6)"))
+             + F.coalesce(F.col("d_s"), F.lit(0).cast("decimal(18,6)")))
+            .cast("decimal(18,6)").alias("sum_value"),
+        )
+    )
+    fs.merge(merged, "daily_rollup", "rk")
+
+    got = {
+        r["rk"]: (r["n_events"], r["sum_value"])
+        for r in fs.read("daily_rollup").collect()
+    }
+    want = {
+        r["rk"]: (r["n_events"], r["sum_value"])
+        for r in _rollup(ev).collect()
+    }
+    assert got == want
+
+    # delta touched most days here, but any bucket holding NO changed
+    # key must not have been rewritten
+    changed_buckets = {
+        r["b"] for r in d.select(
+            F.pmod(F.xxhash64("rk"), F.lit(8)).alias("b")).distinct()
+        .collect()
+    }
+    untouched = [f for f in before
+                 if int(f.split("_kbucket=")[1].split(os.sep)[0])
+                 not in changed_buckets]
+    after = {f: os.path.getmtime(f) for f in fs.ls("daily_rollup")}
+    for f in untouched:
+        assert after[f] == before[f], f
+
+
+def test_rollup_retention_purge(fs, spark):
+    """Retention: drop all rollup rows older than a cutoff via the
+    merge delete path — only buckets holding expired keys rewritten."""
+    ev = load_table(spark, "events", SF_DIR)
+    fs.write_keyed(_rollup(ev), "daily_rollup", "rk", n_buckets=8)
+
+    cutoff = ev.agg(F.to_date(F.min("ts")).alias("d")).collect()[0]["d"]
+    expired = (
+        fs.read("daily_rollup").where(F.col("day") <= F.lit(cutoff))
+        .withColumn("is_delete", F.lit(True))
+    )
+    n_expired = expired.count()
+    assert n_expired > 0
+    fs.merge(expired, "daily_rollup", "rk", delete_col="is_delete")
+
+    kept = fs.read("daily_rollup")
+    assert kept.where(F.col("day") <= F.lit(cutoff)).count() == 0
+    assert kept.count() == _rollup(ev).count() - n_expired
