@@ -19,66 +19,45 @@ from __future__ import annotations
 
 import os
 import shutil
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
 _FORMATS = ("parquet", "csv", "json", "text")
 
 
-@dataclass
-class FileStore:
-    spark: SparkSession
-    root: str
+class _LocalIO:
+    """os/shutil fast path for plain local roots."""
 
-    def __post_init__(self):
-        os.makedirs(self.root, exist_ok=True)
+    def __init__(self, spark: SparkSession, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
 
-    def _path(self, name: str) -> str:
-        # backtick would also break the quoted DROP TABLE in delete()
-        if "/" in name or "`" in name or name.startswith("."):
-            raise ValueError(f"flat namespace only: {name!r}")
-        return os.path.join(self.root, name)
+    def exists(self, p: str) -> bool:
+        return os.path.exists(p)
 
-    # ------------------------------------------------- file-level parity
-    def put(self, local_path: str, name: str) -> None:
-        """`put local sdfsname` (run_server.go:273, PutFile:825)."""
-        dst = self._path(name)
+    def isdir(self, p: str) -> bool:
+        return os.path.isdir(p)
+
+    def delete(self, p: str) -> None:
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        elif os.path.exists(p):
+            os.remove(p)
+
+    def put(self, local_path: str, dst: str) -> None:
         if os.path.isdir(local_path):
             shutil.copytree(local_path, dst, dirs_exist_ok=True)
         else:
             shutil.copy2(local_path, dst)
 
-    def get(self, name: str, local_path: str) -> None:
-        """`get sdfsname local` (GetFile, file_system.go:880)."""
-        src = self._path(name)
-        if not os.path.exists(src):
-            raise FileNotFoundError(name)
+    def get(self, src: str, local_path: str) -> None:
         if os.path.isdir(src):
             shutil.copytree(src, local_path, dirs_exist_ok=True)
         else:
             shutil.copy2(src, local_path)
 
-    def delete(self, name: str) -> None:
-        """`delete sdfsname` (DeleteFile, file_system.go:782).
-
-        Also drops any catalog table write_bucketed registered under
-        this name — otherwise the session keeps a dangling table entry
-        whose path no longer exists and read_table fails confusingly."""
-        p = self._path(name)
-        if os.path.isdir(p):
-            shutil.rmtree(p)
-        elif os.path.exists(p):
-            os.remove(p)
-        self.spark.sql(f"DROP TABLE IF EXISTS `{name}`")
-
-    def ls(self, name: str) -> list[str]:
-        """`ls file` — reference lists replica holders
-        (ListServersWithFile, file_system.go:31); here: the physical
-        files backing the dataset (its partitions)."""
-        p = self._path(name)
-        if not os.path.exists(p):
-            return []
+    def ls_files(self, p: str) -> list[str]:
         if os.path.isfile(p):
             return [p]
         return sorted(
@@ -88,12 +67,151 @@ class FileStore:
             if not f.startswith(("_", "."))
         )
 
-    def store(self) -> list[str]:
-        """`store` — all datasets in the namespace
-        (ListFilesOnServer, file_system.go:43)."""
+    def list_names(self) -> list[str]:
         return sorted(
             n for n in os.listdir(self.root) if not n.startswith(".")
         )
+
+    def read_text(self, p: str) -> str:
+        with open(p) as f:
+            return f.read()
+
+    def write_text(self, p: str, content: str) -> None:
+        with open(p, "w") as f:
+            f.write(content)
+
+
+class _HadoopIO:
+    """Hadoop FileSystem path for URI roots (hdfs://, s3a://, file://
+    ...): same surface as _LocalIO, through the JVM gateway's
+    `Path.getFileSystem(hadoopConf)` — the exact client Spark's own
+    readers/writers use, so whatever filesystems the cluster's
+    Hadoop conf can reach, the FileStore namespace can too. (The
+    file:// scheme exercises this code path in local tests.)"""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.root = root
+        jvm = spark._jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        self._fs = self._Path(root).getFileSystem(
+            spark._jsc.hadoopConfiguration())
+        self._jvm = jvm
+        self._fs.mkdirs(self._Path(root))
+
+    def exists(self, p: str) -> bool:
+        return self._fs.exists(self._Path(p))
+
+    def isdir(self, p: str) -> bool:
+        return (self._fs.exists(self._Path(p))
+                and self._fs.getFileStatus(self._Path(p)).isDirectory())
+
+    def delete(self, p: str) -> None:
+        self._fs.delete(self._Path(p), True)
+
+    def put(self, local_path: str, dst: str) -> None:
+        # delSrc=False, overwrite=True
+        self._fs.copyFromLocalFile(False, True, self._Path(local_path),
+                                   self._Path(dst))
+
+    def get(self, src: str, local_path: str) -> None:
+        self._fs.copyToLocalFile(False, self._Path(src),
+                                 self._Path(local_path), True)
+
+    def ls_files(self, p: str) -> list[str]:
+        st = self._fs.getFileStatus(self._Path(p))
+        if st.isFile():
+            return [st.getPath().toString()]
+        out = []
+        it = self._fs.listFiles(self._Path(p), True)
+        while it.hasNext():
+            f = it.next().getPath()
+            if not f.getName().startswith(("_", ".")):
+                out.append(f.toString())
+        return sorted(out)
+
+    def list_names(self) -> list[str]:
+        return sorted(
+            s.getPath().getName()
+            for s in self._fs.listStatus(self._Path(self.root))
+            if not s.getPath().getName().startswith(".")
+        )
+
+    def read_text(self, p: str) -> str:
+        stream = self._fs.open(self._Path(p))
+        try:
+            reader = self._jvm.java.io.BufferedReader(
+                self._jvm.java.io.InputStreamReader(stream))
+            lines = []
+            while True:
+                ln = reader.readLine()
+                if ln is None:
+                    break
+                lines.append(ln)
+            return "\n".join(lines)
+        finally:
+            stream.close()
+
+    def write_text(self, p: str, content: str) -> None:
+        stream = self._fs.create(self._Path(p), True)
+        try:
+            stream.write(bytearray(content.encode("utf-8")))
+        finally:
+            stream.close()
+
+
+@dataclass
+class FileStore:
+    spark: SparkSession
+    root: str
+    _io: object = field(init=False, repr=False)
+
+    def __post_init__(self):
+        # a scheme'd root (hdfs://, s3a://, file://) routes every
+        # namespace operation through the Hadoop FileSystem API — the
+        # cluster posture; a bare path keeps the os/shutil fast path
+        self._io = (_HadoopIO if "://" in self.root else _LocalIO)(
+            self.spark, self.root)
+
+    def _path(self, name: str) -> str:
+        # backtick would also break the quoted DROP TABLE in delete()
+        if "/" in name or "`" in name or name.startswith("."):
+            raise ValueError(f"flat namespace only: {name!r}")
+        return self.root.rstrip("/") + "/" + name
+
+    # ------------------------------------------------- file-level parity
+    def put(self, local_path: str, name: str) -> None:
+        """`put local sdfsname` (run_server.go:273, PutFile:825)."""
+        self._io.put(local_path, self._path(name))
+
+    def get(self, name: str, local_path: str) -> None:
+        """`get sdfsname local` (GetFile, file_system.go:880)."""
+        src = self._path(name)
+        if not self._io.exists(src):
+            raise FileNotFoundError(name)
+        self._io.get(src, local_path)
+
+    def delete(self, name: str) -> None:
+        """`delete sdfsname` (DeleteFile, file_system.go:782).
+
+        Also drops any catalog table write_bucketed registered under
+        this name — otherwise the session keeps a dangling table entry
+        whose path no longer exists and read_table fails confusingly."""
+        self._io.delete(self._path(name))
+        self.spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+
+    def ls(self, name: str) -> list[str]:
+        """`ls file` — reference lists replica holders
+        (ListServersWithFile, file_system.go:31); here: the physical
+        files backing the dataset (its partitions)."""
+        p = self._path(name)
+        if not self._io.exists(p):
+            return []
+        return self._io.ls_files(p)
+
+    def store(self) -> list[str]:
+        """`store` — all datasets in the namespace
+        (ListFilesOnServer, file_system.go:43)."""
+        return self._io.list_names()
 
     # ---------------------------------------------- DataFrame-level API
     def write(self, df: DataFrame, name: str, fmt: str = "parquet",
@@ -108,7 +226,7 @@ class FileStore:
 
     def read(self, name: str, fmt: str = "parquet", **options) -> DataFrame:
         p = self._path(name)
-        if not os.path.exists(p):
+        if not self._io.exists(p):
             raise FileNotFoundError(name)
         return self.spark.read.format(fmt).options(**options).load(p)
 
@@ -235,8 +353,8 @@ class FileStore:
         # sidecar: the bucket count can't be inferred from the data
         # (top buckets may be empty) and a wrong modulus on merge
         # would silently strand old row versions in other buckets
-        with open(os.path.join(self._path(name), "_n_buckets"), "w") as f:
-            f.write(str(n_buckets))
+        self._io.write_text(self._path(name) + "/_n_buckets",
+                            str(n_buckets))
 
     def merge(self, changes: DataFrame, name: str, key: str,
               delete_col: str | None = None) -> None:
@@ -255,11 +373,10 @@ class FileStore:
         from pyspark.sql import functions as F
 
         p = self._path(name)
-        if not os.path.exists(p):
+        if not self._io.exists(p):
             raise FileNotFoundError(name)
         base = self.spark.read.parquet(p)
-        with open(os.path.join(p, "_n_buckets")) as f:
-            n_buckets = int(f.read().strip())
+        n_buckets = int(self._io.read_text(p + "/_n_buckets").strip())
         ch = changes.withColumn(
             self._MERGE_BUCKET, F.pmod(F.xxhash64(key), n_buckets))
         # bounded driver state: at most n_buckets ints
@@ -275,6 +392,14 @@ class FileStore:
             if delete_col else ch
         )
         out = surviving.unionByName(upserts)
+        # dynamic overwrite only rewrites partitions PRESENT in the
+        # output — a touched bucket whose every row was deleted emits
+        # no partition and its stale files would silently survive, so
+        # collect the surviving bucket set (bounded by n_buckets) and
+        # drop emptied bucket dirs explicitly
+        out_buckets = {
+            r[0] for r in out.select(self._MERGE_BUCKET).distinct().collect()
+        }
         prev = self.spark.conf.get(
             "spark.sql.sources.partitionOverwriteMode", "static")
         self.spark.conf.set(
@@ -287,3 +412,6 @@ class FileStore:
         finally:
             self.spark.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", prev)
+        for b in touched:
+            if b not in out_buckets:
+                self._io.delete(f"{p}/{self._MERGE_BUCKET}={b}")

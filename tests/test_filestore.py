@@ -237,3 +237,57 @@ def test_csv_json_roundtrip(fs, spark):
     assert sorted(tuple(r) for r in back_json.collect()) == sorted(
         (r["id"], r["v"]) for r in df.collect())
     assert back_csv.count() == 3
+
+
+def test_hadoop_io_path_file_scheme(spark, tmp_path):
+    """A scheme'd root routes the namespace through the Hadoop
+    FileSystem API (the cluster posture for hdfs:// / s3a:// roots);
+    file:// exercises that exact code path locally. Full surface:
+    the five SDFS verbs, DataFrame write/read, keyed merge (which
+    needs the sidecar read/write through the Hadoop client too)."""
+    fs = FileStore(spark, f"file://{tmp_path}/hstore")
+    from distributed_system_mapreduce_spark.sources.filestore import _HadoopIO
+    assert isinstance(fs._io, _HadoopIO)
+
+    local = tmp_path / "in.txt"
+    local.write_text("hadoop path\n")
+    fs.put(str(local), "greeting")
+    assert fs.store() == ["greeting"]
+    out = tmp_path / "out.txt"
+    fs.get("greeting", str(out))
+    assert out.read_text() == "hadoop path\n"
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    fs.write(df, "ds")
+    assert fs.read("ds").count() == 2
+    assert sorted(fs.store()) == ["ds", "greeting"]
+    assert len(fs.ls("ds")) >= 1
+
+    fs.write_keyed(df, "kv", "id", n_buckets=4)
+    changes = spark.createDataFrame(
+        [(2, "b2", False), (3, "c", False), (1, None, True)],
+        "id long, v string, is_delete boolean")
+    fs.merge(changes, "kv", "id", delete_col="is_delete")
+    got = {r["id"]: r["v"] for r in fs.read("kv").collect()}
+    assert got == {2: "b2", 3: "c"}
+
+    fs.delete("greeting")
+    fs.delete("ds")
+    fs.delete("kv")
+    assert fs.store() == []
+    with pytest.raises(FileNotFoundError):
+        fs.read("ds")
+
+
+def test_merge_drops_emptied_bucket(fs, spark):
+    """Regression: dynamic partition overwrite only rewrites
+    partitions present in the output, so a bucket whose every key was
+    deleted used to keep its stale files. merge() must drop emptied
+    bucket dirs explicitly."""
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    fs.write_keyed(base, "kv2", "id", n_buckets=4)
+    changes = spark.createDataFrame(
+        [(1, None, True)], "id long, v string, is_delete boolean")
+    fs.merge(changes, "kv2", "id", delete_col="is_delete")
+    got = {r["id"]: r["v"] for r in fs.read("kv2").collect()}
+    assert got == {2: "b"}
