@@ -291,3 +291,96 @@ ORACLES = {
     "orders_mom_growth": ORDERS_MOM_GROWTH_SQL,
     "text_normalize": TEXT_NORMALIZE_SQL,
 }
+
+
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order, vs
+    the corpus max date), frequency (order count), monetary (total
+    spend), each scored into exact quartiles — the classic
+    customer-value census behind retention/marketing splits.
+
+    Shape: one partial-agg shuffle to the per-customer table
+    (customer-dim scale), then ONE array-percentile aggregate per
+    metric over that table (1-row result, broadcast back) and a
+    branchless 1 + (x>t1) + (x>t2) + (x>t3) scorer — no window
+    anywhere, no per-row sort. Percentile interpolation matches
+    DuckDB's quantile_cont bit-for-bit (same guarantee
+    price_quantiles relies on); monetary goes through the DECIMAL
+    accumulator, DOUBLE at output.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    mx = F.broadcast(o.agg(F.max("o_orderdate").alias("mxd")))
+    per_cust = (
+        o.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("f_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("m_spend"),
+        )
+        .crossJoin(mx)
+        .select(
+            "c_custkey",
+            F.datediff(F.to_date("mxd"), F.to_date("last_order"))
+            .alias("r_days"),
+            "f_orders", "m_spend",
+        )
+    )
+    qs = F.broadcast(per_cust.agg(
+        F.expr("percentile(r_days, array(0.25, 0.5, 0.75))").alias("rq"),
+        F.expr("percentile(f_orders, array(0.25, 0.5, 0.75))").alias("fq"),
+        F.expr("percentile(m_spend, array(0.25, 0.5, 0.75))").alias("mq"),
+    ))
+
+    def score(col, q):
+        return (
+            F.lit(1)
+            + (F.col(col) > F.element_at(F.col(q), 1)).cast("int")
+            + (F.col(col) > F.element_at(F.col(q), 2)).cast("int")
+            + (F.col(col) > F.element_at(F.col(q), 3)).cast("int")
+        )
+
+    return (
+        per_cust.crossJoin(qs)
+        .select(
+            "c_custkey", "r_days", "f_orders", "m_spend",
+            score("r_days", "rq").alias("r_score"),
+            score("f_orders", "fq").alias("f_score"),
+            score("m_spend", "mq").alias("m_score"),
+        )
+    )
+
+
+CUSTOMER_RFM_SQL = """
+WITH mx AS (SELECT MAX(o_orderdate) AS mxd FROM orders),
+per_cust AS (
+  SELECT o_custkey AS c_custkey,
+         date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                   CAST((SELECT mxd FROM mx) AS DATE)) AS r_days,
+         COUNT(*) AS f_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS m_spend
+  FROM orders GROUP BY o_custkey
+),
+qs AS (
+  SELECT quantile_cont(r_days, 0.25) AS r1, quantile_cont(r_days, 0.5) AS r2,
+         quantile_cont(r_days, 0.75) AS r3,
+         quantile_cont(f_orders, 0.25) AS f1,
+         quantile_cont(f_orders, 0.5) AS f2,
+         quantile_cont(f_orders, 0.75) AS f3,
+         quantile_cont(m_spend, 0.25) AS m1, quantile_cont(m_spend, 0.5) AS m2,
+         quantile_cont(m_spend, 0.75) AS m3
+  FROM per_cust
+)
+SELECT c_custkey, r_days, f_orders, m_spend,
+       1 + CAST(r_days > r1 AS INT) + CAST(r_days > r2 AS INT)
+         + CAST(r_days > r3 AS INT) AS r_score,
+       1 + CAST(f_orders > f1 AS INT) + CAST(f_orders > f2 AS INT)
+         + CAST(f_orders > f3 AS INT) AS f_score,
+       1 + CAST(m_spend > m1 AS INT) + CAST(m_spend > m2 AS INT)
+         + CAST(m_spend > m3 AS INT) AS m_score
+FROM per_cust CROSS JOIN qs
+"""
+
+QUERIES["customer_rfm"] = customer_rfm
+ORACLES["customer_rfm"] = CUSTOMER_RFM_SQL

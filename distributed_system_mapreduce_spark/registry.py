@@ -101,7 +101,7 @@ _PRIORITY = [
     "training_batches_digest", "events_streaks", "supplier_lead_time",
     "embedding_dedup_apply",
     "events_rolling_median", "vocab_growth", "graph_degree_dist",
-    "orders_mom_growth", "text_normalize",
+    "orders_mom_growth", "text_normalize", "customer_rfm",
     # multimodal decode family: stub kernel is deterministic md5
     # arithmetic, so the Arrow stage is oracle-checked end-to-end
     "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",

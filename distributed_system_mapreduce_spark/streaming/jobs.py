@@ -383,6 +383,81 @@ def stream_to_filestore(df: DataFrame, fs, name: str,
     return q
 
 
+def rollup_stream_to_filestore(events: DataFrame, fs, name: str,
+                               checkpoint_dir: str) -> Any:
+    """Continuous-aggregate ("hypertable rollup") maintenance from a
+    stream: each micro-batch reduces to its additive per-(day, type)
+    delta — count + DECIMAL sum, state proportional to the DELTA, not
+    the history — written under its OWN batch_id partition. That is
+    the same idempotent-overwrite + checkpoint pairing
+    stream_to_filestore proves exactly-once: a replayed uncommitted
+    batch replaces its earlier partial delta instead of double-adding.
+
+    The rollup is therefore a delta LOG, not a mutable table:
+    read_rollup() folds the log at read time (cost bounded by
+    #batches since the last compaction); compact_rollup() collapses
+    the log to a single partition — at scale, the nightly compaction
+    job, while per-batch work stays proportional to the delta."""
+    q = (
+        events.writeStream.foreachBatch(rollup_delta_sink(fs, name))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def rollup_delta_sink(fs, name: str):
+    """The per-batch reducer behind rollup_stream_to_filestore:
+    aggregate the micro-batch to its additive delta and overwrite the
+    batch's own partition (idempotent under replay)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        delta = (
+            batch_df.groupBy(F.to_date("ts").alias("day"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,6)"))
+                 .cast("decimal(18,6)").alias("sum_value"))
+        )
+        delta.write.mode("overwrite").parquet(
+            os.path.join(fs._path(name), f"batch_id={batch_id}"))
+
+    return sink
+
+
+def read_rollup(fs, name: str) -> DataFrame:
+    """Fold the rollup delta log into current totals (additive
+    combine; exactness preserved by the decimal accumulators)."""
+    from pyspark.sql import functions as F
+
+    return (
+        fs.read(name)
+        .groupBy("day", "event_type")
+        .agg(F.sum("n_events").cast("long").alias("n_events"),
+             F.sum("sum_value").cast("decimal(18,6)").alias("sum_value"))
+    )
+
+
+def compact_rollup(fs, name: str) -> None:
+    """Collapse the delta log to a single materialized partition
+    (batch_id=-1). Readers before/after see identical totals; the
+    next stream attach must use a fresh checkpoint (batch ids restart
+    at 0, and -1 never collides with them)."""
+    from pyspark.sql import functions as F
+
+    # materialize before the overwrite clobbers the source dir
+    compacted = read_rollup(fs, name).withColumn(
+        "batch_id", F.lit(-1)).localCheckpoint()
+    (
+        compacted.write.mode("overwrite")
+        .partitionBy("batch_id").save(fs._path(name))
+    )
+
+
 def run_stream_to_memory(df: DataFrame, name: str,
                          output_mode: str = "complete") -> Any:
     """Drain the stream into an in-memory table with availableNow

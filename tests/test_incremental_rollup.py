@@ -116,3 +116,69 @@ def test_rollup_retention_purge(fs, spark):
     kept = fs.read("daily_rollup")
     assert kept.where(F.col("day") <= F.lit(cutoff)).count() == 0
     assert kept.count() == _rollup(ev).count() - n_expired
+
+
+def test_streaming_rollup_exactly_once_and_compaction(spark, tmp_path):
+    """The streaming continuous aggregate: per-batch additive deltas
+    into a FileStore delta log, surviving a sink crash mid-stream
+    without double-counting, folding to the batch answer at read
+    time, and preserving totals across compaction."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from distributed_system_mapreduce_spark.streaming import (
+        compact_rollup,
+        read_rollup,
+        rollup_stream_to_filestore,
+    )
+    from distributed_system_mapreduce_spark.streaming.jobs import (
+        rollup_delta_sink,
+    )
+
+    ev = load_table(spark, "events", SF_DIR).select(
+        "event_id", "ts", "event_type", "value")
+    ev.repartition(3).write.mode("overwrite").parquet(str(tmp_path / "in"))
+    fs = FileStore(spark, str(tmp_path / "store"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def stream():
+        return (spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(str(tmp_path / "in")))
+
+    # run 1: batch 0 commits; batch 1 writes its delta, then dies
+    real = rollup_delta_sink(fs, "roll")
+
+    def crashing(batch_df, batch_id):
+        real(batch_df, batch_id)
+        if batch_id == 1:
+            raise RuntimeError("injected sink crash")
+
+    q1 = (stream().writeStream.foreachBatch(crashing)
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
+    with pytest.raises(StreamingQueryException, match="injected"):
+        q1.awaitTermination()
+
+    # run 2: resume from the checkpoint with the real sink — batch 1's
+    # replay overwrites its own partial delta (no double-add)
+    rollup_stream_to_filestore(stream(), fs, "roll", ckpt)
+
+    def snap(df):
+        return {
+            (r["day"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in df.collect()
+        }
+
+    want = snap(
+        ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,6)"))
+             .cast("decimal(18,6)").alias("sum_value")))
+    assert snap(read_rollup(fs, "roll")) == want
+
+    compact_rollup(fs, "roll")
+    assert snap(read_rollup(fs, "roll")) == want
+    # the log is actually collapsed: one partition left
+    assert {r["batch_id"] for r in
+            fs.read("roll").select("batch_id").distinct().collect()} == {-1}
