@@ -384,3 +384,102 @@ FROM per_cust CROSS JOIN qs
 
 QUERIES["customer_rfm"] = customer_rfm
 ORACLES["customer_rfm"] = CUSTOMER_RFM_SQL
+
+
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / revenue-concentration curve: customers bucketed into
+    exact spend deciles, each decile's customer count, revenue, and
+    share of total — "do the top 10% drive 60% of revenue".
+
+    Shape: per-customer rollup (one partial-agg shuffle), ONE
+    array-percentile aggregate for the 9 decile cutoffs (1-row,
+    broadcast back), branchless decile scorer, then a second bounded
+    partial agg over 10 groups. No global sort/window — the global
+    ranking problem is reduced to threshold comparisons. Revenue
+    stays in the DECIMAL accumulator through BOTH aggregations;
+    share is one double division against the broadcast grand total.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+             .cast("decimal(18,2)").alias("spend_dec"))
+        .withColumn("spend", F.col("spend_dec").cast("double"))
+    )
+    cuts = ", ".join(str(i / 10) for i in range(1, 10))
+    qs = F.broadcast(per_cust.agg(
+        F.expr(f"percentile(spend, array({cuts}))").alias("qq"),
+        F.sum("spend_dec").cast("decimal(38,6)").alias("total_dec"),
+    ))
+    decile = sum(
+        ((F.col("spend") > F.element_at(F.col("qq"), i)).cast("int")
+         for i in range(1, 10)),
+        F.lit(1),
+    )
+    return (
+        per_cust.crossJoin(qs)
+        .select("spend_dec", "total_dec", decile.alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("spend_dec").cast("decimal(38,6)").cast("double")
+            .alias("revenue"),
+            (F.sum("spend_dec").cast("decimal(38,6)").cast("double")
+             / F.first("total_dec").cast("double")).alias("rev_share"),
+        )
+    )
+
+
+REVENUE_CONCENTRATION_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(18,2)) AS spend_dec,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(18,2)) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+),
+qs AS (
+  SELECT [{", ".join(f"quantile_cont(spend, {i / 10})"
+                     for i in range(1, 10))}] AS qq,
+         CAST(SUM(spend_dec) AS DECIMAL(38,6)) AS total_dec
+  FROM per_cust
+)
+SELECT 1 {" ".join(f"+ CAST(spend > qq[{i}] AS INT)"
+                   for i in range(1, 10))} AS decile,
+       COUNT(*) AS n_customers,
+       CAST(CAST(SUM(spend_dec) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+       CAST(CAST(SUM(spend_dec) AS DECIMAL(38,6)) AS DOUBLE)
+         / CAST(ANY_VALUE(total_dec) AS DOUBLE) AS rev_share
+FROM per_cust CROSS JOIN qs
+GROUP BY 1
+"""
+
+
+def events_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour activity heatmap: event count and distinct
+    users per (dow, hour) cell — the capacity-planning / anomaly
+    baseline census. Bounded output (168 cells), one partial-agg
+    shuffle; dow normalized to DuckDB's 0=Sunday convention."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.select((F.dayofweek("ts") - 1).alias("dow"),
+                  F.hour("ts").alias("hour"), "user_id")
+        .groupBy("dow", "hour")
+        .agg(F.count("*").alias("n_events"),
+             F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+EVENTS_HOUR_HEATMAP_SQL = """
+SELECT EXTRACT(dow FROM ts) AS dow, EXTRACT(hour FROM ts) AS hour,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+QUERIES["revenue_concentration"] = revenue_concentration
+ORACLES["revenue_concentration"] = REVENUE_CONCENTRATION_SQL
+QUERIES["events_hour_heatmap"] = events_hour_heatmap
+ORACLES["events_hour_heatmap"] = EVENTS_HOUR_HEATMAP_SQL
