@@ -64,8 +64,10 @@ FROM (SELECT doc_id, md5(text) AS content_hash FROM documents)
 
 
 # ------------------------------------------------------- minhash helpers
-def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, s) exploded distinct word-bigram shingles.
+def shingles_from_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, s) exploded distinct word-bigram shingles from any
+    (doc_id, text) DataFrame — the df-level entry point (streaming
+    micro-batches use it too).
 
     The explode MUST stay inline over the array expression with the
     tokens column materialized by the child projection — splitting
@@ -73,13 +75,17 @@ def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-evaluates the token split per array element after projection
     collapse (measured 15x slower). Generate acts as the barrier that
     keeps `toks` computed once per doc."""
-    docs = spread(load_table(spark, "documents", sf_dir))
     toks = docs.select("doc_id", X.tokens().alias("toks"))
     return toks.select(
         "doc_id",
         F.explode(F.array_distinct(F.expr(X.shingles_from("toks"))))
         .alias("s"),
     )
+
+
+def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shingles_from_docs(
+        spread(load_table(spark, "documents", sf_dir)))
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,7 +118,14 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     (A narrow array_min(transform(...)) formulation avoids the shuffle
     entirely but runs interpreted, measured ~4x slower end-to-end.)
     Docs with no shingles (< 2 tokens) drop out via explode."""
-    sh = _shingle_df(spark, sf_dir)
+    return signatures_from_docs(None, shingles=_shingle_df(spark, sf_dir))
+
+
+def signatures_from_docs(docs: DataFrame | None,
+                         shingles: DataFrame | None = None) -> DataFrame:
+    """MinHash signatures from any (doc_id, text) DataFrame (or a
+    pre-built shingle table) — df-level twin of _signatures."""
+    sh = shingles if shingles is not None else shingles_from_docs(docs)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh{i}")
         for i in range(N_HASHES)
@@ -147,6 +160,13 @@ def _bands_from(sig: DataFrame) -> DataFrame:
 
 def _bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bands_from(_signatures(spark, sf_dir))
+
+
+def bands_from_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) LSH band table from any (doc_id, text)
+    DataFrame — what a standing dedup index stores, and what a
+    streaming ingest batch computes to probe it."""
+    return _bands_from(signatures_from_docs(docs))
 
 
 def _band_concat_sql(b: int) -> str:

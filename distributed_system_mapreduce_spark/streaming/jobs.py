@@ -408,6 +408,98 @@ def rollup_stream_to_filestore(events: DataFrame, fs, name: str,
     return q
 
 
+def build_dedup_index(docs: DataFrame, fs, name: str) -> None:
+    """Materialize the standing corpus's LSH band table — the index a
+    streaming ingest probes. At 100 TB this is the once-per-corpus
+    signature pass (the same shape as dedup_minhash's signature
+    stage); incremental growth happens batch-wise in
+    ingest_dedup_stream."""
+    import os
+
+    from distributed_system_mapreduce_spark.operators.dedup import (
+        bands_from_docs,
+    )
+
+    # live under batch_id=-1 so the layout matches the partitions the
+    # stream appends (mixed flat-files + partition dirs would break
+    # Spark's partition discovery)
+    bands_from_docs(docs).write.mode("overwrite").parquet(
+        os.path.join(fs._path(name), "batch_id=-1"))
+
+
+def ingest_dedup_stream(docs: DataFrame, fs, index_name: str,
+                        out_name: str, checkpoint_dir: str) -> Any:
+    """Streaming ingest dedup — the continuous-crawl posture: each
+    micro-batch of incoming (doc_id, text) documents is shingled,
+    minhashed, and banded (cost proportional to the BATCH), probes the
+    standing index by (band, sig) equi-join, and emits one verdict row
+    per doc: candidate-match count against the index, best (lowest)
+    match id, and an in-batch flag (a lower-id near-dup arrived in the
+    same batch). ALL incoming docs' bands are then appended to the
+    index under the batch's own partition, so later batches dedup
+    against earlier ones.
+
+    Exactly-once: verdicts AND index growth are per-batch partition
+    overwrites (idempotent under replay) paired with the checkpoint —
+    the same mechanism stream_to_filestore proves under a crash.
+    The index read per batch is the standing dataset + prior batch
+    partitions; the probe join cost scales with the delta, never
+    corpus x corpus (the dedup_incremental argument)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from distributed_system_mapreduce_spark.operators.dedup import (
+        bands_from_docs,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        nb = bands_from_docs(batch_df).localCheckpoint()
+        idx = fs.read(index_name).alias("i")
+        hits = (
+            nb.alias("n").join(idx, ["band", "sig"])
+            .select(F.col("n.doc_id").alias("doc_id"),
+                    F.col("i.doc_id").alias("match_id"))
+            .distinct()
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_matches"),
+                 F.min("match_id").alias("best_match"))
+        )
+        intra = (
+            nb.alias("a").join(nb.alias("b"),
+                               (F.col("a.band") == F.col("b.band"))
+                               & (F.col("a.sig") == F.col("b.sig"))
+                               & (F.col("a.doc_id") > F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_id")).distinct()
+            .withColumn("in_batch_dup", F.lit(True))
+        )
+        verdicts = (
+            batch_df.select("doc_id")
+            .join(hits, "doc_id", "left")
+            .join(intra, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+                "best_match",
+                F.coalesce("in_batch_dup", F.lit(False))
+                .alias("in_batch_dup"),
+            )
+        )
+        verdicts.write.mode("overwrite").parquet(
+            os.path.join(fs._path(out_name), f"batch_id={batch_id}"))
+        nb.write.mode("overwrite").parquet(
+            os.path.join(fs._path(index_name), f"batch_id={batch_id}"))
+
+    q = (
+        docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def rollup_delta_sink(fs, name: str):
     """The per-batch reducer behind rollup_stream_to_filestore:
     aggregate the micro-batch to its additive delta and overwrite the

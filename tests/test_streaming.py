@@ -447,3 +447,67 @@ def test_closed_sessions_with_event_time_timeout(spark, tmp_path):
         assert got_set & last_per_user, "no timeout-closed sessions"
     finally:
         q.stop()
+
+
+def test_ingest_dedup_stream(spark, tmp_path):
+    """Streaming ingest dedup: incoming docs probe the standing LSH
+    index batch by batch; index-flagged docs form a superset of the
+    corpus-only truth (the index grows as batches land), every verdict
+    is backed by a real band collision, and every incoming doc gets
+    exactly one verdict."""
+    from pyspark.sql import functions as F
+
+    from distributed_system_mapreduce_spark.operators.dedup import (
+        bands_from_docs,
+    )
+    from distributed_system_mapreduce_spark.sources.filestore import (
+        FileStore,
+    )
+    from distributed_system_mapreduce_spark.streaming import (
+        build_dedup_index,
+        ingest_dedup_stream,
+    )
+    from distributed_system_mapreduce_spark.tables import load_table
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    incoming = docs.where(F.col("doc_id") % 10 == 0)
+    incoming.repartition(3).write.mode("overwrite").parquet(
+        str(tmp_path / "in"))
+    fs = FileStore(spark, str(tmp_path / "store"))
+    build_dedup_index(corpus, fs, "idx")
+
+    stream = (spark.readStream.schema(incoming.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(tmp_path / "in")))
+    ingest_dedup_stream(stream, fs, "idx", "verdicts",
+                        str(tmp_path / "ckpt"))
+
+    out = fs.read("verdicts")
+    n_in = incoming.count()
+    assert out.count() == n_in
+    assert out.select("doc_id").distinct().count() == n_in
+
+    # corpus-only truth: every doc colliding with the STANDING index
+    # must be flagged (the stream may flag more — the index grew)
+    nb, ib = bands_from_docs(incoming).alias("n"), \
+        bands_from_docs(corpus).alias("i")
+    truth = {
+        r["doc_id"]
+        for r in nb.join(ib, ["band", "sig"])
+        .select(F.col("n.doc_id").alias("doc_id")).distinct().collect()
+    }
+    flagged = {r["doc_id"] for r in
+               out.where(F.col("n_matches") > 0).collect()}
+    assert truth <= flagged
+
+    # every reported match is a real collision in corpus + incoming
+    allb = bands_from_docs(docs).alias("i")
+    real = {
+        (r["a"], r["b"])
+        for r in nb.join(allb, ["band", "sig"])
+        .select(F.col("n.doc_id").alias("a"),
+                F.col("i.doc_id").alias("b")).distinct().collect()
+    }
+    for r in out.where(F.col("best_match").isNotNull()).collect():
+        assert (r["doc_id"], r["best_match"]) in real
