@@ -255,3 +255,55 @@ ORACLES = {
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_SQL,
     "multimodal_resize": MULTIMODAL_RESIZE_SQL,
 }
+
+
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact payload dedup per media type — the first dedup pass of
+    any media pipeline (byte-identical assets collapse BEFORE any
+    decode/feature work is spent on them): md5 groups over the binary
+    column, per-type duplicate accounting.
+
+    Shape: one partial-agg shuffle on (media_type, checksum), then a
+    bounded per-type rollup — linear, JVM-side md5 over bytes, no
+    pairs. Integer outputs only.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    mm = attach_payloads(docs)
+    groups = (
+        mm.groupBy("media_type", F.md5("payload").alias("checksum"))
+        .agg(F.count("*").alias("c"))
+    )
+    return groups.groupBy("media_type").agg(
+        F.sum("c").cast("long").alias("n_payloads"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).cast("long")
+        .alias("n_dup_groups"),
+        F.sum(F.when(F.col("c") > 1, F.col("c") - 1).otherwise(0))
+        .cast("long").alias("n_extra_copies"),
+    )
+
+
+MULTIMODAL_DEDUP_SQL = """
+WITH mm AS (
+  SELECT doc_id,
+         ['image', 'audio', 'video'][(doc_id % 3 + 1)] AS media_type,
+         md5(text) AS checksum
+  FROM documents
+),
+groups AS (
+  SELECT media_type, checksum, COUNT(*) AS c
+  FROM mm GROUP BY media_type, checksum
+)
+SELECT media_type,
+       CAST(SUM(c) AS BIGINT) AS n_payloads,
+       COUNT(*) AS n_distinct,
+       CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_groups,
+       CAST(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)
+         AS n_extra_copies
+FROM groups
+GROUP BY media_type
+"""
+
+QUERIES["multimodal_dedup"] = multimodal_dedup
+ORACLES["multimodal_dedup"] = MULTIMODAL_DEDUP_SQL

@@ -654,3 +654,56 @@ ORACLES = {
     "embedding_dedup_apply": EMBEDDING_DEDUP_APPLY_SQL,
     "ann_topk_pq": ANN_TOPK_PQ_SQL,
 }
+
+
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-QA census per label: count, dimension violations, zero
+    vectors, and the norm envelope — the ingest-sanity scan run before
+    any ANN/clustering work trusts an embedding column.
+
+    One scan, one partial-agg shuffle over the bounded label set; the
+    norm is the strict left-fold (functions/vectors) so both engines
+    see identical doubles, and only min/max of it are aggregated
+    (order-independent — a SUM of norms would not be).
+    """
+    vecs = spread(load_table(spark, "embeddings", sf_dir))
+    nrm = F.expr(V.norm_expr("embedding"))
+    return (
+        vecs.select(
+            "label",
+            F.size("embedding").alias("dim"),
+            nrm.alias("nrm"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.when(F.col("dim") != V.DIM, 1).otherwise(0))
+            .cast("long").alias("n_bad_dim"),
+            F.sum(F.when(F.col("nrm") == 0.0, 1).otherwise(0))
+            .cast("long").alias("n_zero"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+        )
+    )
+
+
+EMBEDDING_STATS_SQL = f"""
+WITH v AS (
+  SELECT label, len(embedding) AS dim,
+         {V.norm_sql("embedding")} AS nrm
+  FROM embeddings
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(CASE WHEN dim <> {V.DIM} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bad_dim,
+       CAST(SUM(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero,
+       MIN(nrm) AS min_norm,
+       MAX(nrm) AS max_norm
+FROM v
+GROUP BY label
+"""
+
+QUERIES["embedding_stats"] = embedding_stats
+ORACLES["embedding_stats"] = EMBEDDING_STATS_SQL
