@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from distributed_system_mapreduce_spark.functions import text as X
-from distributed_system_mapreduce_spark.tables import load_table
+from distributed_system_mapreduce_spark.tables import load_table, spread
 
 _ROLL_N = 10  # rolling frame length (rows), per user
 
@@ -93,7 +93,7 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum with bounded fan-out — same discipline as orders_backlog's
     stitched cumsum.
     """.format(b=_VOCAB_BUCKET)
-    docs = load_table(spark, "documents", sf_dir)
+    docs = spread(load_table(spark, "documents", sf_dir))
     toks = docs.select("doc_id", X.tokens().alias("toks"))
     grams = toks.select(
         "doc_id",
@@ -246,7 +246,7 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     common subset (see functions/text.py on the \\v divergence) so
     Spark and DuckDB replace identically.
     """
-    docs = load_table(spark, "documents", sf_dir)
+    docs = spread(load_table(spark, "documents", sf_dir))
     norm = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
