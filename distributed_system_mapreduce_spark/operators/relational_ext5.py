@@ -483,3 +483,42 @@ QUERIES["revenue_concentration"] = revenue_concentration
 ORACLES["revenue_concentration"] = REVENUE_CONCENTRATION_SQL
 QUERIES["events_hour_heatmap"] = events_hour_heatmap
 ORACLES["events_hour_heatmap"] = EVENTS_HOUR_HEATMAP_SQL
+
+
+def events_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key JOIN posture: enrich the event stream with a per-user
+    profile dim through the manual salted join (fact side salted,
+    dim replicated across salts) — the fallback when AQE skew
+    splitting isn't available and the dim is too big to broadcast.
+    Values must be IDENTICAL to the plain equi-join (the oracle runs
+    the unsalted join): salting only changes row routing.
+
+    Output is the bounded per-type rollup; integer aggregates only.
+    """
+    from distributed_system_mapreduce_spark.functions.skew import (
+        salted_join,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    dim = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_user_events"))
+    j = salted_join(ev.select("user_id", "event_type"), dim,
+                    "user_id", n_salts=8)
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("n_user_events").cast("long").alias("sum_peer_events"),
+    )
+
+
+EVENTS_SKEW_JOIN_SQL = """
+WITH dim AS (
+  SELECT user_id, COUNT(*) AS n_user_events FROM events GROUP BY user_id
+)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(n_user_events) AS BIGINT) AS sum_peer_events
+FROM events JOIN dim USING (user_id)
+GROUP BY event_type
+"""
+
+QUERIES["events_skew_join"] = events_skew_join
+ORACLES["events_skew_join"] = EVENTS_SKEW_JOIN_SQL
