@@ -522,3 +522,139 @@ GROUP BY event_type
 
 QUERIES["events_skew_join"] = events_skew_join
 ORACLES["events_skew_join"] = EVENTS_SKEW_JOIN_SQL
+
+
+def fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: for each
+    foreign-key edge (lineitem->orders, lineitem->part,
+    lineitem->supplier, orders->customer, customer->nation), the child
+    row count and how many child rows have NO parent — the ingest
+    gate that catches broken joins before queries silently drop rows.
+
+    Shape: one left-anti join per edge (dims broadcast; the fact-fact
+    edge shuffles on its key with AQE), counts unioned into a bounded
+    long-form report. Orphan probes are independent so Spark runs the
+    branches in parallel.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+
+    def edge(name, child, ck, parent, pk, bcast):
+        par = parent.select(pk).distinct()
+        if bcast:
+            par = F.broadcast(par)
+        orphans = child.select(F.col(ck).alias(pk)).join(
+            par, pk, "left_anti")
+        return (
+            child.agg(F.count("*").alias("n_child"))
+            .crossJoin(F.broadcast(
+                orphans.agg(F.count("*").alias("n_orphans"))))
+            .select(F.lit(name).alias("fk_edge"), "n_child", "n_orphans")
+        )
+
+    return (
+        edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey", False)
+        .unionByName(edge("lineitem->part", li, "l_partkey",
+                          p, "p_partkey", True))
+        .unionByName(edge("lineitem->supplier", li, "l_suppkey",
+                          s, "s_suppkey", True))
+        .unionByName(edge("orders->customer", o, "o_custkey",
+                          c, "c_custkey", True))
+        .unionByName(edge("customer->nation", c, "c_nationkey",
+                          n, "n_nationkey", True))
+    )
+
+
+FK_INTEGRITY_SQL = """
+SELECT 'lineitem->orders' AS fk_edge,
+       (SELECT COUNT(*) FROM lineitem) AS n_child,
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+UNION ALL
+SELECT 'lineitem->part',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey))
+UNION ALL
+SELECT 'lineitem->supplier',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                          WHERE s.s_suppkey = l.l_suppkey))
+UNION ALL
+SELECT 'orders->customer',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'customer->nation',
+       (SELECT COUNT(*) FROM customer),
+       (SELECT COUNT(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nation n
+                          WHERE n.n_nationkey = c.c_nationkey))
+"""
+
+QUERIES["fk_integrity"] = fk_integrity
+ORACLES["fk_integrity"] = FK_INTEGRITY_SQL
+
+
+_EWMA_ALPHA_NUM, _EWMA_ALPHA_DEN = 3, 10  # alpha = 0.3, exact rational
+
+
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of `value` over each
+    user's last {n} events — the time-series smoother where recent
+    points dominate. Computed as an explicit left fold over the
+    sorted bounded frame (oldest -> newest):
+    acc = acc + alpha * (x - acc), alpha = {a}/{d} evaluated as
+    double division once — the SAME float op sequence on both engines
+    (a recursive-CTE EWMA or engine-native ewm would not be
+    replicable bit-for-bit).
+
+    Same scale posture as events_rolling_median: user-partitioned
+    window, {n}-row frame, state independent of history length.
+    """.format(n=_ROLL_N, a=_EWMA_ALPHA_NUM, d=_EWMA_ALPHA_DEN)
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-(_ROLL_N - 1), Window.currentRow)
+    )
+    alpha = f"(CAST({_EWMA_ALPHA_NUM} AS DOUBLE) / {_EWMA_ALPHA_DEN})"
+    fr = ev.select(
+        "event_id", "user_id", "event_type", "value",
+        F.collect_list("value").over(w).alias("s"),
+    )
+    return fr.select(
+        "event_id", "user_id", "event_type", "value",
+        F.expr(
+            "aggregate(slice(s, 2, size(s) - 1), "
+            "CAST(element_at(s, 1) AS DOUBLE), "
+            f"(acc, x) -> acc + {alpha} * (CAST(x AS DOUBLE) - acc))"
+        ).alias("ewma"),
+    )
+
+
+EVENTS_EWMA_SQL = f"""
+WITH fr AS (
+  SELECT event_id, user_id, event_type, value,
+         list(value) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN {_ROLL_N - 1} PRECEDING AND CURRENT ROW) AS s
+  FROM events
+)
+SELECT event_id, user_id, event_type, value,
+       list_reduce(list_transform(s, x -> CAST(x AS DOUBLE)),
+         (acc, x) -> acc + (CAST({_EWMA_ALPHA_NUM} AS DOUBLE)
+                            / {_EWMA_ALPHA_DEN}) * (x - acc)) AS ewma
+FROM fr
+"""
+
+QUERIES["events_ewma"] = events_ewma
+ORACLES["events_ewma"] = EVENTS_EWMA_SQL
