@@ -36,9 +36,6 @@ class _LocalIO:
     def exists(self, p: str) -> bool:
         return os.path.exists(p)
 
-    def isdir(self, p: str) -> bool:
-        return os.path.isdir(p)
-
     def delete(self, p: str) -> None:
         if os.path.isdir(p):
             shutil.rmtree(p)
@@ -101,21 +98,46 @@ class _HadoopIO:
     def exists(self, p: str) -> bool:
         return self._fs.exists(self._Path(p))
 
-    def isdir(self, p: str) -> bool:
-        return (self._fs.exists(self._Path(p))
-                and self._fs.getFileStatus(self._Path(p)).isDirectory())
-
     def delete(self, p: str) -> None:
         self._fs.delete(self._Path(p), True)
 
     def put(self, local_path: str, dst: str) -> None:
-        # delSrc=False, overwrite=True
-        self._fs.copyFromLocalFile(False, True, self._Path(local_path),
-                                   self._Path(dst))
+        # Hadoop's copyFromLocalFile NESTS a dir under an existing dst
+        # dir (checkDest semantics) where _LocalIO's copytree MERGES —
+        # walk and copy per file so both backends present the same
+        # namespace surface
+        if os.path.isdir(local_path):
+            for dp, _, files in os.walk(local_path):
+                rel = os.path.relpath(dp, local_path)
+                base = dst if rel == "." else (
+                    dst + "/" + rel.replace(os.sep, "/"))
+                self._fs.mkdirs(self._Path(base))
+                for f in files:
+                    self._fs.copyFromLocalFile(
+                        False, True, self._Path(os.path.join(dp, f)),
+                        self._Path(base + "/" + f))
+        else:
+            # delSrc=False, overwrite=True
+            self._fs.copyFromLocalFile(False, True, self._Path(local_path),
+                                       self._Path(dst))
 
     def get(self, src: str, local_path: str) -> None:
-        self._fs.copyToLocalFile(False, self._Path(src),
-                                 self._Path(local_path), True)
+        st = self._fs.getFileStatus(self._Path(src))
+        if st.isFile():
+            self._fs.copyToLocalFile(False, self._Path(src),
+                                     self._Path(local_path), True)
+            return
+        # dir: merge-copy per file (copyToLocalFile would nest under
+        # an existing local dir), preserving relative layout
+        src_uri = st.getPath().toString()
+        os.makedirs(local_path, exist_ok=True)
+        it = self._fs.listFiles(self._Path(src), True)
+        while it.hasNext():
+            f = it.next().getPath()
+            rel = f.toString()[len(src_uri):].lstrip("/")
+            dst = os.path.join(local_path, *rel.split("/"))
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            self._fs.copyToLocalFile(False, f, self._Path(dst), True)
 
     def ls_files(self, p: str) -> list[str]:
         st = self._fs.getFileStatus(self._Path(p))
@@ -391,7 +413,12 @@ class FileStore:
             ch.filter(~F.col(delete_col)).drop(delete_col)
             if delete_col else ch
         )
-        out = surviving.unionByName(upserts)
+        # materialize once: the bucket-set collect below and the write
+        # would otherwise each evaluate the read+anti-join+union (2x
+        # cost), and a nondeterministic `changes` source could make
+        # the two evaluations disagree — deleting a bucket dir the
+        # write just populated
+        out = surviving.unionByName(upserts).localCheckpoint()
         # dynamic overwrite only rewrites partitions PRESENT in the
         # output — a touched bucket whose every row was deleted emits
         # no partition and its stale files would silently survive, so

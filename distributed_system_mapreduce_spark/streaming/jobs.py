@@ -353,6 +353,20 @@ def enrich_with_customers(events: DataFrame, customers: DataFrame,
     )
 
 
+def _run_foreach_batch(df: DataFrame, sink, checkpoint_dir: str) -> Any:
+    """Drain a stream through a foreachBatch sink with availableNow +
+    checkpoint (the shared exactly-once runner: the checkpoint skips
+    committed batches, the sink must be replay-idempotent)."""
+    q = (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def stream_to_filestore(df: DataFrame, fs, name: str,
                         checkpoint_dir: str) -> Any:
     """Persist a stream into a FileStore dataset via foreachBatch.
@@ -373,14 +387,7 @@ def stream_to_filestore(df: DataFrame, fs, name: str,
         batch_df.write.mode("overwrite").parquet(
             os.path.join(fs._path(name), f"batch_id={batch_id}"))
 
-    q = (
-        df.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return q
+    return _run_foreach_batch(df, sink, checkpoint_dir)
 
 
 def rollup_stream_to_filestore(events: DataFrame, fs, name: str,
@@ -398,14 +405,8 @@ def rollup_stream_to_filestore(events: DataFrame, fs, name: str,
     #batches since the last compaction); compact_rollup() collapses
     the log to a single partition — at scale, the nightly compaction
     job, while per-batch work stays proportional to the delta."""
-    q = (
-        events.writeStream.foreachBatch(rollup_delta_sink(fs, name))
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return q
+    return _run_foreach_batch(events, rollup_delta_sink(fs, name),
+                              checkpoint_dir)
 
 
 def build_dedup_index(docs: DataFrame, fs, name: str) -> None:
@@ -441,9 +442,11 @@ def ingest_dedup_stream(docs: DataFrame, fs, index_name: str,
 
     Exactly-once: verdicts AND index growth are per-batch partition
     overwrites (idempotent under replay) paired with the checkpoint —
-    the same mechanism stream_to_filestore proves under a crash.
-    The index read per batch is the standing dataset + prior batch
-    partitions; the probe join cost scales with the delta, never
+    the same mechanism stream_to_filestore proves under a crash. The
+    probe reads only index partitions with batch_id < the current
+    batch (standing corpus = -1): a replayed batch must NOT see the
+    partition its own failed attempt wrote, or every doc would
+    self-match. The probe join cost scales with the delta, never
     corpus x corpus (the dedup_incremental argument)."""
     import os
 
@@ -455,7 +458,11 @@ def ingest_dedup_stream(docs: DataFrame, fs, index_name: str,
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         nb = bands_from_docs(batch_df).localCheckpoint()
-        idx = fs.read(index_name).alias("i")
+        idx = (
+            fs.read(index_name)
+            .where(F.col("batch_id") < batch_id)
+            .alias("i")
+        )
         hits = (
             nb.alias("n").join(idx, ["band", "sig"])
             .select(F.col("n.doc_id").alias("doc_id"),
@@ -490,14 +497,7 @@ def ingest_dedup_stream(docs: DataFrame, fs, index_name: str,
         nb.write.mode("overwrite").parquet(
             os.path.join(fs._path(index_name), f"batch_id={batch_id}"))
 
-    q = (
-        docs.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return q
+    return _run_foreach_batch(docs, sink, checkpoint_dir)
 
 
 def rollup_delta_sink(fs, name: str):
@@ -544,10 +544,21 @@ def compact_rollup(fs, name: str) -> None:
     # materialize before the overwrite clobbers the source dir
     compacted = read_rollup(fs, name).withColumn(
         "batch_id", F.lit(-1)).localCheckpoint()
-    (
-        compacted.write.mode("overwrite")
-        .partitionBy("batch_id").save(fs._path(name))
-    )
+    spark = compacted.sparkSession
+    # the overwrite must replace the WHOLE dataset (all old delta
+    # partitions) — under dynamic partitionOverwriteMode only
+    # batch_id=-1 would be replaced and totals would double, so pin
+    # static for this write like merge() pins dynamic for its own
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        (
+            compacted.write.format("parquet").mode("overwrite")
+            .partitionBy("batch_id").save(fs._path(name))
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def run_stream_to_memory(df: DataFrame, name: str,

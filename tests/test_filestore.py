@@ -291,3 +291,30 @@ def test_merge_drops_emptied_bucket(fs, spark):
     fs.merge(changes, "kv2", "id", delete_col="is_delete")
     got = {r["id"]: r["v"] for r in fs.read("kv2").collect()}
     assert got == {2: "b"}
+
+
+def test_hadoop_io_dir_put_get_merges_like_local(spark, tmp_path):
+    """Regression: Hadoop copyFromLocalFile nests a dir under an
+    existing destination (checkDest semantics) where the local backend
+    merges — both backends must present the same namespace surface
+    for repeated directory put/get."""
+    src = tmp_path / "d"
+    (src / "sub").mkdir(parents=True)
+    (src / "a.txt").write_text("a")
+    (src / "sub" / "b.txt").write_text("b")
+
+    fs = FileStore(spark, f"file://{tmp_path}/hstore2")
+    fs.put(str(src), "ds")
+    fs.put(str(src), "ds")  # second put must MERGE, not nest
+    names = {p.split("hstore2/ds/")[1] for p in fs.ls("ds")}
+    assert names == {"a.txt", "sub/b.txt"}
+
+    out = tmp_path / "out"
+    out.mkdir()
+    fs.get("ds", str(out))
+    fs.get("ds", str(out))  # second get must overwrite in place
+    got = {
+        str(p.relative_to(out)) for p in out.rglob("*") if p.is_file()
+        if not p.name.startswith((".", "_"))
+    }
+    assert got == {"a.txt", "sub/b.txt"}

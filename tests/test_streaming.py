@@ -477,13 +477,49 @@ def test_ingest_dedup_stream(spark, tmp_path):
     fs = FileStore(spark, str(tmp_path / "store"))
     build_dedup_index(corpus, fs, "idx")
 
-    stream = (spark.readStream.schema(incoming.schema)
-              .option("maxFilesPerTrigger", "1")
-              .parquet(str(tmp_path / "in")))
-    ingest_dedup_stream(stream, fs, "idx", "verdicts",
+    def stream():
+        return (spark.readStream.schema(incoming.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(str(tmp_path / "in")))
+
+    # run 1 crashes AFTER batch 1's sink wrote verdicts AND appended
+    # its bands to the index — the replay must probe only batch_id <
+    # current (else every doc would self-match its own failed write)
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    crashed = {"n": 0}
+
+    # the sink is internal to ingest_dedup_stream; inject the crash by
+    # wrapping the shared foreachBatch runner for the first run
+    import distributed_system_mapreduce_spark.streaming.jobs as J
+
+    orig_runner = J._run_foreach_batch
+
+    def crash_runner(df, sink, ckpt):
+        def wrapped(batch_df, batch_id):
+            sink(batch_df, batch_id)
+            if batch_id == 1 and crashed["n"] == 0:
+                crashed["n"] = 1
+                raise RuntimeError("injected sink crash")
+        return orig_runner(df, wrapped, ckpt)
+
+    J._run_foreach_batch = crash_runner
+    try:
+        with _pytest.raises(StreamingQueryException, match="injected"):
+            ingest_dedup_stream(stream(), fs, "idx", "verdicts",
+                                str(tmp_path / "ckpt"))
+    finally:
+        J._run_foreach_batch = orig_runner
+
+    # run 2: resume from the checkpoint — batch 1 replays over its own
+    # verdict and index partitions
+    ingest_dedup_stream(stream(), fs, "idx", "verdicts",
                         str(tmp_path / "ckpt"))
 
     out = fs.read("verdicts")
+    # the replay must not have produced self-matches
+    assert out.where(F.col("best_match") == F.col("doc_id")).count() == 0
     n_in = incoming.count()
     assert out.count() == n_in
     assert out.select("doc_id").distinct().count() == n_in
