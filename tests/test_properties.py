@@ -298,3 +298,56 @@ def test_events_anomaly_degenerate_groups_dont_throw(spark, tmp_path):
     got_cmp = {k: (repr(v[0]), v[1]) for k, v in got.items()}
     want_cmp = {k: (repr(v[0]), v[1]) for k, v in want.items()}
     assert got_cmp == want_cmp
+
+
+@_slow
+@given(texts=st.lists(
+    st.text(
+        # printable ASCII + some unicode + the whitespace family the
+        # tokenizer contract cares about (incl. \x0b where Java \s and
+        # RE2 \s historically diverge)
+        alphabet=st.sampled_from(
+            list("abcXYZ019 .,!?-_\t\n\r\x0b\x0c") + ["é", "Ж", "中"]),
+        min_size=0, max_size=40),
+    min_size=1, max_size=12))
+def test_text_normalize_cross_engine_fuzz(spark, texts):
+    """text_normalize's regex pipeline must produce IDENTICAL strings
+    and token counts on Spark (Java regex) and DuckDB (RE2) for
+    arbitrary input — the class [^a-z0-9 ] and ' +' collapse live in
+    the engines' common subset; this fuzz pins that claim."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +", " "))
+    got = {
+        r["doc_id"]: (r["n"], r["c"])
+        for r in df.select(
+            "doc_id", norm.alias("n"),
+            F.expr(
+                "size(filter(split(trim(regexp_replace(regexp_replace("
+                "lower(text), '[^a-z0-9 ]', ' '), ' +', ' ')), ' '), "
+                "t -> t <> ''))").alias("c"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({
+        "doc_id": range(len(texts)), "text": texts}))
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.sql("""
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS n,
+                   len(list_filter(string_split(
+                        trim(regexp_replace(regexp_replace(lower(text),
+                             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')),
+                        ' '), x -> x <> '')) AS c
+            FROM t""").fetchall()
+    }
+    assert got == want
