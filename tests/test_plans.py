@@ -158,3 +158,24 @@ def test_curation_pipeline_is_single_scan_no_fact_shuffle_join(spark):
     assert plan_has(df, "BroadcastHashJoin")
     assert plan_lacks(df, "SortMergeJoin")
     assert plan_has(df, "partial_count")
+
+
+def test_wave6_plan_shapes(spark):
+    """New-wave shapes: percentile-threshold rankers must not go
+    cartesian (their only nested-loop is the broadcast 1-row cutoff
+    table); the salted join must be a true equi join; the bounded
+    rolling windows must cost exactly ONE exchange (the user
+    hash-partitioning) and no more."""
+    for name in ("customer_rfm", "revenue_concentration",
+                 "fk_integrity", "graph_degree_dist",
+                 "orders_mom_growth", "vocab_growth"):
+        assert plan_lacks(QUERIES[name](spark, SF_DIR),
+                          "CartesianProduct"), name
+    assert plan_lacks(QUERIES["events_skew_join"](spark, SF_DIR),
+                      "BroadcastNestedLoopJoin", "CartesianProduct")
+    for name in ("events_rolling_median", "events_ewma"):
+        plan = formatted_plan(QUERIES[name](spark, SF_DIR))
+        # count Exchange operator nodes in the tree rendering
+        n = sum(1 for ln in plan.splitlines()
+                if "+- Exchange" in ln or ":- Exchange" in ln)
+        assert n == 1, (name, n, plan)
