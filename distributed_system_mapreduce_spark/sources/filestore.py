@@ -23,7 +23,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-_FORMATS = ("parquet", "csv", "json", "text")
+_FORMATS = ("parquet", "orc", "csv", "json", "text")
 
 
 class _LocalIO:

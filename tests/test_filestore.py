@@ -237,6 +237,11 @@ def test_csv_json_roundtrip(fs, spark):
     assert sorted(tuple(r) for r in back_json.collect()) == sorted(
         (r["id"], r["v"]) for r in df.collect())
     assert back_csv.count() == 3
+    # orc: the other columnar format Spark bundles natively
+    fs.write(df, "t_orc", fmt="orc")
+    back_orc = fs.read("t_orc", fmt="orc")
+    assert sorted(tuple(r) for r in back_orc.collect()) == sorted(
+        (r["id"], r["v"]) for r in df.collect())
 
 
 def test_hadoop_io_path_file_scheme(spark, tmp_path):
