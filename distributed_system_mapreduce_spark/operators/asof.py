@@ -154,12 +154,100 @@ GROUP BY p.event_id
 """
 
 
+def abandoned_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded ANTI join: per day, how many view events were NOT
+    followed by a purchase from the same user within the next
+    {h} hours — the abandonment funnel (purchase_attribution's
+    forward-looking complement).
+
+    Same bucketization discipline: a view's forward window spans at
+    most two {h}-hour bins, so the view side explodes into two
+    (user, bin) probes, the candidate join is a plain hash equi-join,
+    the exact range predicate filters after, and the anti set is a
+    distinct + left join — never a nested-loop inequality join. The
+    rate is one division of exact ints.
+    """.format(h=ATTR_HOURS)
+    ev = load_table(spark, "events", sf_dir)
+    vbin = F.floor(F.unix_timestamp("ts") / F.lit(_BIN_S))
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select("event_id", "user_id", "ts")
+        .withColumn("bin", F.explode(F.array(vbin, vbin + 1)))
+        .alias("v")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"))
+        .withColumn(
+            "bin", F.floor(F.unix_timestamp("p_ts") / F.lit(_BIN_S)))
+        .alias("p")
+    )
+    converted = (
+        views.join(
+            purchases,
+            (F.col("v.user_id") == F.col("p.user_id"))
+            & (F.col("v.bin") == F.col("p.bin")))
+        .filter(
+            (F.col("p_ts") > F.col("ts"))
+            & (F.col("p_ts") <= F.col("ts")
+               + F.expr(f"INTERVAL {ATTR_HOURS} HOURS")))
+        .select(F.col("v.event_id").alias("event_id"))
+        .distinct()
+        .withColumn("conv", F.lit(1))
+    )
+    base = (
+        ev.filter(F.col("event_type") == "view")
+        .select("event_id", F.to_date("ts").alias("day"))
+    )
+    n = F.count("*")
+    nc = F.sum(F.coalesce("conv", F.lit(0)))
+    return (
+        base.join(converted, "event_id", "left")
+        .groupBy("day")
+        .agg(
+            n.alias("n_views"),
+            nc.cast("long").alias("n_converted"),
+            (n - nc).cast("long").alias("n_abandoned"),
+            ((n - nc).cast("double") / n.cast("double"))
+            .alias("abandonment_rate"),
+        )
+    )
+
+
+ABANDONED_VIEWS_SQL = f"""
+WITH v AS (
+  SELECT event_id, user_id, ts, CAST(ts AS DATE) AS day
+  FROM events WHERE event_type = 'view'
+),
+conv AS (
+  SELECT DISTINCT v.event_id
+  FROM v JOIN events p
+    ON p.event_type = 'purchase'
+   AND p.user_id = v.user_id
+   AND p.ts > v.ts
+   AND p.ts <= v.ts + INTERVAL {ATTR_HOURS} HOUR
+)
+SELECT day,
+       COUNT(*) AS n_views,
+       CAST(SUM(CASE WHEN c.event_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_converted,
+       CAST(SUM(CASE WHEN c.event_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_abandoned,
+       CAST(SUM(CASE WHEN c.event_id IS NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS abandonment_rate
+FROM v LEFT JOIN conv c ON v.event_id = c.event_id
+GROUP BY day
+"""
+
+
 QUERIES = {
     "events_asof_order": events_asof_order,
     "purchase_attribution": purchase_attribution,
+    "abandoned_views": abandoned_views,
 }
 
 ORACLES = {
     "events_asof_order": EVENTS_ASOF_ORDER_SQL,
     "purchase_attribution": PURCHASE_ATTRIBUTION_SQL,
+    "abandoned_views": ABANDONED_VIEWS_SQL,
 }

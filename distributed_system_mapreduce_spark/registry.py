@@ -104,7 +104,7 @@ _PRIORITY = [
     "orders_mom_growth", "text_normalize", "customer_rfm",
     "revenue_concentration", "events_hour_heatmap",
     "multimodal_dedup", "embedding_stats", "events_skew_join",
-    "fk_integrity", "events_ewma",
+    "fk_integrity", "events_ewma", "abandoned_views",
     # multimodal decode family: stub kernel is deterministic md5
     # arithmetic, so the Arrow stage is oracle-checked end-to-end
     "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",

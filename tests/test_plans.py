@@ -109,7 +109,8 @@ def test_q15_top1_is_take_ordered_not_window(spark):
 def test_temporal_joins_are_hash_not_nested_loop(spark):
     """The bucketized range join must plan as an equi (hash/merge)
     join — a raw inequality join degenerates to nested-loop."""
-    for name in ("purchase_attribution", "events_asof_order"):
+    for name in ("purchase_attribution", "events_asof_order",
+                 "abandoned_views"):
         df = QUERIES[name](spark, SF_DIR)
         assert plan_lacks(df, "BroadcastNestedLoopJoin",
                           "CartesianProduct"), name
