@@ -409,6 +409,58 @@ def rollup_stream_to_filestore(events: DataFrame, fs, name: str,
                               checkpoint_dir)
 
 
+def anomaly_baseline(ev_batch: DataFrame) -> DataFrame:
+    """Per-type daily-volume moments from HISTORICAL batch data —
+    the static side of the online anomaly scorer. Exact integer
+    moments (count, sum, sum-of-squares), same math as the batch
+    events_anomaly query."""
+    daily = (
+        ev_batch.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    return daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+
+
+def anomaly_stream(events: DataFrame, baseline: DataFrame,
+                   watermark: str = "2 days") -> DataFrame:
+    """Online volume-anomaly scoring: finalized daily per-type counts
+    from the stream, z-scored against the broadcast historical
+    baseline — the streaming half of events_anomaly (same guarded
+    integer-moment math, so scores agree exactly with the batch twin
+    when the baseline covers the same history).
+
+    State: watermark horizon x type cardinality (the windowed count);
+    the baseline is a bounded static table riding in as a broadcast
+    stream-static join — no per-event Python, no unbounded state."""
+    daily = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.to_date(F.col("w.start")).alias("day"),
+                "event_type", "n")
+    )
+    j = daily.join(F.broadcast(baseline), "event_type")
+    mean = F.col("s").cast("double") / F.col("n_days").cast("double")
+    var_num = (F.col("n_days") * F.col("ss")
+               - F.col("s") * F.col("s")).cast("double")
+    var_den = (F.col("n_days") * (F.col("n_days") - F.lit(1))).cast("double")
+    ok = (F.col("n_days") > 1) & (var_num > 0)
+    z = F.when(
+        ok,
+        (F.col("n").cast("double") - mean) / F.sqrt(var_num / var_den),
+    )
+    return j.select(
+        "day", "event_type", F.col("n").alias("n_events"),
+        z.alias("z"),
+        F.when(ok & (F.abs(z) >= 2.0), 1).otherwise(0)
+        .cast("long").alias("is_anomaly"),
+    )
+
+
 def build_dedup_index(docs: DataFrame, fs, name: str) -> None:
     """Materialize the standing corpus's LSH band table — the index a
     streaming ingest probes. At 100 TB this is the once-per-corpus
