@@ -227,3 +227,82 @@ ORACLES = {
     "pack_chunks": PACK_CHUNKS_SQL,
     "bigram_lift": BIGRAM_LIFT_SQL,
 }
+
+
+def quality_dup_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-signal curation analytics: per quality QUARTILE, what
+    fraction of documents are exact duplicates — the calibration
+    question ("are low-quality docs disproportionately copies?") that
+    decides whether dedup should run before or after the quality
+    gate.
+
+    Shape: the quality features and the md5 dup-group counts are two
+    partial-agg passes over one corpus scan; quartile cutoffs are ONE
+    array-percentile aggregate broadcast back (the rfm/concentration
+    pattern — global ranking as threshold compares, no window); final
+    rollup is 4 groups. The rate is one division of exact ints.
+    """
+    from distributed_system_mapreduce_spark.operators.text_analysis import (
+        quality_score,
+    )
+
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.md5("text").alias("h"))
+    grp = docs.groupBy("h").agg(F.count("*").alias("c"))
+    flagged = (
+        docs.join(grp, "h")
+        .select("doc_id", (F.col("c") > 1).cast("int").alias("is_dup"))
+    )
+    cuts = F.broadcast(q.agg(
+        F.expr("percentile(quality, array(0.25, 0.5, 0.75))").alias("qq")))
+    quart = (
+        F.lit(1)
+        + (F.col("quality") > F.element_at(F.col("qq"), 1)).cast("int")
+        + (F.col("quality") > F.element_at(F.col("qq"), 2)).cast("int")
+        + (F.col("quality") > F.element_at(F.col("qq"), 3)).cast("int")
+    )
+    n = F.count("*")
+    nd = F.sum("is_dup")
+    return (
+        q.join(flagged, "doc_id")
+        .crossJoin(cuts)
+        .select(quart.alias("q_quartile"), "is_dup")
+        .groupBy("q_quartile")
+        .agg(
+            n.alias("n_docs"),
+            nd.cast("long").alias("n_dup_docs"),
+            (nd.cast("double") / n.cast("double")).alias("dup_rate"),
+        )
+    )
+
+
+from distributed_system_mapreduce_spark.operators.text_analysis import (  # noqa: E402,E501
+    QUALITY_SCORE_SQL as _QS_SQL,
+)
+
+QUALITY_DUP_CORRELATION_SQL = f"""
+WITH q AS (SELECT doc_id, quality FROM ({_QS_SQL})),
+d AS (SELECT doc_id, md5(text) AS h FROM documents),
+grp AS (SELECT h, COUNT(*) AS c FROM d GROUP BY h),
+flagged AS (
+  SELECT d.doc_id, CAST(grp.c > 1 AS INT) AS is_dup
+  FROM d JOIN grp ON d.h = grp.h
+),
+cuts AS (
+  SELECT quantile_cont(quality, 0.25) AS t1,
+         quantile_cont(quality, 0.5) AS t2,
+         quantile_cont(quality, 0.75) AS t3
+  FROM q
+)
+SELECT 1 + CAST(quality > t1 AS INT) + CAST(quality > t2 AS INT)
+         + CAST(quality > t3 AS INT) AS q_quartile,
+       COUNT(*) AS n_docs,
+       CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+       CAST(SUM(is_dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+FROM q JOIN flagged USING (doc_id) CROSS JOIN cuts
+GROUP BY 1
+"""
+
+QUERIES["quality_dup_correlation"] = quality_dup_correlation
+ORACLES["quality_dup_correlation"] = QUALITY_DUP_CORRELATION_SQL

@@ -105,6 +105,7 @@ _PRIORITY = [
     "revenue_concentration", "events_hour_heatmap",
     "multimodal_dedup", "embedding_stats", "events_skew_join",
     "fk_integrity", "events_ewma", "abandoned_views",
+    "quality_dup_correlation",
     # multimodal decode family: stub kernel is deterministic md5
     # arithmetic, so the Arrow stage is oracle-checked end-to-end
     "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
