@@ -36,6 +36,7 @@ import threading
 from collections.abc import Callable, Iterable, Iterator
 
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -188,6 +189,7 @@ class MapleJuice:
         partition: str = "hash",
         output_schema: T.StructType | str | None = None,
         key_col: str = "key",
+        cache_range_input: bool = True,
     ) -> DataFrame:
         """Reduce phase: apply ``reduce_fn(key, group_df)`` per key.
 
@@ -198,6 +200,16 @@ class MapleJuice:
                              sorted-deal semantics, Shuffle:688) then
                              per-partition grouping; equal keys land
                              in one range bucket so grouping holds.
+
+        cache_range_input: the range exchange computes its boundaries
+        with a separate SAMPLING job over ``kv`` — without a cache
+        that job re-executes the whole upstream (typically a Python
+        maple stage: 2x the map work, and nondeterministic maples
+        could even see different boundary samples). Default True
+        persists kv MEMORY_AND_DISK so sampling materializes it once
+        and the exchange reads the cache; the handle stays persisted
+        for the session (caller/`spark.catalog.clearCache()` frees it
+        — it is the map output, bounded by the input scan).
         """
         if output_schema is None:
             output_schema = KV_SCHEMA
@@ -218,6 +230,8 @@ class MapleJuice:
         # range: one range shuffle, then group inside each partition
         n = num_tasks or kv.sparkSession.conf.get(
             "spark.sql.shuffle.partitions")
+        if cache_range_input:
+            kv = kv.persist(StorageLevel.MEMORY_AND_DISK)
         ranged = kv.repartitionByRange(int(n), F.col(key_col))
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -276,6 +290,7 @@ class MapleJuice:
         num_tasks: int | None = None,
         partition: str = "hash",
         key_col: str = "key",
+        cache_range_input: bool = True,
     ) -> DataFrame:
         """Reduce phase with an external executable: one exe run PER
         KEY over that key's `key value` lines — byte-for-byte the
@@ -313,6 +328,10 @@ class MapleJuice:
 
         n = num_tasks or kv.sparkSession.conf.get(
             "spark.sql.shuffle.partitions")
+        # see juice(): cache so the range-boundary sampling job doesn't
+        # re-run the upstream (often an exe maple stage) a second time
+        if cache_range_input:
+            kv = kv.persist(StorageLevel.MEMORY_AND_DISK)
         ranged = kv.repartitionByRange(int(n), F.col(key_col))
 
         def run_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

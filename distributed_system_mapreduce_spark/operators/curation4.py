@@ -1,0 +1,384 @@
+"""Curation wave 4: pipeline evaluation + serving-prep operators —
+the audit stage that closes the loop on the earlier waves. Language-ID
+gets a confusion matrix (how good is the classifier the pipeline
+gates on?), tokenization gets a fertility census (the compression
+ratio that drives token budgets), dedup gets a cluster-size
+distribution (how much mass do the clusters hold?), retrieval gets a
+sliding-window chunking audit (the RAG twin of pack_chunks' training
+packing), and embeddings get an int8 quantization error census (the
+compression decision every vector-serving store makes).
+
+Exactness discipline (same as waves 1-3): counts and closed-form
+chunk arithmetic stay in integers; unordered double sums are scaled
+to 1e-9-grid BIGINTs before aggregation (order-independent), with
+division confined to single fixed-order output expressions; MAX over
+doubles is order-independent and used directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from distributed_system_mapreduce_spark.functions.text import (
+    BPE_COUNT_SQL,
+    N_TOKENS_SQL,
+    bpe_count,
+    n_tokens,
+)
+from distributed_system_mapreduce_spark.tables import load_table, spread
+
+
+# ------------------------------------------------- tokenizer fertility
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility census per (source, lang): characters per
+    token under both tokenizers, and the BPE-to-whitespace blowup —
+    the dataset-card number that converts a byte budget into a token
+    budget (and flags scripts the tokenizer fragments).
+
+    Shape: one corpus scan, narrow per-doc token counting (JVM regex),
+    one partial-agg shuffle on a bounded (source, lang) key space.
+    Ratios are single int/int double divisions of already-aggregated
+    BIGINTs — deterministic on both engines."""
+    docs = load_table(spark, "documents", sf_dir)
+    per = docs.select(
+        "source", "lang", "n_chars",
+        n_tokens().cast("long").alias("ws"),
+        bpe_count().cast("long").alias("bpe"),
+    )
+    agg = per.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("ws").cast("long").alias("total_ws_tokens"),
+        F.sum("bpe").cast("long").alias("total_bpe_tokens"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return agg.select(
+        "source", "lang", "n_docs", "total_chars",
+        "total_ws_tokens", "total_bpe_tokens",
+        (d("total_chars") / d("total_ws_tokens"))
+        .alias("chars_per_ws_token"),
+        (d("total_chars") / d("total_bpe_tokens"))
+        .alias("chars_per_bpe_token"),
+        (d("total_bpe_tokens") / d("total_ws_tokens")).alias("bpe_per_ws"),
+    )
+
+
+TOKENIZER_FERTILITY_SQL = f"""
+SELECT source, lang, n_docs, total_chars, total_ws_tokens,
+       total_bpe_tokens,
+       CAST(total_chars AS DOUBLE) / CAST(total_ws_tokens AS DOUBLE)
+         AS chars_per_ws_token,
+       CAST(total_chars AS DOUBLE) / CAST(total_bpe_tokens AS DOUBLE)
+         AS chars_per_bpe_token,
+       CAST(total_bpe_tokens AS DOUBLE) / CAST(total_ws_tokens AS DOUBLE)
+         AS bpe_per_ws
+FROM (
+  SELECT source, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(SUM({N_TOKENS_SQL}) AS BIGINT) AS total_ws_tokens,
+         CAST(SUM({BPE_COUNT_SQL}) AS BIGINT) AS total_bpe_tokens
+  FROM documents
+  GROUP BY source, lang
+)
+"""
+
+
+# ---------------------------------------------- language-ID confusion
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the pipeline's language classifier
+    (lang_id's marker-argmax prediction) against the gold `lang`
+    label: per (true, predicted) cell count and its share of the true
+    language — the eval that decides whether lang-gated curation
+    steps can be trusted.
+
+    Shape: one corpus scan (the lang_id scoring projection is narrow
+    JVM work), one partial-agg shuffle onto a bounded <=25-cell
+    matrix; the per-true totals come from a window over the already
+    tiny cell table (partitioned by lang_true — never a global
+    window), not a second corpus scan."""
+    from distributed_system_mapreduce_spark.operators.text_analysis import (
+        lang_id,
+    )
+
+    pred = lang_id(spark, sf_dir).select("lang_true", "lang_pred")
+    cells = pred.groupBy("lang_true", "lang_pred").agg(
+        F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("lang_true")
+    return cells.select(
+        "lang_true", "lang_pred", "n",
+        (F.col("n").cast("double")
+         / F.sum("n").over(w).cast("double")).alias("share_of_true"),
+    )
+
+
+def _lang_confusion_sql() -> str:
+    from distributed_system_mapreduce_spark.operators.text_analysis import (
+        LANG_ID_SQL,
+    )
+
+    return f"""
+WITH cells AS (
+  SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ({LANG_ID_SQL})
+  GROUP BY lang_true, lang_pred
+)
+SELECT lang_true, lang_pred, n,
+       CAST(n AS DOUBLE)
+         / CAST(SUM(n) OVER (PARTITION BY lang_true) AS DOUBLE)
+         AS share_of_true
+FROM cells
+"""
+
+
+# ------------------------------------------- RAG sliding-window chunks
+# Retrieval chunking: WINDOW tokens per chunk, STRIDE tokens between
+# chunk starts (overlap = WINDOW - STRIDE). The training-side twin
+# (curation3.pack_chunks) packs disjoint windows over a concatenated
+# stream; retrieval chunks each doc independently WITH overlap, so
+# boundary context is never lost to a cut.
+CHUNK_WINDOW = 64
+CHUNK_STRIDE = 48
+
+# chunks(n) = 1                          if n <= W
+#             1 + ceil((n - W) / S)      otherwise
+# Emitted token mass has the closed form n + (chunks - 1) * (W - S):
+# every chunk boundary re-emits exactly W - S overlap tokens (the
+# last chunk is clipped at n, and chunk k-1 always ends at full W
+# because ceil() puts any short remainder in the final chunk only).
+_CHUNKS_EXPR = (
+    f"CASE WHEN n <= {CHUNK_WINDOW} THEN CAST(1 AS BIGINT) "
+    f"ELSE CAST(1 + (n - {CHUNK_WINDOW - CHUNK_STRIDE + 1}) "
+    f"div {CHUNK_STRIDE} AS BIGINT) END"
+)
+_CHUNKS_SQL = (
+    f"CASE WHEN n <= {CHUNK_WINDOW} THEN CAST(1 AS BIGINT) "
+    f"ELSE CAST(1 + (n - {CHUNK_WINDOW - CHUNK_STRIDE + 1}) "
+    f"// {CHUNK_STRIDE} AS BIGINT) END"
+)
+
+
+def chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window retrieval-chunking audit per source: how many
+    chunks the corpus shards into, how many tokens the overlaps
+    re-emit, and the resulting storage expansion — the sizing query
+    run before building a RAG index over the corpus.
+
+    Shape: one scan, closed-form integer chunk arithmetic per doc
+    (no explode — the audit needs counts, not the chunks themselves),
+    one partial-agg shuffle on the bounded source key. The single
+    double division happens after aggregation."""
+    docs = load_table(spark, "documents", sf_dir)
+    per = docs.select(
+        "source", n_tokens().cast("long").alias("n"),
+    ).select(
+        "source", "n", F.expr(_CHUNKS_EXPR).alias("chunks"),
+    )
+    agg = per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.sum("chunks").cast("long").alias("total_chunks"),
+        F.sum((F.col("chunks") - 1)
+              * (CHUNK_WINDOW - CHUNK_STRIDE))
+        .cast("long").alias("overlap_tokens"),
+    )
+    return agg.select(
+        "source", "n_docs", "total_tokens", "total_chunks",
+        "overlap_tokens",
+        ((F.col("total_tokens") + F.col("overlap_tokens")).cast("double")
+         / F.col("total_tokens").cast("double")).alias("expansion_ratio"),
+    )
+
+
+CHUNK_OVERLAP_SQL = f"""
+SELECT source, n_docs, total_tokens, total_chunks, overlap_tokens,
+       CAST(total_tokens + overlap_tokens AS DOUBLE)
+         / CAST(total_tokens AS DOUBLE) AS expansion_ratio
+FROM (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n) AS BIGINT) AS total_tokens,
+         CAST(SUM(chunks) AS BIGINT) AS total_chunks,
+         CAST(SUM((chunks - 1) * {CHUNK_WINDOW - CHUNK_STRIDE}) AS BIGINT)
+           AS overlap_tokens
+  FROM (
+    SELECT source, n, {_CHUNKS_SQL} AS chunks
+    FROM (SELECT source, {N_TOKENS_SQL} AS n FROM documents)
+  )
+  GROUP BY source
+)
+"""
+
+
+# ------------------------------------------- dup-cluster distribution
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size distribution of the verified near-dup clusters: per size
+    bucket, how many clusters, how many documents they hold, and how
+    many dedup would remove (all but one representative per cluster)
+    — the report that turns dedup_components' labels into the "X% of
+    the corpus is duplicated, mostly in pairs" dataset-card line.
+
+    Shape: downstream of the iterative CC labeling (see
+    dedup_components for the round discipline); the label table is
+    tiny vs the corpus, so the two groupBys here are partial-agg
+    shuffles on small data ending in a bounded 4-row output. Every
+    cluster has >= 2 members by construction (labels cover only docs
+    with at least one verified dup edge)."""
+    from distributed_system_mapreduce_spark.operators.dedup import (
+        dedup_components,
+    )
+
+    labels = dedup_components(spark, sf_dir)
+    sizes = labels.groupBy("component").agg(
+        F.count("*").cast("long").alias("sz"))
+    bucket = (
+        F.when(F.col("sz") <= 2, F.lit("2"))
+        .when(F.col("sz") <= 5, F.lit("3-5"))
+        .when(F.col("sz") <= 10, F.lit("6-10"))
+        .otherwise(F.lit("11+"))
+    )
+    return (
+        sizes.select(bucket.alias("size_bucket"), "sz")
+        .groupBy("size_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum("sz").cast("long").alias("n_docs"),
+            (F.sum("sz") - F.count("*")).cast("long").alias("n_removable"),
+        )
+    )
+
+
+def _dedup_cluster_stats_sql() -> str:
+    from distributed_system_mapreduce_spark.operators.dedup import (
+        DEDUP_COMPONENTS_SQL,
+    )
+
+    return f"""
+WITH comp AS ({DEDUP_COMPONENTS_SQL}),
+sizes AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM comp GROUP BY component
+)
+SELECT CASE WHEN sz <= 2 THEN '2' WHEN sz <= 5 THEN '3-5'
+            WHEN sz <= 10 THEN '6-10' ELSE '11+' END AS size_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(sz) AS BIGINT) AS n_docs,
+       CAST(SUM(sz) - COUNT(*) AS BIGINT) AS n_removable
+FROM sizes
+GROUP BY 1
+"""
+
+
+# --------------------------------------- int8 quantization error census
+# Symmetric per-vector int8: scale = max|x|, q_i = round(x_i/scale*127),
+# dequant = q_i*scale/127. The census reports the reconstruction error
+# a serving store would accept by switching float32 -> int8 (4x memory;
+# the usual first compression step before PQ).
+_ABSMAX_EXPR = "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+_ABSMAX_SQL = ("list_max(list_transform(embedding, "
+               "x -> abs(CAST(x AS DOUBLE))))")
+# round-half-up via floor(v + 0.5): Spark round() half-up and DuckDB
+# round() half-away agree only for positives — floor(v + 0.5) is the
+# same op on both engines for all signs. Spark floor() returns BIGINT,
+# DuckDB's a DOUBLE; the product with `scale` promotes identically.
+_MAXERR_EXPR = (
+    "CASE WHEN scale = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) ELSE "
+    "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE) - "
+    "floor((CAST(x AS DOUBLE) / scale) * 127.0 + 0.5) * scale / 127.0)))"
+    " END"
+)
+_MAXERR_SQL = (
+    "CASE WHEN scale = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) ELSE "
+    "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE) - "
+    "floor((CAST(x AS DOUBLE) / scale) * 127.0 + 0.5) * scale / 127.0)))"
+    " END"
+)
+_NANO = "1000000000.0"
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization error census per label: worst and mean
+    per-vector max reconstruction error, mean scale, zero-vector
+    count — the accuracy-vs-memory audit before shipping a quantized
+    ANN index (compare: ann_topk_pq compresses 64x with codebooks;
+    int8 compresses 4x with none).
+
+    Shape: linear narrow scan (per-row array folds, JVM higher-order
+    functions — no UDF), one partial-agg shuffle on the bounded label
+    key. Cross-engine exactness: MAX over doubles is
+    order-independent; mean numerators are summed on a 1e-9 integer
+    grid (exact BIGINT sums), with division in one fixed-order output
+    expression."""
+    vecs = spread(load_table(spark, "embeddings", sf_dir))
+    p = vecs.select(
+        "label", F.expr(_ABSMAX_EXPR).alias("scale"), "embedding",
+    ).select("label", "scale", F.expr(_MAXERR_EXPR).alias("max_err"))
+    agg = p.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum((F.col("scale") == 0).cast("long"))
+        .cast("long").alias("n_zero_vecs"),
+        F.max("max_err").alias("worst_abs_err"),
+        F.sum(F.expr(
+            f"CAST(floor(max_err * {_NANO} + 0.5) AS BIGINT)"))
+        .cast("long").alias("err_sum_nano"),
+        F.sum(F.expr(
+            f"CAST(floor(scale * {_NANO} + 0.5) AS BIGINT)"))
+        .cast("long").alias("scale_sum_nano"),
+    )
+    return agg.select(
+        "label", "n_vecs", "n_zero_vecs", "worst_abs_err",
+        "err_sum_nano", "scale_sum_nano",
+        ((F.col("err_sum_nano").cast("double") / F.lit(float(1e9)))
+         / F.col("n_vecs").cast("double")).alias("mean_abs_err"),
+        ((F.col("scale_sum_nano").cast("double") / F.lit(float(1e9)))
+         / F.col("n_vecs").cast("double")).alias("mean_scale"),
+    )
+
+
+EMBEDDING_QUANTIZE_SQL = f"""
+WITH p AS (
+  SELECT label, scale, {_MAXERR_SQL} AS max_err
+  FROM (
+    SELECT label, {_ABSMAX_SQL} AS scale, embedding
+    FROM embeddings
+  )
+),
+agg AS (
+  SELECT label,
+         CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         CAST(SUM(CASE WHEN scale = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero_vecs,
+         MAX(max_err) AS worst_abs_err,
+         CAST(SUM(CAST(floor(max_err * {_NANO} + 0.5) AS BIGINT))
+              AS BIGINT) AS err_sum_nano,
+         CAST(SUM(CAST(floor(scale * {_NANO} + 0.5) AS BIGINT))
+              AS BIGINT) AS scale_sum_nano
+  FROM p
+  GROUP BY label
+)
+SELECT label, n_vecs, n_zero_vecs, worst_abs_err, err_sum_nano,
+       scale_sum_nano,
+       (CAST(err_sum_nano AS DOUBLE) / {_NANO})
+         / CAST(n_vecs AS DOUBLE) AS mean_abs_err,
+       (CAST(scale_sum_nano AS DOUBLE) / {_NANO})
+         / CAST(n_vecs AS DOUBLE) AS mean_scale
+FROM agg
+"""
+
+
+QUERIES = {
+    "tokenizer_fertility": tokenizer_fertility,
+    "lang_confusion": lang_confusion,
+    "chunk_overlap": chunk_overlap,
+    "dedup_cluster_stats": dedup_cluster_stats,
+    "embedding_quantize": embedding_quantize,
+}
+
+ORACLES = {
+    "tokenizer_fertility": TOKENIZER_FERTILITY_SQL,
+    "lang_confusion": _lang_confusion_sql(),
+    "chunk_overlap": CHUNK_OVERLAP_SQL,
+    "dedup_cluster_stats": _dedup_cluster_stats_sql(),
+    "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
+}

@@ -18,6 +18,7 @@ from distributed_system_mapreduce_spark.operators import (
     curation,
     curation2,
     curation3,
+    curation4,
     dedup,
     engine_queries,
     export,
@@ -36,6 +37,7 @@ from distributed_system_mapreduce_spark.operators import (
 _MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
             relational_ext3, relational_ext4, relational_ext5,
             engine_queries, text_analysis, curation, curation2, curation3,
+            curation4,
             dedup,
             similarity, clustering,
             multimodal, asof, export]
@@ -106,6 +108,8 @@ _PRIORITY = [
     "multimodal_dedup", "embedding_stats", "events_skew_join",
     "fk_integrity", "events_ewma", "abandoned_views",
     "quality_dup_correlation",
+    "tokenizer_fertility", "lang_confusion", "chunk_overlap",
+    "dedup_cluster_stats", "embedding_quantize",
     # multimodal decode family: stub kernel is deterministic md5
     # arithmetic, so the Arrow stage is oracle-checked end-to-end
     "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
