@@ -100,6 +100,15 @@ SHOWCASE = [
     ("orders_mom_growth",
      "month rollup once, broadcast self-join on month_key-1 for the "
      "lag — no global window over the calendar"),
+    ("chunk_overlap",
+     "closed-form integer chunk arithmetic per doc (no explode), one "
+     "bounded-key partial agg"),
+    ("lang_confusion",
+     "one corpus scan -> bounded cell matrix; per-true shares via a "
+     "window partitioned over the tiny matrix"),
+    ("embedding_quantize",
+     "narrow JVM array folds per vector, 1e-9-grid integer sums, one "
+     "bounded-label partial agg"),
 ]
 
 
