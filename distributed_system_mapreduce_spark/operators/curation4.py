@@ -367,12 +367,83 @@ FROM agg
 """
 
 
+# --------------------------------------------- encoding-integrity census
+# U+FFFD (the replacement character) is what a lossy transcode leaves
+# behind; raw control bytes are what a binary-in-text ingest leaves
+# behind. Both are standard pre-training corpus health flags.
+_REPL_CHAR = chr(0xFFFD)
+# control chars EXCLUDING the whitespace family the tokenizer accepts
+# (\t\n\r\f\v); Spark SQL literals process backslash escapes (hence
+# \\x), DuckDB's don't (RE2 sees \x.. directly) — same split as
+# functions/text.py's whitespace class.
+_CTRL_EXPR = r"[\\x00-\\x08\\x0E-\\x1F\\x7F]"
+_CTRL_SQL = r"[\x00-\x08\x0e-\x1f\x7f]"
+
+
+def text_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-integrity census per source: documents carrying
+    U+FFFD replacement characters (lossy transcodes), raw control
+    bytes (binary contamination), and the non-ASCII character mass —
+    the mojibake health check run at ingest, before any
+    language-aware step trusts the bytes.
+
+    Shape: narrow per-doc JVM regex flags, one partial-agg shuffle on
+    the bounded source key. The single share is one int/int double
+    division after aggregation."""
+    docs = load_table(spark, "documents", sf_dir)
+    per = docs.select(
+        "source",
+        F.expr(f"CAST(contains(text, '{_REPL_CHAR}') AS INT)")
+        .alias("has_repl"),
+        F.expr(f"CAST(text RLIKE '{_CTRL_EXPR}' AS INT)")
+        .alias("has_ctrl"),
+        F.expr(r"length(regexp_replace(text, '[\\x00-\\x7F]', ''))")
+        .cast("long").alias("non_ascii"),
+        F.length("text").cast("long").alias("len"),
+    )
+    agg = per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("has_repl").cast("long").alias("docs_replacement"),
+        F.sum("has_ctrl").cast("long").alias("docs_control"),
+        F.sum("non_ascii").cast("long").alias("non_ascii_chars"),
+        F.sum("len").cast("long").alias("total_chars"),
+    )
+    return agg.select(
+        "source", "n_docs", "docs_replacement", "docs_control",
+        "non_ascii_chars", "total_chars",
+        (F.col("non_ascii_chars").cast("double")
+         / F.col("total_chars").cast("double")).alias("non_ascii_share"),
+    )
+
+
+TEXT_INTEGRITY_SQL = rf"""
+SELECT source, n_docs, docs_replacement, docs_control, non_ascii_chars,
+       total_chars,
+       CAST(non_ascii_chars AS DOUBLE) / CAST(total_chars AS DOUBLE)
+         AS non_ascii_share
+FROM (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN contains(text, '{_REPL_CHAR}')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS docs_replacement,
+         CAST(SUM(CASE WHEN regexp_matches(text, '{_CTRL_SQL}')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS docs_control,
+         CAST(SUM(length(regexp_replace(text, '[\x00-\x7f]', '', 'g')))
+              AS BIGINT) AS non_ascii_chars,
+         CAST(SUM(length(text)) AS BIGINT) AS total_chars
+  FROM documents
+  GROUP BY source
+)
+"""
+
+
 QUERIES = {
     "tokenizer_fertility": tokenizer_fertility,
     "lang_confusion": lang_confusion,
     "chunk_overlap": chunk_overlap,
     "dedup_cluster_stats": dedup_cluster_stats,
     "embedding_quantize": embedding_quantize,
+    "text_integrity": text_integrity,
 }
 
 ORACLES = {
@@ -381,4 +452,5 @@ ORACLES = {
     "chunk_overlap": CHUNK_OVERLAP_SQL,
     "dedup_cluster_stats": _dedup_cluster_stats_sql(),
     "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
+    "text_integrity": TEXT_INTEGRITY_SQL,
 }

@@ -1,0 +1,206 @@
+"""Relational wave 6: governance and growth-accounting shapes —
+k-anonymity risk census (the privacy gate run before releasing an
+events extract), first-seen user growth (the acquisition curve), and
+common-neighbor link prediction (the recommender-adjacent graph
+query over the co-purchase graph).
+
+Exactness: counts and distinct counts are integers end-to-end; the
+single share ratio is one int/int double division after aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_system_mapreduce_spark.tables import load_table
+
+# ------------------------------------------------- k-anonymity census
+# Quasi-identifier = (event_type, day): the release-granularity cell.
+# A cell with < K distinct users is re-identifiable; the census says
+# how much suppression a K-anonymous release would need.
+K_ANON = 5
+
+
+def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: how many (type, day) release cells exist, how
+    many fall below the K-anonymity threshold, and what share of
+    user-day observations sits in those risky cells — the governance
+    query run before handing an events extract to a third party.
+
+    Shape: one countDistinct per cell (two-phase exact distinct on the
+    (type, day) key — the natural release granularity), then a
+    partial-agg rollup onto the bounded type key. Linear, two
+    shuffles, no window."""
+    ev = load_table(spark, "events", sf_dir)
+    cells = (
+        ev.select("event_type", F.to_date("ts").alias("day"), "user_id")
+        .groupBy("event_type", "day")
+        .agg(F.countDistinct("user_id").cast("long").alias("cell_users"))
+    )
+    small = F.col("cell_users") < K_ANON
+    agg = cells.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum(small.cast("long")).cast("long").alias("n_small_cells"),
+        F.sum(F.when(small, F.col("cell_users")).otherwise(0))
+        .cast("long").alias("users_at_risk"),
+        F.sum("cell_users").cast("long").alias("user_cells"),
+    )
+    return agg.select(
+        "event_type", "n_cells", "n_small_cells", "users_at_risk",
+        "user_cells",
+        (F.col("users_at_risk").cast("double")
+         / F.col("user_cells").cast("double")).alias("risk_share"),
+    )
+
+
+K_ANONYMITY_SQL = f"""
+SELECT event_type, n_cells, n_small_cells, users_at_risk, user_cells,
+       CAST(users_at_risk AS DOUBLE) / CAST(user_cells AS DOUBLE)
+         AS risk_share
+FROM (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(SUM(CASE WHEN cell_users < {K_ANON} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_small_cells,
+         CAST(SUM(CASE WHEN cell_users < {K_ANON} THEN cell_users
+                       ELSE 0 END) AS BIGINT) AS users_at_risk,
+         CAST(SUM(cell_users) AS BIGINT) AS user_cells
+  FROM (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS cell_users
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+  )
+  GROUP BY event_type
+)
+"""
+
+
+# ---------------------------------------------------- user growth curve
+def user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition curve: per day, how many users were seen for the
+    FIRST time, and the cumulative user base through that day.
+
+    Shape: min(first day) per user (one user_id shuffle), daily counts
+    (bounded calendar), then the cumulative sum via a triangular
+    broadcast self-join over the tiny aggregated calendar — the same
+    no-global-window pattern as vocab_growth (a window over all days
+    would serialize onto one task; the calendar table is O(days), so
+    the triangular join is O(days^2) rows on broadcast data)."""
+    ev = load_table(spark, "events", sf_dir)
+    first = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day"))
+    daily = first.groupBy("first_day").agg(
+        F.count("*").cast("long").alias("new_users"))
+    b = daily.select(F.col("first_day").alias("d2"),
+                     F.col("new_users").alias("n2"))
+    return (
+        daily.join(F.broadcast(b), F.col("d2") <= F.col("first_day"))
+        .groupBy("first_day", "new_users")
+        .agg(F.sum("n2").cast("long").alias("cum_users"))
+        .select("first_day", "new_users", "cum_users")
+    )
+
+
+USER_GROWTH_SQL = """
+WITH first AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+  FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT first_day, CAST(COUNT(*) AS BIGINT) AS new_users
+  FROM first GROUP BY first_day
+)
+SELECT a.first_day, a.new_users,
+       CAST(SUM(b.new_users) AS BIGINT) AS cum_users
+FROM daily a JOIN daily b ON b.first_day <= a.first_day
+GROUP BY a.first_day, a.new_users
+"""
+
+
+# -------------------------------------- common-neighbor link prediction
+_LP_SUPPORT = 2   # strong-tie threshold, same as triangle_count
+_LP_TOPK = 20
+
+
+def link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the strong co-purchase graph: for part
+    pairs NOT already connected, count common neighbors (the
+    classic 'people who bought X also bought Y' candidate score) and
+    keep the top-20 — wedge counting, the same primitive as
+    triangle_count pointed at the open wedges instead of the closed
+    ones.
+
+    Shape: canonical u<v strong edges (linear in orders), symmetrize,
+    wedge self-join on the mid node, partial-agg count per candidate
+    pair, left-anti against existing edges, TakeOrderedAndProject
+    top-20 with a full (score desc, u, v) tie-break. At 100 TB the
+    wedge join is bounded by the degree census (graph_degree_dist) —
+    hub nodes get split/capped before this runs, as with any
+    wedge-based algorithm."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("u"),
+                 F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= _LP_SUPPORT)
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    sym = edges.union(edges.select(F.col("v"), F.col("u")))
+    s1 = sym.select(F.col("u").alias("x"), F.col("v").alias("mid"))
+    s2 = sym.select(F.col("u").alias("mid2"), F.col("v").alias("y"))
+    cand = (
+        s1.join(s2, (F.col("mid") == F.col("mid2"))
+                & (F.col("x") < F.col("y")))
+        .groupBy(F.col("x").alias("u"), F.col("y").alias("v"))
+        .agg(F.count("*").cast("long").alias("common_neighbors"))
+    )
+    open_pairs = cand.join(edges, ["u", "v"], "left_anti")
+    return (
+        open_pairs
+        .orderBy(F.desc("common_neighbors"), F.asc("u"), F.asc("v"))
+        .limit(_LP_TOPK)
+    )
+
+
+LINK_PREDICTION_SQL = f"""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_LP_SUPPORT}
+),
+sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+cand AS (
+  SELECT s1.u AS u, s2.v AS v, CAST(COUNT(*) AS BIGINT)
+           AS common_neighbors
+  FROM sym s1 JOIN sym s2 ON s1.v = s2.u AND s1.u < s2.v
+  GROUP BY s1.u, s2.v
+)
+SELECT u, v, common_neighbors
+FROM cand c
+WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.u = c.u AND e.v = c.v)
+ORDER BY common_neighbors DESC, u ASC, v ASC
+LIMIT {_LP_TOPK}
+"""
+
+
+QUERIES = {
+    "k_anonymity": k_anonymity,
+    "user_growth": user_growth,
+    "link_prediction": link_prediction,
+}
+
+ORACLES = {
+    "k_anonymity": K_ANONYMITY_SQL,
+    "user_growth": USER_GROWTH_SQL,
+    "link_prediction": LINK_PREDICTION_SQL,
+}

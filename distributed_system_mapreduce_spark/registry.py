@@ -30,12 +30,14 @@ from distributed_system_mapreduce_spark.operators import (
     relational_ext3,
     relational_ext4,
     relational_ext5,
+    relational_ext6,
     similarity,
     text_analysis,
 )
 
 _MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
             relational_ext3, relational_ext4, relational_ext5,
+            relational_ext6,
             engine_queries, text_analysis, curation, curation2, curation3,
             curation4,
             dedup,
@@ -109,7 +111,8 @@ _PRIORITY = [
     "fk_integrity", "events_ewma", "abandoned_views",
     "quality_dup_correlation",
     "tokenizer_fertility", "lang_confusion", "chunk_overlap",
-    "dedup_cluster_stats", "embedding_quantize",
+    "dedup_cluster_stats", "embedding_quantize", "text_integrity",
+    "k_anonymity", "user_growth", "link_prediction",
     # multimodal decode family: stub kernel is deterministic md5
     # arithmetic, so the Arrow stage is oracle-checked end-to-end
     "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
