@@ -193,14 +193,79 @@ LIMIT {_LP_TOPK}
 """
 
 
+# ------------------------------------------------ join size estimation
+# The cost-based-optimizer primitive: |A join B on k| =
+# SUM over matching keys of cnt_A(k) * cnt_B(k) — computed from two
+# per-key count tables, never by executing the join. This is how a
+# planner (or a capacity review) sizes a 100 TB fact-fact join before
+# committing a shuffle to it; the count tables are each one partial-agg
+# shuffle, and their join is broadcast-sized for dimension edges.
+_JOIN_EDGES = [
+    ("orders-lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("customer-orders", "customer", "c_custkey", "orders", "o_custkey"),
+    ("part-lineitem", "part", "p_partkey", "lineitem", "l_partkey"),
+    ("supplier-lineitem", "supplier", "s_suppkey", "lineitem",
+     "l_suppkey"),
+]
+
+
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size audit of the star schema's FK edges: for each edge,
+    the exact join output cardinality and the max per-key fanout,
+    derived from per-key count tables WITHOUT executing the join —
+    the arithmetic behind every CBO row estimate and skew alarm
+    (max_fanout is the number AQE's skew-join threshold watches).
+
+    Shape per edge: two partial-agg count shuffles + a key-count
+    equi-join (broadcast for dimension sides under AQE), folded to a
+    1-row summary; the bounded edge summaries union. Products of
+    per-key counts are BIGINT end-to-end."""
+    out = None
+    for edge, lt, lk, rt, rk in _JOIN_EDGES:
+        left = load_table(spark, lt, sf_dir).select(
+            F.col(lk).alias("k"))
+        right = load_table(spark, rt, sf_dir).select(
+            F.col(rk).alias("k"))
+        lc = left.groupBy("k").agg(F.count("*").alias("ca"))
+        rc = right.groupBy("k").agg(F.count("*").alias("cb"))
+        j = lc.join(rc, "k")
+        row = j.agg(
+            F.count("*").cast("long").alias("matching_keys"),
+            F.sum(F.col("ca") * F.col("cb")).cast("long")
+            .alias("join_rows"),
+            F.max(F.col("ca") * F.col("cb")).cast("long")
+            .alias("max_key_fanout"),
+        ).select(
+            F.lit(edge).alias("edge"),
+            "matching_keys", "join_rows", "max_key_fanout",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+JOIN_SIZE_ESTIMATE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{edge}' AS edge,
+       CAST(COUNT(*) AS BIGINT) AS matching_keys,
+       CAST(SUM(ca * cb) AS BIGINT) AS join_rows,
+       CAST(MAX(ca * cb) AS BIGINT) AS max_key_fanout
+FROM (SELECT {lk} AS k, CAST(COUNT(*) AS BIGINT) AS ca
+      FROM {lt} GROUP BY {lk}) l
+JOIN (SELECT {rk} AS k, CAST(COUNT(*) AS BIGINT) AS cb
+      FROM {rt} GROUP BY {rk}) r USING (k)"""
+    for edge, lt, lk, rt, rk in _JOIN_EDGES
+)
+
+
 QUERIES = {
     "k_anonymity": k_anonymity,
     "user_growth": user_growth,
     "link_prediction": link_prediction,
+    "join_size_estimate": join_size_estimate,
 }
 
 ORACLES = {
     "k_anonymity": K_ANONYMITY_SQL,
     "user_growth": USER_GROWTH_SQL,
     "link_prediction": LINK_PREDICTION_SQL,
+    "join_size_estimate": JOIN_SIZE_ESTIMATE_SQL,
 }
