@@ -270,6 +270,66 @@ def sessionize_closed_stream(events: DataFrame,
     )
 
 
+_FIRST_SEEN_OUT = StructType([
+    StructField("user_id", LongType()),
+    StructField("first_ts", TimestampType()),
+])
+_FIRST_SEEN_STATE = StructType([
+    StructField("seen", LongType()),
+])
+
+
+def _first_seen_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        for _ in pdfs:  # drain; this user already emitted
+            pass
+        return
+    first_us = None
+    for pdf in pdfs:
+        if len(pdf):
+            us = int(pdf["ts"].min().value // 1000)
+            first_us = us if first_us is None else min(first_us, us)
+    if first_us is None:
+        return
+    state.update((1,))
+    yield pd.DataFrame({
+        "user_id": [key[0]],
+        "first_ts": pd.to_datetime([first_us], unit="us"),
+    })
+
+
+def first_seen_stream(events: DataFrame) -> DataFrame:
+    """New-user detection: emit exactly one (user_id, first_ts) row
+    the first micro-batch each user appears in — the streaming feed
+    behind acquisition dashboards (batch twin: user_growth's
+    first-day aggregation) and behind any first-touch trigger
+    (welcome flows, cohort assignment).
+
+    State is one flag per seen user — the same deliberate
+    state-per-key posture as sessionize_stream's running counters,
+    and the canonical cost of EXACT forever-dedup on an unbounded
+    key space: for a 100 TB/day stream either accept the
+    user-cardinality state (RocksDB state store), or relax to
+    within-horizon semantics via dropDuplicatesWithinWatermark /
+    a bloom-filter pre-gate. first_ts is the min event time within
+    the user's FIRST micro-batch: if later batches carry yet-earlier
+    late events, first-observed wins (exact agreement with the batch
+    twin when per-user arrival respects event-time order, as in the
+    time-ordered file feeds the tests use)."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _first_seen_fn,
+            outputStructType=_FIRST_SEEN_OUT,
+            stateStructType=_FIRST_SEEN_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def session_window_counts(events: DataFrame,
                           gap: str = "30 minutes",
                           watermark: str = "2 days") -> DataFrame:

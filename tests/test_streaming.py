@@ -586,3 +586,57 @@ def test_anomaly_stream_matches_batch(spark):
     }
     got = {k: v for k, v in got.items() if k[0] <= cutoff}
     assert got == want and len(got) > 0
+
+
+def test_first_seen_stream_emits_each_user_once_with_true_first_touch(
+        spark, tmp_path):
+    """first_seen_stream must emit exactly one row per user carrying
+    the user's true first event time when micro-batches replay in
+    event-time order (weekly files, maxFilesPerTrigger=1) — the
+    streaming twin of user_growth's first-day aggregation."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from distributed_system_mapreduce_spark.streaming.jobs import (
+        EVENT_SCHEMA,
+        first_seen_stream,
+    )
+    from distributed_system_mapreduce_spark.tables import load_table
+
+    ev = load_table(spark, "events", SF_DIR)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    cur, idx = pd.Timestamp(lo).floor("D"), 0
+    while cur <= pd.Timestamp(hi):
+        nxt = cur + pd.Timedelta(days=7)
+        pdf = ev.where(
+            (F.col("ts") >= F.lit(cur.to_pydatetime()))
+            & (F.col("ts") < F.lit(nxt.to_pydatetime()))).toPandas()
+        if len(pdf):
+            pdf.to_parquet(src / f"wk{idx:03d}.parquet",
+                           coerce_timestamps="us",
+                           allow_truncated_timestamps=True)
+        cur, idx = nxt, idx + 1
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = run_stream_to_memory(first_seen_stream(stream), "first_seen",
+                             output_mode="append")
+    try:
+        rows = spark.table("first_seen").collect()
+        got = {r["user_id"]: pd.Timestamp(r["first_ts"]).value // 1000
+               for r in rows}
+        assert len(rows) == len(got)  # exactly one emission per user
+        truth = {
+            r["user_id"]: r["m"]
+            for r in ev.groupBy("user_id").agg(
+                F.min(F.unix_micros(F.col("ts").cast("timestamp")))
+                .alias("m")).collect()
+        }
+        assert got == truth
+    finally:
+        q.stop()
