@@ -54,8 +54,13 @@ def _pipe_lines(cmd: str, lines: Iterable[str]) -> Iterator[str]:
     /root/reference/maple_juice/maple_juice.go:241).
 
     stdin is fed from a writer thread while stdout is consumed here,
-    so memory stays bounded by the OS pipe buffer regardless of
-    partition size — no spooling the partition to disk or RAM."""
+    so memory stays bounded by the OS pipe buffer (plus one ~1 MB
+    I/O block each way) regardless of partition size — no spooling
+    the partition to disk or RAM. Both directions use BLOCK I/O:
+    token-per-line jobs push millions of lines per partition, and
+    per-line Python write()/readline() calls were the measured
+    hotspot of the exe path — lines are joined/split in ~64K-line
+    chunks so the per-line work stays in C string code."""
     proc = subprocess.Popen(
         cmd, shell=True, text=True, encoding="utf-8",
         stdin=subprocess.PIPE, stdout=subprocess.PIPE,
@@ -67,8 +72,15 @@ def _pipe_lines(cmd: str, lines: Iterable[str]) -> Iterator[str]:
         # blocks forever -> the whole task hangs) and be re-raised in
         # the main thread, not swallowed in the writer.
         try:
+            buf: list[str] = []
             for ln in lines:
-                proc.stdin.write(ln)
+                buf.append(ln)
+                if len(buf) >= (1 << 16):
+                    proc.stdin.write("\n".join(buf))
+                    proc.stdin.write("\n")
+                    buf = []
+            if buf:
+                proc.stdin.write("\n".join(buf))
                 proc.stdin.write("\n")
         except BrokenPipeError:
             pass  # exe exited early; surfaced via returncode below
@@ -83,7 +95,17 @@ def _pipe_lines(cmd: str, lines: Iterable[str]) -> Iterator[str]:
     writer = threading.Thread(target=feed, daemon=True)
     writer.start()
     try:
-        yield from (out.rstrip("\n") for out in proc.stdout)
+        tail = ""
+        while True:
+            block = proc.stdout.read(1 << 20)
+            if not block:
+                break
+            block = tail + block
+            out_lines = block.split("\n")
+            tail = out_lines.pop()  # partial last line (or "")
+            yield from out_lines
+        if tail:
+            yield tail
     finally:
         writer.join()
         proc.stdout.close()
