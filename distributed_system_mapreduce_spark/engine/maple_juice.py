@@ -72,13 +72,19 @@ def _pipe_lines(cmd: str, lines: Iterable[str]) -> Iterator[str]:
         # blocks forever -> the whole task hangs) and be re-raised in
         # the main thread, not swallowed in the writer.
         try:
+            # flush on accumulated BYTES, not line count: line-count
+            # batching would hold ~64K whole lines in RAM (unbounded
+            # for document-sized lines); a ~1 MB character budget
+            # keeps the writer O(block), matching the docstring bound
             buf: list[str] = []
+            pending = 0
             for ln in lines:
                 buf.append(ln)
-                if len(buf) >= (1 << 16):
+                pending += len(ln) + 1
+                if pending >= (1 << 20):
                     proc.stdin.write("\n".join(buf))
                     proc.stdin.write("\n")
-                    buf = []
+                    buf, pending = [], 0
             if buf:
                 proc.stdin.write("\n".join(buf))
                 proc.stdin.write("\n")
@@ -172,6 +178,16 @@ class MapleJuice:
 
     def __init__(self, spark):
         self.spark = spark
+        self._cached_kv: list[DataFrame] = []
+
+    def unpersist_cached(self) -> None:
+        """Release the map outputs cached by range-partition juice
+        calls (see juice()'s cache_range_input). A long-lived session
+        issuing many range jobs should call this between jobs — disk
+        blocks otherwise live until session end."""
+        for df in self._cached_kv:
+            df.unpersist()
+        self._cached_kv.clear()
 
     # ------------------------------------------------------------- maple
     def maple(
@@ -254,6 +270,7 @@ class MapleJuice:
             "spark.sql.shuffle.partitions")
         if cache_range_input:
             kv = kv.persist(StorageLevel.MEMORY_AND_DISK)
+            self._cached_kv.append(kv)
         ranged = kv.repartitionByRange(int(n), F.col(key_col))
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -354,6 +371,7 @@ class MapleJuice:
         # re-run the upstream (often an exe maple stage) a second time
         if cache_range_input:
             kv = kv.persist(StorageLevel.MEMORY_AND_DISK)
+            self._cached_kv.append(kv)
         ranged = kv.repartitionByRange(int(n), F.col(key_col))
 
         def run_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

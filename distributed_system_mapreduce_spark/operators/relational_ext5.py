@@ -105,13 +105,11 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         first.select(F.expr(f"first_doc DIV {_VOCAB_BUCKET}").alias("bucket"))
         .groupBy("bucket").agg(F.count("*").alias("n_new_tokens"))
     )
-    b2 = nb.select(F.col("bucket").alias("b2"),
-                   F.col("n_new_tokens").alias("m"))
-    return (
-        nb.join(F.broadcast(b2), F.col("b2") <= F.col("bucket"))
-        .groupBy("bucket", "n_new_tokens")
-        .agg(F.sum("m").cast("long").alias("vocab_size"))
+    from distributed_system_mapreduce_spark.functions.rollups import (
+        triangular_cumsum,
     )
+
+    return triangular_cumsum(nb, "bucket", "n_new_tokens", "vocab_size")
 
 
 VOCAB_GROWTH_SQL = f"""

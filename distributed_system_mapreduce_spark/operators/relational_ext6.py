@@ -88,19 +88,16 @@ def user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-global-window pattern as vocab_growth (a window over all days
     would serialize onto one task; the calendar table is O(days), so
     the triangular join is O(days^2) rows on broadcast data)."""
+    from distributed_system_mapreduce_spark.functions.rollups import (
+        triangular_cumsum,
+    )
+
     ev = load_table(spark, "events", sf_dir)
     first = ev.groupBy("user_id").agg(
         F.min(F.to_date("ts")).alias("first_day"))
     daily = first.groupBy("first_day").agg(
         F.count("*").cast("long").alias("new_users"))
-    b = daily.select(F.col("first_day").alias("d2"),
-                     F.col("new_users").alias("n2"))
-    return (
-        daily.join(F.broadcast(b), F.col("d2") <= F.col("first_day"))
-        .groupBy("first_day", "new_users")
-        .agg(F.sum("n2").cast("long").alias("cum_users"))
-        .select("first_day", "new_users", "cum_users")
-    )
+    return triangular_cumsum(daily, "first_day", "new_users", "cum_users")
 
 
 USER_GROWTH_SQL = """

@@ -288,11 +288,12 @@ def _first_seen_fn(
         return
     first_us = None
     for pdf in pdfs:
-        if len(pdf):
-            us = int(pdf["ts"].min().value // 1000)
+        ts = pdf["ts"].dropna()  # null event times never define a
+        if len(ts):              # first touch (batch twin skips them)
+            us = int(ts.min().value // 1000)
             first_us = us if first_us is None else min(first_us, us)
     if first_us is None:
-        return
+        return  # nothing usable yet; leave the user unseen
     state.update((1,))
     yield pd.DataFrame({
         "user_id": [key[0]],
