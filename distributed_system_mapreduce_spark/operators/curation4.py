@@ -437,6 +437,136 @@ FROM (
 """
 
 
+# ----------------------------------------------- Gopher-rule gate census
+# The classic rule-based quality gate (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", public): hard document filters with
+# PER-RULE rejection attribution, so a corpus owner sees WHICH rule
+# costs which source how much before turning the gate on. All rule
+# comparisons are integer cross-multiplications — no ratio doubles
+# inside the predicate, so both engines decide identically.
+_GR_MIN_TOKS = 50
+_GR_MAX_TOKS = 100_000
+_GR_MIN_MWL = 3      # mean word length bounds (chars/token)
+_GR_MAX_MWL = 10
+_GR_SYMBOL_CLASS_EXPR = r"[#$%&*+=@^_~|<>]"
+_GR_SYMBOL_CLASS_SQL = r"[#$%&*+=@^_~|<>]"
+_GR_MIN_STOP = 2
+# >= 70% of tokens must contain an alphabetic character
+_GR_ALPHA_NUM, _GR_ALPHA_DEN = 7, 10
+
+
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style hard-rule gate census per source: for each of the
+    five document rules (token-count bounds, mean-word-length bounds,
+    symbol-to-token ratio, minimum stopword evidence, alphabetic-token
+    share), how many docs fail it, plus the all-rules pass count and
+    rate — the rule-attribution report read before enabling the gate.
+
+    Shape: one scan; the token array is materialized ONCE per doc and
+    every rule reads it (no re-tokenization per rule — the projection
+    chain hazard); one partial-agg shuffle on the bounded source key.
+    Rules compare integer cross-products (e.g. 10*symbols < tokens),
+    never ratio doubles."""
+    from distributed_system_mapreduce_spark.functions.text import (
+        STOPWORDS,
+        TOKENS_EXPR,
+    )
+
+    inlist = ", ".join(f"'{w}'" for w in STOPWORDS)
+    docs = load_table(spark, "documents", sf_dir)
+    per = docs.select(
+        "source", F.expr(TOKENS_EXPR).alias("toks"), "text",
+    ).select(
+        "source",
+        F.expr("size(toks)").cast("long").alias("n_toks"),
+        F.expr("length(array_join(toks, ''))").cast("long")
+        .alias("tok_chars"),
+        F.expr(f"size(filter(toks, t -> t IN ({inlist})))").cast("long")
+        .alias("n_stop"),
+        F.expr("size(filter(toks, t -> t rlike '[A-Za-z]'))")
+        .cast("long").alias("n_alpha_toks"),
+        F.expr(
+            f"length(regexp_replace(text, '[^{_GR_SYMBOL_CLASS_EXPR[1:-1]}]', ''))"
+        ).cast("long").alias("n_symbols"),
+    )
+    f_len = ~F.col("n_toks").between(_GR_MIN_TOKS, _GR_MAX_TOKS)
+    f_mwl = (
+        (F.col("tok_chars") < _GR_MIN_MWL * F.col("n_toks"))
+        | (F.col("tok_chars") > _GR_MAX_MWL * F.col("n_toks"))
+    )
+    f_sym = 10 * F.col("n_symbols") >= F.col("n_toks")
+    f_stop = F.col("n_stop") < _GR_MIN_STOP
+    f_alpha = (_GR_ALPHA_DEN * F.col("n_alpha_toks")
+               < _GR_ALPHA_NUM * F.col("n_toks"))
+    passed = ~(f_len | f_mwl | f_sym | f_stop | f_alpha)
+    agg = per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(f_len.cast("long")).cast("long").alias("fail_length"),
+        F.sum(f_mwl.cast("long")).cast("long").alias("fail_word_len"),
+        F.sum(f_sym.cast("long")).cast("long").alias("fail_symbols"),
+        F.sum(f_stop.cast("long")).cast("long").alias("fail_stopwords"),
+        F.sum(f_alpha.cast("long")).cast("long").alias("fail_alpha"),
+        F.sum(passed.cast("long")).cast("long").alias("n_pass"),
+    )
+    return agg.select(
+        "source", "n_docs", "fail_length", "fail_word_len",
+        "fail_symbols", "fail_stopwords", "fail_alpha", "n_pass",
+        (F.col("n_pass").cast("double") / F.col("n_docs").cast("double"))
+        .alias("pass_rate"),
+    )
+
+
+def _gopher_rules_sql() -> str:
+    from distributed_system_mapreduce_spark.functions.text import (
+        STOPWORDS,
+        TOKENS_SQL,
+    )
+
+    inlist = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH per AS (
+  SELECT source,
+         CAST(len(toks) AS BIGINT) AS n_toks,
+         CAST(length(list_aggregate(toks, 'string_agg', '')) AS BIGINT)
+           AS tok_chars,
+         CAST(len(list_filter(toks, t -> t IN ({inlist}))) AS BIGINT)
+           AS n_stop,
+         CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+              AS BIGINT) AS n_alpha_toks,
+         CAST(length(regexp_replace(text,
+              '[^{_GR_SYMBOL_CLASS_SQL[1:-1]}]', '', 'g')) AS BIGINT)
+           AS n_symbols
+  FROM (SELECT source, {TOKENS_SQL} AS toks, text FROM documents)
+),
+flags AS (
+  SELECT source,
+         CAST(n_toks NOT BETWEEN {_GR_MIN_TOKS} AND {_GR_MAX_TOKS}
+              AS INT) AS f_len,
+         CAST(tok_chars < {_GR_MIN_MWL} * n_toks
+              OR tok_chars > {_GR_MAX_MWL} * n_toks AS INT) AS f_mwl,
+         CAST(10 * n_symbols >= n_toks AS INT) AS f_sym,
+         CAST(n_stop < {_GR_MIN_STOP} AS INT) AS f_stop,
+         CAST({_GR_ALPHA_DEN} * n_alpha_toks
+              < {_GR_ALPHA_NUM} * n_toks AS INT) AS f_alpha
+  FROM per
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(f_len) AS BIGINT) AS fail_length,
+       CAST(SUM(f_mwl) AS BIGINT) AS fail_word_len,
+       CAST(SUM(f_sym) AS BIGINT) AS fail_symbols,
+       CAST(SUM(f_stop) AS BIGINT) AS fail_stopwords,
+       CAST(SUM(f_alpha) AS BIGINT) AS fail_alpha,
+       CAST(SUM(CASE WHEN f_len + f_mwl + f_sym + f_stop + f_alpha = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(SUM(CASE WHEN f_len + f_mwl + f_sym + f_stop + f_alpha = 0
+                     THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS pass_rate
+FROM flags
+GROUP BY source
+"""
+
+
 QUERIES = {
     "tokenizer_fertility": tokenizer_fertility,
     "lang_confusion": lang_confusion,
@@ -444,6 +574,7 @@ QUERIES = {
     "dedup_cluster_stats": dedup_cluster_stats,
     "embedding_quantize": embedding_quantize,
     "text_integrity": text_integrity,
+    "gopher_rules": gopher_rules,
 }
 
 ORACLES = {
@@ -453,4 +584,5 @@ ORACLES = {
     "dedup_cluster_stats": _dedup_cluster_stats_sql(),
     "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
     "text_integrity": TEXT_INTEGRITY_SQL,
+    "gopher_rules": _gopher_rules_sql(),
 }
