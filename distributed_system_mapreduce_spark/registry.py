@@ -25,6 +25,7 @@ from distributed_system_mapreduce_spark.operators import (
     mapreduce_queries,
     multimodal,
     relational,
+    sketches,
     relational_ext,
     relational_ext2,
     relational_ext3,
@@ -41,7 +42,7 @@ _MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
             engine_queries, text_analysis, curation, curation2, curation3,
             curation4,
             dedup,
-            similarity, clustering,
+            similarity, clustering, sketches,
             multimodal, asof, export]
 
 _MERGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -118,7 +119,7 @@ _PRIORITY = [
     # arithmetic, so the Arrow stage is oracle-checked end-to-end
     "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
     # -- rows-only (no oracle by design; weaker driver check) -----------
-    "kmeans_embed", "approx_price_quantiles",
+    "kmeans_embed", "approx_price_quantiles", "freq_items_sketch",
     # -- r1 driver-green (re-confirmation) ------------------------------
     "wordcount", "vote_winner", "split_by_key", "range_partition_hist",
     "mr_wordcount", "mr_wordcount_range", "mr_vote_winner",
