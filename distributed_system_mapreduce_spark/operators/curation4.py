@@ -437,6 +437,119 @@ FROM (
 """
 
 
+# ------------------------------------------------ balanced output shards
+# The writer-side op: place docs into N_SHARDS output files with
+# near-equal token mass (a skewed shard is a straggler for every
+# downstream consumer). Deterministic LPT-flavored round-robin:
+# rank docs globally by size, deal rank i to shard i mod N. The
+# global rank is NEVER a global window — docs bucket by floor(log2)
+# size class (bounded ~40 buckets, integer-exact via binary-string
+# length on both engines), rank within bucket (partitioned window),
+# and bucket offsets come from a broadcast-sized exclusive prefix sum
+# — the same partitioned prefix-sum stitch as orders_backlog.
+N_SHARDS = 8
+# floor(log2(n+1)) without floating log2 (whose rounding the two
+# engines need not share): length of the binary representation - 1
+_SIZE_BUCKET_EXPR = "CAST(length(bin(n + 1)) - 1 AS BIGINT)"
+_SIZE_BUCKET_SQL = "CAST(length(bin(n + 1)) - 1 AS BIGINT)"
+
+
+def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced corpus sharding audit: deal every document to one of
+    N_SHARDS output shards by global size rank (largest first,
+    round-robin), then report each shard's doc count, token mass, and
+    share — the balance check before a 100 TB write fan-out.
+
+    Shape: one scan for token counts; per-size-class ranks via
+    windows PARTITIONED by the bounded log2 bucket; bucket offsets
+    via an exclusive prefix sum over the tiny bucket-count table
+    (broadcast triangular join); final partial agg onto N_SHARDS
+    rows. No global window anywhere."""
+    from pyspark.sql import Window
+
+    from distributed_system_mapreduce_spark.functions.rollups import (
+        triangular_cumsum,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    per = docs.select(
+        "doc_id", n_tokens().cast("long").alias("n"),
+    ).select("doc_id", "n", F.expr(_SIZE_BUCKET_EXPR).alias("bucket"))
+    counts = per.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("cnt"))
+    # exclusive prefix over buckets in DESCENDING size order: rank 1
+    # is the largest doc, so offset(b) = #docs in strictly larger
+    # buckets. triangular_cumsum is <=-inclusive on its key, so feed
+    # it the negated bucket and subtract the bucket's own count.
+    offs = (
+        triangular_cumsum(
+            counts.select((-F.col("bucket")).alias("nb"), "cnt"),
+            "nb", "cnt", "cum")
+        .select((-F.col("nb")).alias("bucket"),
+                (F.col("cum") - F.col("cnt")).alias("offset"))
+    )
+    w = Window.partitionBy("bucket").orderBy(F.desc("n"), F.asc("doc_id"))
+    ranked = (
+        per.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(offs), "bucket")
+        .select(
+            "n",
+            ((F.col("offset") + F.col("rn") - 1) % N_SHARDS)
+            .cast("long").alias("shard"),
+        )
+    )
+    agg = ranked.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("total_tokens"),
+    )
+    tot = agg.agg(F.sum("total_tokens").cast("long").alias("grand"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "shard", "n_docs", "total_tokens",
+            (F.col("total_tokens").cast("double")
+             / F.col("grand").cast("double")).alias("token_share"),
+        )
+    )
+
+
+SHARD_ASSIGNMENT_SQL = f"""
+WITH per AS (
+  SELECT doc_id, n, {_SIZE_BUCKET_SQL} AS bucket
+  FROM (SELECT doc_id, CAST({N_TOKENS_SQL} AS BIGINT) AS n
+        FROM documents)
+),
+counts AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM per GROUP BY bucket
+),
+offs AS (
+  SELECT bucket,
+         CAST(COALESCE(SUM(cnt) OVER (ORDER BY bucket DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS off
+  FROM counts
+),
+ranked AS (
+  SELECT p.n,
+         (o.off + ROW_NUMBER() OVER (PARTITION BY p.bucket
+                                     ORDER BY p.n DESC, p.doc_id ASC)
+          - 1) % {N_SHARDS} AS shard
+  FROM per p JOIN offs o ON p.bucket = o.bucket
+),
+agg AS (
+  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n) AS BIGINT) AS total_tokens
+  FROM ranked GROUP BY shard
+)
+SELECT CAST(shard AS BIGINT) AS shard, n_docs, total_tokens,
+       CAST(total_tokens AS DOUBLE)
+         / CAST((SELECT SUM(total_tokens) FROM agg) AS DOUBLE)
+         AS token_share
+FROM agg
+"""
+
+
 # ----------------------------------------------- Gopher-rule gate census
 # The classic rule-based quality gate (Rae et al. 2021, "Scaling
 # Language Models: ... Gopher", public): hard document filters with
@@ -575,6 +688,7 @@ QUERIES = {
     "embedding_quantize": embedding_quantize,
     "text_integrity": text_integrity,
     "gopher_rules": gopher_rules,
+    "shard_assignment": shard_assignment,
 }
 
 ORACLES = {
@@ -585,4 +699,5 @@ ORACLES = {
     "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
     "text_integrity": TEXT_INTEGRITY_SQL,
     "gopher_rules": _gopher_rules_sql(),
+    "shard_assignment": SHARD_ASSIGNMENT_SQL,
 }

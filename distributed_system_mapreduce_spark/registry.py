@@ -114,7 +114,7 @@ _PRIORITY = [
     "tokenizer_fertility", "lang_confusion", "chunk_overlap",
     "dedup_cluster_stats", "embedding_quantize", "text_integrity",
     "k_anonymity", "user_growth", "link_prediction",
-    "join_size_estimate", "gopher_rules",
+    "join_size_estimate", "gopher_rules", "shard_assignment",
     # multimodal decode family: stub kernel is deterministic md5
     # arithmetic, so the Arrow stage is oracle-checked end-to-end
     "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
