@@ -448,6 +448,7 @@ FROM (
 # and bucket offsets come from a broadcast-sized exclusive prefix sum
 # — the same partitioned prefix-sum stitch as orders_backlog.
 N_SHARDS = 8
+_SHARD_SALTS = 16   # sub-partitions per size class; scale ~ cores
 # floor(log2(n+1)) without floating log2 (whose rounding the two
 # engines need not share): length of the binary representation - 1
 _SIZE_BUCKET_EXPR = "CAST(length(bin(n + 1)) - 1 AS BIGINT)"
@@ -456,15 +457,22 @@ _SIZE_BUCKET_SQL = "CAST(length(bin(n + 1)) - 1 AS BIGINT)"
 
 def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Balanced corpus sharding audit: deal every document to one of
-    N_SHARDS output shards by global size rank (largest first,
+    N_SHARDS output shards by size rank (largest classes first,
     round-robin), then report each shard's doc count, token mass, and
     share — the balance check before a 100 TB write fan-out.
 
-    Shape: one scan for token counts; per-size-class ranks via
-    windows PARTITIONED by the bounded log2 bucket; bucket offsets
-    via an exclusive prefix sum over the tiny bucket-count table
+    Shape: one scan for token counts; ranks via windows PARTITIONED
+    by (log2 size class, doc_id salt) — the salt matters at scale:
+    most of a real corpus lands in a handful of size classes, so a
+    class-only window would serialize each class onto one task, while
+    class x {s} salts caps any window task at ~corpus/(classes*{s})
+    rows (raise salts with the cluster). Sub-partition offsets are an
+    exclusive prefix sum over the bounded class x salt count table
     (broadcast triangular join); final partial agg onto N_SHARDS
-    rows. No global window anywhere."""
+    rows. No global or low-cardinality window anywhere. Within a
+    class doc sizes differ by at most 2x, so salted dealing keeps
+    the near-equal token balance of the unsalted rank.""".format(
+        s=_SHARD_SALTS)
     from pyspark.sql import Window
 
     from distributed_system_mapreduce_spark.functions.rollups import (
@@ -474,24 +482,27 @@ def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     per = docs.select(
         "doc_id", n_tokens().cast("long").alias("n"),
-    ).select("doc_id", "n", F.expr(_SIZE_BUCKET_EXPR).alias("bucket"))
-    counts = per.groupBy("bucket").agg(
+    ).select(
+        "doc_id", "n", F.expr(_SIZE_BUCKET_EXPR).alias("bucket"),
+        (F.col("doc_id") % _SHARD_SALTS).alias("salt"),
+    )
+    counts = per.groupBy("bucket", "salt").agg(
         F.count("*").cast("long").alias("cnt"))
-    # exclusive prefix over buckets in DESCENDING size order: rank 1
-    # is the largest doc, so offset(b) = #docs in strictly larger
-    # buckets. triangular_cumsum is <=-inclusive on its key, so feed
-    # it the negated bucket and subtract the bucket's own count.
+    # one integer orders the (bucket DESC, salt ASC) deal sequence, so
+    # the shared <=-inclusive prefix helper applies; subtracting the
+    # own count makes it exclusive (rank 1 = first doc of the slot)
+    ordk = (-F.col("bucket")) * _SHARD_SALTS + F.col("salt")
     offs = (
         triangular_cumsum(
-            counts.select((-F.col("bucket")).alias("nb"), "cnt"),
-            "nb", "cnt", "cum")
-        .select((-F.col("nb")).alias("bucket"),
-                (F.col("cum") - F.col("cnt")).alias("offset"))
+            counts.select(ordk.alias("ok"), "cnt"), "ok", "cnt", "cum")
+        .select("ok", (F.col("cum") - F.col("cnt")).alias("offset"))
     )
-    w = Window.partitionBy("bucket").orderBy(F.desc("n"), F.asc("doc_id"))
+    w = Window.partitionBy("bucket", "salt").orderBy(
+        F.desc("n"), F.asc("doc_id"))
     ranked = (
         per.withColumn("rn", F.row_number().over(w))
-        .join(F.broadcast(offs), "bucket")
+        .withColumn("ok", ordk)
+        .join(F.broadcast(offs), "ok")
         .select(
             "n",
             ((F.col("offset") + F.col("rn") - 1) % N_SHARDS)
@@ -515,27 +526,29 @@ def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SHARD_ASSIGNMENT_SQL = f"""
 WITH per AS (
-  SELECT doc_id, n, {_SIZE_BUCKET_SQL} AS bucket
+  SELECT doc_id, n, {_SIZE_BUCKET_SQL} AS bucket,
+         doc_id % {_SHARD_SALTS} AS salt
   FROM (SELECT doc_id, CAST({N_TOKENS_SQL} AS BIGINT) AS n
         FROM documents)
 ),
 counts AS (
-  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM per GROUP BY bucket
+  SELECT bucket, salt, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM per GROUP BY bucket, salt
 ),
 offs AS (
-  SELECT bucket,
-         CAST(COALESCE(SUM(cnt) OVER (ORDER BY bucket DESC
+  SELECT bucket, salt,
+         CAST(COALESCE(SUM(cnt) OVER (ORDER BY bucket DESC, salt ASC
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
               AS BIGINT) AS off
   FROM counts
 ),
 ranked AS (
   SELECT p.n,
-         (o.off + ROW_NUMBER() OVER (PARTITION BY p.bucket
+         (o.off + ROW_NUMBER() OVER (PARTITION BY p.bucket, p.salt
                                      ORDER BY p.n DESC, p.doc_id ASC)
           - 1) % {N_SHARDS} AS shard
-  FROM per p JOIN offs o ON p.bucket = o.bucket
+  FROM per p JOIN offs o
+    ON p.bucket = o.bucket AND p.salt = o.salt
 ),
 agg AS (
   SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
