@@ -109,6 +109,24 @@ SHOWCASE = [
     ("embedding_quantize",
      "narrow JVM array folds per vector, 1e-9-grid integer sums, one "
      "bounded-label partial agg"),
+    ("join_size_estimate",
+     "per-key count tables + key-count equi-join — sizes the "
+     "fact-fact join without executing it"),
+    ("gopher_rules",
+     "five rules over ONE materialized token array, integer "
+     "cross-product predicates, bounded-source agg"),
+    ("shard_assignment",
+     "(size class x salt) partitioned windows + broadcast exclusive "
+     "prefix — balanced dealing, no low-cardinality window"),
+    ("freq_items_sketch",
+     "Arrow-batched Misra-Gries partials (<= K counters/partition), "
+     "summary-sized shuffle, TakeOrdered final"),
+    ("link_prediction",
+     "strong-edge wedge join + left-anti vs existing edges, "
+     "TakeOrdered top-k"),
+    ("k_anonymity",
+     "two-phase exact distinct per release cell, bounded type "
+     "rollup"),
 ]
 
 
