@@ -24,6 +24,7 @@ from distributed_system_mapreduce_spark.operators import (
     export,
     mapreduce_queries,
     multimodal,
+    probabilistic,
     relational,
     sketches,
     relational_ext,
@@ -42,7 +43,7 @@ _MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
             engine_queries, text_analysis, curation, curation2, curation3,
             curation4,
             dedup,
-            similarity, clustering, sketches,
+            similarity, clustering, sketches, probabilistic,
             multimodal, asof, export]
 
 _MERGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -92,6 +93,7 @@ _PRIORITY = [
     "q9_product_profit", "q11_part_value_concentration",
     "q12_late_shipments",
     # -- new this round (oracle-backed extras beyond the r1 verdict) ----
+    "kmv_distinct", "bloom_semi_filter",
     "cross_source_overlap", "dedup_substring", "curation_pipeline",
     "events_anomaly",
     "events_props_stats", "events_retention", "events_sliding_window",
