@@ -253,11 +253,101 @@ JOIN (SELECT {rk} AS k, CAST(COUNT(*) AS BIGINT) AS cb
 )
 
 
+# ------------------------------------------------ interval concurrency
+CONC_WINDOW_S = 900  # each event holds a resource for 15 minutes
+
+
+def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type: each event opens a 15-minute
+    interval [ts, ts+900s); report the maximum number of
+    simultaneously open intervals and the earliest instant the peak
+    is reached — the interval-overlap / capacity-planning sweep
+    (max concurrent sessions, peak connection count).
+
+    Shape: decompose every interval into a +1 start and a -1 end
+    delta, then take an EXACT running sum without any global window —
+    per-(type, day) cumsum windows stitched with an exclusive
+    per-day prefix computed by a window over the calendar-BOUNDED
+    (type, day) totals table (the orders_backlog discipline). The
+    delta ordering (t, d, event_id) is total, so every per-row
+    running value — and therefore the argmax row — is deterministic
+    in both engines; ends sort before coincident starts, making
+    boundary-touching intervals non-overlapping.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", "ts", "event_id")
+    end_ts = F.expr(f"ts + INTERVAL {CONC_WINDOW_S} SECONDS")
+    deltas = (
+        ev.select("event_type", F.col("ts").alias("t"),
+                  F.lit(1).alias("d"), "event_id")
+        .unionByName(
+            ev.select("event_type", end_ts.alias("t"),
+                      F.lit(-1).alias("d"), "event_id"))
+        .withColumn("day", F.to_date("t"))
+    )
+    wday = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("t", "d", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    day_tot = deltas.groupBy("event_type", "day").agg(
+        F.sum("d").alias("dtot"))
+    woff = (
+        Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = day_tot.select(
+        "event_type", "day",
+        F.coalesce(F.sum("dtot").over(woff), F.lit(0)).alias("off"))
+    cur = (
+        deltas.withColumn("run", F.sum("d").over(wday))
+        .join(F.broadcast(offs), ["event_type", "day"])
+        .select("event_type", "t",
+                (F.col("run") + F.col("off")).alias("cur"))
+    )
+    mx = cur.groupBy("event_type").agg(
+        F.max("cur").alias("max_concurrent"))
+    return (
+        cur.join(F.broadcast(mx), "event_type")
+        .filter(F.col("cur") == F.col("max_concurrent"))
+        .groupBy("event_type")
+        .agg(F.max("cur").cast("bigint").alias("max_concurrent"),
+             F.min("t").alias("peak_ts"))
+    )
+
+
+EVENTS_CONCURRENCY_SQL = f"""
+WITH deltas AS (
+  SELECT event_type, ts AS t, 1 AS d, event_id FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL {CONC_WINDOW_S} SECOND, -1, event_id
+  FROM events
+),
+cur AS (
+  SELECT event_type, t,
+         SUM(d) OVER (PARTITION BY event_type
+                      ORDER BY t, d, event_id
+                      ROWS UNBOUNDED PRECEDING) AS cur
+  FROM deltas
+),
+mx AS (
+  SELECT event_type, MAX(cur) AS m FROM cur GROUP BY event_type
+)
+SELECT c.event_type, CAST(MAX(c.cur) AS BIGINT) AS max_concurrent,
+       MIN(c.t) AS peak_ts
+FROM cur c JOIN mx ON c.event_type = mx.event_type AND c.cur = mx.m
+GROUP BY c.event_type
+"""
+
+
 QUERIES = {
     "k_anonymity": k_anonymity,
     "user_growth": user_growth,
     "link_prediction": link_prediction,
     "join_size_estimate": join_size_estimate,
+    "events_concurrency": events_concurrency,
 }
 
 ORACLES = {
@@ -265,4 +355,5 @@ ORACLES = {
     "user_growth": USER_GROWTH_SQL,
     "link_prediction": LINK_PREDICTION_SQL,
     "join_size_estimate": JOIN_SIZE_ESTIMATE_SQL,
+    "events_concurrency": EVENTS_CONCURRENCY_SQL,
 }

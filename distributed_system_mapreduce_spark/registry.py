@@ -93,7 +93,7 @@ _PRIORITY = [
     "q9_product_profit", "q11_part_value_concentration",
     "q12_late_shipments",
     # -- new this round (oracle-backed extras beyond the r1 verdict) ----
-    "kmv_distinct", "bloom_semi_filter",
+    "kmv_distinct", "bloom_semi_filter", "events_concurrency",
     "cross_source_overlap", "dedup_substring", "curation_pipeline",
     "events_anomaly",
     "events_props_stats", "events_retention", "events_sliding_window",
