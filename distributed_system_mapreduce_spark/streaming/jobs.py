@@ -728,3 +728,46 @@ def view_purchase_join_stream(events: DataFrame,
         .select("view_id", "user_id", "view_ts",
                 "purchase_id", "purchase_ts")
     )
+
+
+def view_purchase_left_join_stream(events: DataFrame,
+                                   watermark: str = "2 days",
+                                   lookback_hours: int = 24) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: every view emits —
+    matched views as (view, purchase) pairs the moment the purchase
+    arrives, ABANDONED views as null-matched rows once the watermark
+    PROVES no qualifying purchase can still arrive — the streaming
+    twin of the batch abandoned_views anti join (operators/asof.py).
+
+    The outer side is what makes this a distinct capability from the
+    inner funnel join: Spark holds a view in state only until
+    view_ts + lookback falls behind the purchase-side watermark, then
+    emits it exactly once with a NULL purchase. Both buffers keep the
+    provable expiry horizon (state ∝ watermark + lookback, not stream
+    length); a purchase later than its own watermark is dropped, so
+    an abandonment verdict, once emitted, is never contradicted."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(F.col("event_id").alias("view_id"), "user_id",
+                F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", watermark)
+    )
+    return (
+        views.join(
+            purchases,
+            F.expr(
+                f"user_id = p_user_id AND "
+                f"purchase_ts >= view_ts AND "
+                f"purchase_ts <= view_ts + INTERVAL {lookback_hours} HOURS"
+            ),
+            "leftOuter")
+        .select("view_id", "user_id", "view_ts",
+                "purchase_id", "purchase_ts")
+    )

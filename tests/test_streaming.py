@@ -640,3 +640,96 @@ def test_first_seen_stream_emits_each_user_once_with_true_first_touch(
         assert got == truth
     finally:
         q.stop()
+
+
+def test_left_outer_join_emits_abandoned_views(spark, tmp_path):
+    """view_purchase_left_join_stream: matched pairs equal the batch
+    range join; null-matched (abandoned) rows are emitted exactly
+    once, only for truly abandoned views, and COMPLETELY for every
+    view old enough that the final watermark provably closed it.
+    Weekly time-sliced files (maxFilesPerTrigger=1) advance the
+    watermark between micro-batches so outer state actually evicts."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from distributed_system_mapreduce_spark.streaming.jobs import (
+        EVENT_SCHEMA,
+        view_purchase_left_join_stream,
+    )
+    from distributed_system_mapreduce_spark.tables import load_table
+
+    ev = load_table(spark, "events", SF_DIR)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    cur, idx = pd.Timestamp(lo).floor("D"), 0
+    file_maxes = []
+    while cur <= pd.Timestamp(hi):
+        nxt = cur + pd.Timedelta(days=7)
+        pdf = ev.where(
+            (F.col("ts") >= F.lit(cur.to_pydatetime()))
+            & (F.col("ts") < F.lit(nxt.to_pydatetime()))).toPandas()
+        if len(pdf):
+            pdf.to_parquet(src / f"wk{idx:03d}.parquet",
+                           coerce_timestamps="us",
+                           allow_truncated_timestamps=True)
+            file_maxes.append(pdf["ts"].max())
+        cur, idx = nxt, idx + 1
+    assert len(file_maxes) >= 3
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = run_stream_to_memory(
+        view_purchase_left_join_stream(stream), "vplj_stream",
+        output_mode="append")
+    try:
+        rows = spark.table("vplj_stream").collect()
+        got_pairs = {(r["view_id"], r["purchase_id"])
+                     for r in rows if r["purchase_id"] is not None}
+        got_abandoned = [r["view_id"] for r in rows
+                         if r["purchase_id"] is None]
+
+        v = (ev.filter(F.col("event_type") == "view")
+             .select(F.col("event_id").alias("view_id"), "user_id",
+                     F.col("ts").alias("view_ts")))
+        p = (ev.filter(F.col("event_type") == "purchase")
+             .select(F.col("event_id").alias("purchase_id"),
+                     F.col("user_id").alias("p_user_id"),
+                     F.col("ts").alias("purchase_ts")))
+        matched = v.join(
+            p,
+            F.expr("user_id = p_user_id AND "
+                   "purchase_ts >= view_ts AND "
+                   "purchase_ts <= view_ts + INTERVAL 24 HOURS"))
+        want_pairs = {(r["view_id"], r["purchase_id"])
+                      for r in matched.collect()}
+        assert got_pairs == want_pairs and got_pairs
+
+        want_abandoned = {
+            r["view_id"]
+            for r in v.join(matched.select("view_id").distinct(),
+                            "view_id", "left_anti").collect()
+        }
+        # exactly-once, and never a false abandonment verdict
+        assert len(got_abandoned) == len(set(got_abandoned))
+        assert set(got_abandoned) <= want_abandoned
+        # completeness on the provably-closed horizon: the watermark
+        # reached at least (second-to-last file's max ts - 2 days);
+        # every abandoned view whose 24h lookback closed before that
+        # (minus 1h slack) must have been emitted
+        horizon = (pd.Timestamp(file_maxes[-2])
+                   - pd.Timedelta(days=2) - pd.Timedelta(hours=24)
+                   - pd.Timedelta(hours=1)).to_pydatetime()
+        want_closed = {
+            r["view_id"]
+            for r in v.filter(F.col("view_ts") < F.lit(horizon))
+            .join(matched.select("view_id").distinct(),
+                  "view_id", "left_anti").collect()
+        }
+        assert want_closed, "horizon left no closed views to check"
+        assert want_closed <= set(got_abandoned)
+    finally:
+        q.stop()
