@@ -1,0 +1,258 @@
+"""Relational wave 7: state-maintenance and robust-statistics shapes.
+
+- cdc_apply        : change-data-capture apply — fold an ordered
+                     upsert/delete log into the current snapshot
+                     (the query-level twin of FileStore.merge's
+                     storage-level keyed upsert).
+- skyline_parts    : 2-D Pareto frontier (skyline) of the part
+                     catalog via the sorted sweep, with the global
+                     prefix-max computed by the bucket-stitch
+                     discipline — never a global window.
+- winsorized_stats : robust per-group location stats — exact p05/p95
+                     tail cutoffs, trimmed mean over the interior,
+                     tail counts.
+
+Reference parity: these are the "queries they run today" extensions
+of SURVEY §2.C; the reference's MapleJuice jobs would express each as
+a maple+juice pair over line files (e.g. cdc as a per-key latest-op
+juice, /root/reference/maple_juice/maple_juice.go:376's per-key
+reduce granularity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from distributed_system_mapreduce_spark.tables import load_table
+
+
+def _dec(col, prec: int = 18, scale: int = 6):
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+# ------------------------------------------------------------ cdc_apply
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the events stream as a change log over per-user state:
+    every non-error event UPSERTS the user's current value, an
+    'error' event DELETES the state (tombstone). Emit the surviving
+    current snapshot: one row per live user with the winning value,
+    plus op accounting — the SCD-1 / CDC-materialization every
+    warehouse runs on its replication feed.
+
+    Shape: last-writer-wins is ONE max_by-style aggregate —
+    max(struct(ts, event_id, op, value)) per user, partial-aggregated
+    map-side, one shuffle of per-user 1-row states, no window over
+    the log. The total (ts, event_id) order makes the winner
+    engine-deterministic. FileStore.merge is the storage twin
+    (rewrites only dirty buckets); this is the query-plan twin.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        "value",
+    )
+    top = F.max(F.struct("ts", "event_id", "op", "value"))
+    state = (
+        ev.groupBy("user_id")
+        .agg(
+            top.alias("w"),
+            F.count(F.lit(1)).alias("n_ops"),
+            F.sum((F.col("op") == F.lit("D")).cast("long"))
+            .cast("bigint").alias("n_deletes"),
+        )
+    )
+    return (
+        state.filter(F.col("w.op") == "U")
+        .select(
+            "user_id",
+            F.col("w.value").alias("current_value"),
+            F.col("w.ts").alias("last_ts"),
+            "n_ops", "n_deletes",
+        )
+    )
+
+
+CDC_APPLY_SQL = """
+WITH log AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         value
+  FROM events
+),
+ranked AS (
+  SELECT user_id, ts, event_id, op, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM log
+),
+acct AS (
+  SELECT user_id, COUNT(*) AS n_ops,
+         CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_deletes
+  FROM log GROUP BY user_id
+)
+SELECT r.user_id, r.value AS current_value, r.ts AS last_ts,
+       a.n_ops, a.n_deletes
+FROM ranked r JOIN acct a ON r.user_id = a.user_id
+WHERE r.rn = 1 AND r.op = 'U'
+"""
+
+
+# -------------------------------------------------------- skyline_parts
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of the part catalog: parts for which
+    no other part is both cheaper-or-equal AND larger-or-equal with
+    at least one strict — the classic multi-objective shortlist
+    (minimize p_retailprice, maximize p_size).
+
+    Shape: never the quadratic NOT-EXISTS dominance join. Collapse to
+    the per-price level (price -> max size, one partial-agg shuffle),
+    then compute the STRICT prefix max over increasing price with the
+    stitch discipline: running max inside floor(price) buckets +
+    broadcast exclusive per-bucket prefix — no global window even
+    though the frontier test is a global order statistic. A part is
+    on the frontier iff it carries its price level's max size and
+    beats every strictly-cheaper level's max.
+    """
+    part = load_table(spark, "part", sf_dir)
+    lvl = part.groupBy(F.col("p_retailprice").alias("pr")).agg(
+        F.max("p_size").alias("ms"))
+    lvl = lvl.withColumn("bkt", F.floor("pr"))
+    # within-bucket running max over strictly-preceding price levels
+    wrun = (
+        Window.partitionBy("bkt").orderBy("pr")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # bounded bucket table -> exclusive prefix max computed from
+    # O(#buckets) driver state (the orders_backlog stitch), broadcast
+    btot = {
+        r["bkt"]: r["bmax"]
+        for r in lvl.groupBy("bkt").agg(
+            F.max("ms").alias("bmax")).collect()
+    }
+    offs, run = [], None
+    for b in sorted(btot):
+        offs.append((b, run))
+        run = btot[b] if run is None else max(run, btot[b])
+    boff = spark.createDataFrame(
+        offs or [(0, None)], "bkt bigint, prevb int")
+    lv2 = (
+        lvl.withColumn("prevrun", F.max("ms").over(wrun))
+        .join(F.broadcast(boff), "bkt")
+        .select(
+            "pr", "ms",
+            F.greatest(
+                F.coalesce("prevrun", F.lit(-1)),
+                F.coalesce("prevb", F.lit(-1)),
+            ).alias("prevmax"),
+        )
+    )
+    return (
+        part.join(F.broadcast(lv2),
+                  part["p_retailprice"] == lv2["pr"])
+        .filter((F.col("p_size") == F.col("ms"))
+                & (F.col("p_size") > F.col("prevmax")))
+        .select("p_partkey", "p_name", "p_retailprice", "p_size")
+    )
+
+
+SKYLINE_PARTS_SQL = """
+WITH lvl AS (
+  SELECT p_retailprice AS pr, MAX(p_size) AS ms
+  FROM part GROUP BY p_retailprice
+),
+pm AS (
+  SELECT pr, ms,
+         COALESCE(MAX(ms) OVER (ORDER BY pr
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), -1) AS prevmax
+  FROM lvl
+)
+SELECT p.p_partkey, p.p_name, p.p_retailprice, p.p_size
+FROM part p JOIN pm ON p.p_retailprice = pm.pr
+WHERE p.p_size = pm.ms AND p.p_size > pm.prevmax
+"""
+
+
+# ----------------------------------------------------- winsorized_stats
+_TAILS = (0.05, 0.95)
+
+
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type stats for the events value stream: exact
+    p05/p95 cutoffs, the trimmed mean over the interior values, and
+    tail counts — the outlier-robust location estimate a metrics
+    pipeline reports instead of the raw mean.
+
+    Shape: one exact array-percentile aggregate per type (bounded
+    group count; the t-digest swap is the unbounded-cardinality
+    path), cutoffs BROADCAST back onto an un-shuffled scan, interior
+    sum through a DECIMAL accumulator (double summation order is
+    engine-nondeterministic), one double division at output.
+    Interpolation arithmetic matches DuckDB quantile_cont
+    bit-for-bit (the price_quantiles precedent).
+    """
+    ev = load_table(spark, "events", sf_dir).select("event_type", "value")
+    cuts = (
+        ev.groupBy("event_type")
+        .agg(F.expr(
+            f"percentile(value, array({_TAILS[0]}, {_TAILS[1]}))"
+        ).alias("qs"))
+        .select("event_type", F.col("qs")[0].alias("lo"),
+                F.col("qs")[1].alias("hi"))
+    )
+    tagged = ev.join(F.broadcast(cuts), "event_type")
+    mid = F.col("value").between(F.col("lo"), F.col("hi"))
+    n_mid = F.sum(mid.cast("long"))
+    return (
+        tagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("lo").alias("p05"),
+            F.min("hi").alias("p95"),
+            F.sum(F.when(F.col("value") < F.col("lo"), 1)
+                  .otherwise(0)).cast("bigint").alias("n_low"),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1)
+                  .otherwise(0)).cast("bigint").alias("n_high"),
+            (F.sum(F.when(mid, _dec("value", 18, 6))
+                   .otherwise(F.lit(None))).cast("double")
+             / n_mid.cast("double")).alias("trimmed_mean"),
+        )
+    )
+
+
+WINSORIZED_STATS_SQL = f"""
+WITH cuts AS (
+  SELECT event_type,
+         quantile_cont(value, {_TAILS[0]}) AS lo,
+         quantile_cont(value, {_TAILS[1]}) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, COUNT(*) AS n,
+       MIN(lo) AS p05, MIN(hi) AS p95,
+       CAST(SUM(CASE WHEN e.value < lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low,
+       CAST(SUM(CASE WHEN e.value > hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_high,
+       CAST(SUM(CASE WHEN e.value BETWEEN lo AND hi
+                THEN CAST(e.value AS DECIMAL(18,6)) END) AS DOUBLE)
+         / CAST(SUM(CASE WHEN e.value BETWEEN lo AND hi
+                    THEN 1 ELSE 0 END) AS DOUBLE) AS trimmed_mean
+FROM events e JOIN cuts c ON e.event_type = c.event_type
+GROUP BY e.event_type
+"""
+
+
+QUERIES = {
+    "cdc_apply": cdc_apply,
+    "skyline_parts": skyline_parts,
+    "winsorized_stats": winsorized_stats,
+}
+
+ORACLES = {
+    "cdc_apply": CDC_APPLY_SQL,
+    "skyline_parts": SKYLINE_PARTS_SQL,
+    "winsorized_stats": WINSORIZED_STATS_SQL,
+}

@@ -33,13 +33,14 @@ from distributed_system_mapreduce_spark.operators import (
     relational_ext4,
     relational_ext5,
     relational_ext6,
+    relational_ext7,
     similarity,
     text_analysis,
 )
 
 _MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
             relational_ext3, relational_ext4, relational_ext5,
-            relational_ext6,
+            relational_ext6, relational_ext7,
             engine_queries, text_analysis, curation, curation2, curation3,
             curation4,
             dedup,
@@ -94,6 +95,7 @@ _PRIORITY = [
     "q12_late_shipments",
     # -- new this round (oracle-backed extras beyond the r1 verdict) ----
     "kmv_distinct", "bloom_semi_filter", "events_concurrency",
+    "cdc_apply", "skyline_parts", "winsorized_stats",
     "cross_source_overlap", "dedup_substring", "curation_pipeline",
     "events_anomaly",
     "events_props_stats", "events_retention", "events_sliding_window",
