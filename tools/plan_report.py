@@ -77,8 +77,8 @@ SHOWCASE = [
      "counts shuffles + TakeOrdered-30 first, lift arithmetic on the "
      "broadcast 30-row side"),
     ("profile_orders",
-     "one scan, 4 x 6 aggregates (count-distincts via one Expand), "
-     "1-row explode to long form"),
+     "per-column pruned scans (single-field ReadSchema per union "
+     "branch), plain two-phase distincts, no multi-distinct Expand"),
     ("events_ohlc",
      "row_number open/close markers partitioned (day, type), single "
      "partial-agg rollup"),
@@ -118,6 +118,24 @@ SHOWCASE = [
     ("shard_assignment",
      "(size class x salt) partitioned windows + broadcast exclusive "
      "prefix — balanced dealing, no low-cardinality window"),
+    ("kmv_distinct",
+     "salted two-phase bottom-K (per-salt rank then per-source rank "
+     "over <= SALTS*K survivors), codegen'd conv() hash decode"),
+    ("bloom_semi_filter",
+     "bit_or partial agg -> one dense word array broadcast into the "
+     "fact scan; probe is scalar codegen, no fact shuffle"),
+    ("events_concurrency",
+     "+1/-1 delta sweep: (type, day)-partitioned cumsum + broadcast "
+     "exclusive day prefix, broadcast argmax filter"),
+    ("cdc_apply",
+     "last-writer-wins as ONE max(struct) partial agg per key — no "
+     "window over the change log"),
+    ("skyline_parts",
+     "per-price collapse + bucket-stitched strict prefix max, "
+     "broadcast level table onto the part scan"),
+    ("winsorized_stats",
+     "exact array-percentile per bounded group, cutoffs broadcast "
+     "onto an un-shuffled scan, DECIMAL interior sum"),
     ("freq_items_sketch",
      "Arrow-batched Misra-Gries partials (<= K counters/partition), "
      "summary-sized shuffle, TakeOrdered final"),
