@@ -245,14 +245,103 @@ GROUP BY e.event_type
 """
 
 
+# ---------------------------------------------------------- events_twap
+def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's value signal: the events
+    form a step function (a value holds until the next event); report
+    the exact integral / span — the TWAP / sensor-mean that a plain
+    AVG gets wrong whenever sampling is irregular.
+
+    Exactness discipline: the integral is Σ value_i · Δt_i with Δt in
+    integer microseconds and value on a 1e-6 integer grid
+    (floor(v·1e6 + 0.5) — the cross-engine round-half-up; Spark
+    round() and DuckDB round() only agree for positives, the grid
+    idiom is embedding_quantize's), accumulated in DECIMAL(38,0) so
+    summation order cannot move the result; ONE double division at
+    output. Δt comes from a lead window partitioned by user — state
+    per task is one row, and no global window exists.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", "value")
+    # ts is TIMESTAMP_NTZ; session tz is pinned UTC so the cast is a
+    # no-op reinterpretation matching DuckDB epoch_us
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = (
+        ev.select(
+            "user_id", us.alias("t"),
+            F.expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)")
+            .alias("v6"),
+            F.lead(us, 1).over(w).alias("t_next"),
+        )
+        .filter(F.col("t_next").isNotNull())
+        .select(
+            "user_id", "v6",
+            (F.col("t_next") - F.col("t")).alias("dt"),
+        )
+    )
+    num = F.sum(F.col("v6").cast("decimal(20,0)")
+                * F.col("dt").cast("decimal(18,0)"))
+    den = F.sum("dt")
+    agg = stepped.groupBy("user_id").agg(
+        (F.count(F.lit(1)) + 1).cast("bigint").alias("n_events"),
+        den.cast("bigint").alias("span_us"),
+        num.alias("num"),
+    )
+    # the integral exceeds 2^53, where DECIMAL->DOUBLE rounding is
+    # implementation-defined (observed 1-ulp cross-engine drift):
+    # split exactly into quotient + remainder first — q, r, den all
+    # fit a double exactly, so the float expression is deterministic
+    q = F.expr("CAST(num DIV span_us AS BIGINT)")
+    r = F.expr("CAST(num % span_us AS BIGINT)")
+    return agg.select(
+        "user_id", "n_events", "span_us",
+        ((q.cast("double")
+          + r.cast("double") / F.col("span_us").cast("double"))
+         / F.lit(1000000.0)).alias("twap"),
+    )
+
+
+EVENTS_TWAP_SQL = """
+WITH stepped AS (
+  SELECT user_id,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v6,
+         epoch_us(LEAD(ts, 1) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id))
+           - epoch_us(ts) AS dt
+  FROM events
+)
+, agg AS (
+  SELECT user_id,
+         CAST(COUNT(*) + 1 AS BIGINT) AS n_events,
+         CAST(SUM(dt) AS BIGINT) AS span_us,
+         SUM(CAST(v6 AS DECIMAL(20,0)) * CAST(dt AS DECIMAL(18,0)))
+           AS num
+  FROM stepped
+  WHERE dt IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, n_events, span_us,
+       -- HUGEINT //: true integer floor division (DECIMAL // goes
+       -- through DOUBLE and the BIGINT cast would round, not floor)
+       (CAST(CAST(CAST(num AS HUGEINT) // span_us AS BIGINT) AS DOUBLE)
+        + CAST(CAST(CAST(num AS HUGEINT) % span_us AS BIGINT)
+               AS DOUBLE)
+          / CAST(span_us AS DOUBLE)) / 1000000.0 AS twap
+FROM agg
+"""
+
+
 QUERIES = {
     "cdc_apply": cdc_apply,
     "skyline_parts": skyline_parts,
     "winsorized_stats": winsorized_stats,
+    "events_twap": events_twap,
 }
 
 ORACLES = {
     "cdc_apply": CDC_APPLY_SQL,
     "skyline_parts": SKYLINE_PARTS_SQL,
     "winsorized_stats": WINSORIZED_STATS_SQL,
+    "events_twap": EVENTS_TWAP_SQL,
 }

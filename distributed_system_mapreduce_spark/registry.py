@@ -95,7 +95,7 @@ _PRIORITY = [
     "q12_late_shipments",
     # -- new this round (oracle-backed extras beyond the r1 verdict) ----
     "kmv_distinct", "bloom_semi_filter", "events_concurrency",
-    "cdc_apply", "skyline_parts", "winsorized_stats",
+    "cdc_apply", "skyline_parts", "winsorized_stats", "events_twap",
     "cross_source_overlap", "dedup_substring", "curation_pipeline",
     "events_anomaly",
     "events_props_stats", "events_retention", "events_sliding_window",
