@@ -397,8 +397,19 @@ class FileStore:
         p = self._path(name)
         if not self._io.exists(p):
             raise FileNotFoundError(name)
-        base = self.spark.read.parquet(p)
         n_buckets = int(self._io.read_text(p + "/_n_buckets").strip())
+        try:
+            base = self.spark.read.parquet(p)
+        except Exception:
+            # bootstrap: write_keyed of an EMPTY frame leaves no
+            # parquet footers to infer from (partitioned writers emit
+            # nothing for zero rows) — an empty base with the change
+            # schema is exactly what a first merge should see
+            cols = [c for c in changes.columns if c != delete_col]
+            base = (
+                self.spark.createDataFrame([], changes.select(*cols).schema)
+                .withColumn(self._MERGE_BUCKET, F.lit(0).cast("int"))
+            )
         ch = changes.withColumn(
             self._MERGE_BUCKET, F.pmod(F.xxhash64(key), n_buckets))
         # bounded driver state: at most n_buckets ints

@@ -771,3 +771,46 @@ def view_purchase_left_join_stream(events: DataFrame,
         .select("view_id", "user_id", "view_ts",
                 "purchase_id", "purchase_ts")
     )
+
+
+def cdc_stream_to_filestore(events: DataFrame, fs, name: str,
+                            checkpoint_dir: str) -> Any:
+    """Streaming CDC materialization: treat the event stream as an
+    ordered change log (non-error event = UPSERT of the user's
+    value, 'error' = DELETE tombstone) and fold each micro-batch into
+    a write_keyed FileStore snapshot with merge() — the end-to-end
+    "replication feed -> always-current table" loop whose batch twin
+    is operators/relational_ext7.cdc_apply and whose storage half is
+    the keyed-bucket incremental rewrite (only buckets holding
+    changed users are touched, per-batch work ∝ the delta).
+
+    Ordering contract: like any CDC consumer, the feed must be
+    per-key ordered across batches (Debezium/kafka per-key offsets;
+    here time-ordered files). WITHIN a batch, last-writer-wins is
+    resolved exactly via one max(struct(ts, event_id)) per user
+    before merging. Replaying a batch re-applies the same winners —
+    merge is idempotent for identical inputs — which is what the
+    checkpoint needs from the sink."""
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        top = F.max(F.struct("ts", "event_id", "op", "value"))
+        changes = (
+            batch_df.select(
+                "user_id", F.col("ts").cast("timestamp").alias("ts"),
+                "event_id",
+                F.when(F.col("event_type") == "error", F.lit("D"))
+                .otherwise(F.lit("U")).alias("op"),
+                "value",
+            )
+            .groupBy("user_id").agg(top.alias("w"))
+            .select(
+                "user_id",
+                F.col("w.value").alias("current_value"),
+                F.col("w.ts").alias("last_ts"),
+                (F.col("w.op") == "D").alias("is_delete"),
+            )
+        )
+        fs.merge(changes, name, key="user_id", delete_col="is_delete")
+
+    return _run_foreach_batch(events, sink, checkpoint_dir)

@@ -733,3 +733,67 @@ def test_left_outer_join_emits_abandoned_views(spark, tmp_path):
         assert want_closed <= set(got_abandoned)
     finally:
         q.stop()
+
+
+def test_cdc_stream_materializes_current_snapshot(spark, tmp_path):
+    """cdc_stream_to_filestore folded over time-ordered weekly
+    micro-batches leaves the keyed FileStore holding EXACTLY the
+    batch cdc_apply snapshot (same users, values, last_ts): upserts
+    land, tombstoned users are absent, and per-batch work went
+    through merge()'s bucket-pruned rewrite."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from distributed_system_mapreduce_spark.operators.relational_ext7 import (
+        cdc_apply,
+    )
+    from distributed_system_mapreduce_spark.sources.filestore import (
+        FileStore,
+    )
+    from distributed_system_mapreduce_spark.streaming.jobs import (
+        EVENT_SCHEMA,
+        cdc_stream_to_filestore,
+    )
+    from distributed_system_mapreduce_spark.tables import load_table
+
+    ev = load_table(spark, "events", SF_DIR)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    cur, idx = pd.Timestamp(lo).floor("D"), 0
+    while cur <= pd.Timestamp(hi):
+        nxt = cur + pd.Timedelta(days=7)
+        pdf = ev.where(
+            (F.col("ts") >= F.lit(cur.to_pydatetime()))
+            & (F.col("ts") < F.lit(nxt.to_pydatetime()))).toPandas()
+        if len(pdf):
+            pdf.to_parquet(src / f"wk{idx:03d}.parquet",
+                           coerce_timestamps="us",
+                           allow_truncated_timestamps=True)
+        cur, idx = nxt, idx + 1
+
+    fs = FileStore(spark, str(tmp_path / "store"))
+    empty = spark.createDataFrame(
+        [], "user_id long, current_value double, last_ts timestamp")
+    fs.write_keyed(empty, "user_state", "user_id", n_buckets=8)
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    cdc_stream_to_filestore(stream, fs, "user_state",
+                            str(tmp_path / "ckpt"))
+
+    got = {
+        r["user_id"]: (r["current_value"], r["last_ts"])
+        for r in fs.read("user_state")
+        .select("user_id", "current_value", "last_ts").collect()
+    }
+    want = {
+        r["user_id"]: (r["current_value"], r["last_ts"])
+        for r in cdc_apply(spark, SF_DIR)
+        .select("user_id", "current_value", "last_ts").collect()
+    }
+    assert got == want and got
