@@ -69,6 +69,12 @@ class _LocalIO:
             n for n in os.listdir(self.root) if not n.startswith(".")
         )
 
+    def rename(self, src: str, dst: str) -> None:
+        os.rename(src, dst)
+
+    def file_sizes(self, p: str) -> list[int]:
+        return [os.path.getsize(f) for f in self.ls_files(p)]
+
     def read_text(self, p: str) -> str:
         with open(p) as f:
             return f.read()
@@ -157,6 +163,19 @@ class _HadoopIO:
             for s in self._fs.listStatus(self._Path(self.root))
             if not s.getPath().getName().startswith(".")
         )
+
+    def rename(self, src: str, dst: str) -> None:
+        if not self._fs.rename(self._Path(src), self._Path(dst)):
+            raise OSError(f"rename failed: {src} -> {dst}")
+
+    def file_sizes(self, p: str) -> list[int]:
+        out = []
+        it = self._fs.listFiles(self._Path(p), True)
+        while it.hasNext():
+            f = it.next()
+            if not f.getPath().getName().startswith(("_", ".")):
+                out.append(f.getLen())
+        return out
 
     def read_text(self, p: str) -> str:
         stream = self._fs.open(self._Path(p))
@@ -256,6 +275,45 @@ class FileStore:
         """The juice phase's append-to-dest (CreatAppendSdfsReduceFile,
         file_system.go:1035) — an append-mode write."""
         self.write(df, name, fmt, mode="append")
+
+    def compact(self, name: str, target_bytes: int = 128 << 20) -> int:
+        """Small-file compaction: rewrite a plain parquet dataset into
+        ceil(total_bytes / target_bytes) files and return the new file
+        count. Append-heavy feeds (the juice dest pattern above, or
+        any streaming sink) accrete files whose per-file open/footer
+        cost eventually dominates scans — the classic small-file
+        problem; the nightly compactor is how a 100 TB lake keeps its
+        scan cost proportional to bytes, not file count.
+
+        The rewrite stages into a sibling temp dataset and swaps via
+        two renames, so a reader never observes a half-written
+        directory and a mid-compaction crash leaves either the old or
+        the staged dataset intact, never a mix. File sizing uses the
+        real on-disk byte total (compression included), not row
+        counts."""
+        import math
+
+        p = self._path(name)
+        if not self._io.exists(p):
+            raise FileNotFoundError(name)
+        total = sum(self._io.file_sizes(p))
+        n_files = max(1, math.ceil(total / target_bytes))
+        tmp = self._path(f"{name}__compacting")
+        (
+            self.spark.read.parquet(p)
+            .repartition(n_files)
+            .write.format("parquet").mode("overwrite").save(tmp)
+        )
+        old = self._path(f"{name}__precompact")
+        self._io.rename(p, old)
+        try:
+            self._io.rename(tmp, p)
+        except Exception:
+            self._io.rename(old, p)  # roll back, keep data readable
+            raise
+        self._io.delete(old)
+        return len([f for f in self._io.ls_files(p)
+                    if f.endswith(".parquet")])
 
     def write_bucketed(self, df: DataFrame, name: str, key: str,
                        n_buckets: int = 8) -> None:

@@ -323,3 +323,31 @@ def test_hadoop_io_dir_put_get_merges_like_local(spark, tmp_path):
         if not p.name.startswith((".", "_"))
     }
     assert got == {"a.txt", "sub/b.txt"}
+
+
+def test_compact_reduces_files_preserves_data(fs, spark):
+    """Many appended small files -> compact() rewrites to the byte-
+    target file count with identical rows, atomically (no staging
+    dirs left behind, dataset readable throughout)."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") % 7).alias("v"))
+    fs.write(base.repartition(16), "feed")
+    for i in range(4):
+        fs.append(
+            spark.range(2000 + i * 100, 2000 + (i + 1) * 100).select(
+                F.col("id"), (F.col("id") % 7).alias("v"))
+            .repartition(8), "feed")
+    files_before = [f for f in fs.ls("feed") if f.endswith(".parquet")]
+    assert len(files_before) == 16 + 4 * 8
+    before = {(r["id"], r["v"]) for r in fs.read("feed").collect()}
+
+    n_after = fs.compact("feed", target_bytes=1 << 30)  # one file fits
+    files_after = [f for f in fs.ls("feed") if f.endswith(".parquet")]
+    assert n_after == len(files_after) == 1
+    after = {(r["id"], r["v"]) for r in fs.read("feed").collect()}
+    assert after == before and len(after) == 2400
+    # staged/backup dirs are gone
+    assert not [n for n in fs.store() if "__compact" in n
+                or "__precompact" in n]
