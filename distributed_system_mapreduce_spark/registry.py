@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from distributed_system_mapreduce_spark.operators import (
     asof,
+    bpe,
     clustering,
     curation,
     curation2,
@@ -44,7 +45,7 @@ _MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
             engine_queries, text_analysis, curation, curation2, curation3,
             curation4,
             dedup,
-            similarity, clustering, sketches, probabilistic,
+            similarity, clustering, sketches, probabilistic, bpe,
             multimodal, asof, export]
 
 _MERGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -124,6 +125,7 @@ _PRIORITY = [
     "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
     # -- rows-only (no oracle by design; weaker driver check) -----------
     "kmeans_embed", "approx_price_quantiles", "freq_items_sketch",
+    "bpe_train_merges", "bpe_vocab_stats",
     # -- r1 driver-green (re-confirmation) ------------------------------
     "wordcount", "vote_winner", "split_by_key", "range_partition_hist",
     "mr_wordcount", "mr_wordcount_range", "mr_vote_winner",

@@ -1,0 +1,87 @@
+"""BPE merge training: exact-rule equality against an independent
+pure-Python reference implementation (same tie-break), plus the
+monotonicity invariants the distributed loop must preserve."""
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from distributed_system_mapreduce_spark.functions.text import TOKENS_EXPR
+from distributed_system_mapreduce_spark.operators.bpe import (
+    EOW,
+    N_MERGES,
+    bpe_train_merges,
+    bpe_vocab_stats,
+)
+from distributed_system_mapreduce_spark.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def _reference_bpe(word_counts: dict[str, int], n_merges: int):
+    """Sennrich-style BPE on a word frequency dict: count adjacent
+    symbol pairs weighted by word count, merge the argmax pair
+    (ties: count desc, left asc, right asc), greedy left-to-right
+    application."""
+    vocab = {w: list(w) + [EOW] for w in word_counts}
+    rules = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            c = word_counts[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        (a, b), n = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        rules.append((a, b, n))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms)
+                        and syms[i] == a and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return rules
+
+
+def test_bpe_rules_match_reference_exactly(spark):
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train_merges(spark, SF_DIR)
+        .orderBy("merge_rank").collect()
+    ]
+    wc = {
+        r["w"]: r["c"]
+        for r in load_table(spark, "documents", SF_DIR)
+        .select(F.explode(F.expr(TOKENS_EXPR)).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("c")).collect()
+    }
+    want = [
+        (i + 1, a, b, n)
+        for i, (a, b, n) in enumerate(_reference_bpe(wc, N_MERGES))
+    ]
+    assert got == want and len(got) == N_MERGES
+    # counts are non-increasing across ranks (greedy argmax)
+    counts = [n for (_, _, _, n) in got]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_bpe_vocab_stats_invariants(spark):
+    row = bpe_vocab_stats(spark, SF_DIR).collect()[0]
+    # every word still ends in EOW and symbols only shrink:
+    # weighted length <= chars + one marker per token occurrence
+    docs = load_table(spark, "documents", SF_DIR)
+    toks = docs.select(F.explode(F.expr(TOKENS_EXPR)).alias("w"))
+    n_tok = toks.count()
+    total_chars = toks.agg(
+        F.sum(F.length("w")).cast("long").alias("s")).collect()[0]["s"]
+    assert row["weighted_symbol_len"] == row["total_symbol_occurrences"]
+    assert row["weighted_symbol_len"] <= total_chars + n_tok
+    # at least one merge actually fired (strict shrink)
+    assert row["weighted_symbol_len"] < total_chars + n_tok
+    assert 0 < row["n_symbols"] and row["n_words"] > 0
