@@ -85,17 +85,14 @@ def _merge_round(syms: DataFrame, a: str, b: str) -> DataFrame:
     return syms.select("w", "cnt", new.alias("syms"))
 
 
-def bpe_train_merges(spark: SparkSession, sf_dir: str,
-                     n_merges: int = N_MERGES) -> DataFrame:
-    """Learn the first `n_merges` BPE merge rules over the corpus.
-    Output: (merge_rank, left, right, pair_count) — the ordered rule
-    table a tokenizer ships.
-
-    Per round: pair-count partial agg over the word table, ONE
-    argmax row to the driver (TakeOrdered under the deterministic
-    (n desc, a asc, b asc) tie-break), then the merge fold applied
-    and the table localCheckpointed so round N's plan never replays
-    rounds 1..N-1. Driver state: the rule list (n_merges rows)."""
+def _train(spark: SparkSession, sf_dir: str,
+           n_merges: int = N_MERGES):
+    """Shared loop: returns (rules, merged symbol table). Per round:
+    pair-count partial agg over the word table, ONE argmax row to the
+    driver (TakeOrdered under the deterministic (n desc, a asc,
+    b asc) tie-break), then the merge fold applied and the table
+    localCheckpointed so round N's plan never replays rounds 1..N-1.
+    Driver state: the rule list (n_merges rows)."""
     syms = _symbolize(_word_freq(spark, sf_dir)).localCheckpoint()
     rules = []
     for rank in range(1, n_merges + 1):
@@ -110,6 +107,15 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str,
         r = top[0]
         rules.append((rank, r["a"], r["b"], int(r["n"])))
         syms = _merge_round(syms, r["a"], r["b"]).localCheckpoint()
+    return rules, syms
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str,
+                     n_merges: int = N_MERGES) -> DataFrame:
+    """Learn the first `n_merges` BPE merge rules over the corpus.
+    Output: (merge_rank, left, right, pair_count) — the ordered rule
+    table a tokenizer ships. See _train for the round discipline."""
+    rules, _ = _train(spark, sf_dir, n_merges)
     return spark.createDataFrame(
         rules, "merge_rank int, left string, right string, "
                "pair_count bigint")
@@ -119,11 +125,9 @@ def bpe_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-training census: after the N_MERGES learned rules are
     applied, how long are words in symbols, and how many distinct
     symbols exist — the vocab-size / sequence-length tradeoff curve's
-    first point (rows-only, invariant-tested)."""
-    syms = _symbolize(_word_freq(spark, sf_dir)).localCheckpoint()
-    for r in bpe_train_merges(spark, sf_dir).collect():
-        syms = _merge_round(syms, r["left"], r["right"]) \
-            .localCheckpoint()
+    first point (rows-only, invariant-tested). Shares _train's single
+    pass (the merged table IS training's final state — no re-apply)."""
+    _, syms = _train(spark, sf_dir)
     ex = syms.select("cnt", F.explode("syms").alias("s"))
     return (
         ex.agg(
