@@ -23,6 +23,7 @@ from distributed_system_mapreduce_spark.operators import (
     dedup,
     engine_queries,
     export,
+    fuzzy,
     mapreduce_queries,
     multimodal,
     probabilistic,
@@ -45,7 +46,7 @@ _MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
             engine_queries, text_analysis, curation, curation2, curation3,
             curation4,
             dedup,
-            similarity, clustering, sketches, probabilistic, bpe,
+            similarity, clustering, sketches, probabilistic, bpe, fuzzy,
             multimodal, asof, export]
 
 _MERGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -97,6 +98,7 @@ _PRIORITY = [
     # -- new this round (oracle-backed extras beyond the r1 verdict) ----
     "kmv_distinct", "bloom_semi_filter", "events_concurrency",
     "cdc_apply", "skyline_parts", "winsorized_stats", "events_twap",
+    "fuzzy_name_pairs",
     "cross_source_overlap", "dedup_substring", "curation_pipeline",
     "events_anomaly",
     "events_props_stats", "events_retention", "events_sliding_window",
