@@ -56,7 +56,10 @@ def main() -> None:
         m = spark.sparkContext._jsc.sc().getPersistentRDDs()
         it = m.iterator()
         while it.hasNext():
-            it.next()._2().unpersist(False)
+            # blocking: with async unpersist the blocks linger while
+            # the next query runs, and across 140+ queries the
+            # executor-memory pressure inflates the tail of the run
+            it.next()._2().unpersist(True)
 
     for name in names:
         fn = QUERIES[name]
