@@ -146,9 +146,38 @@ def bpe_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned merge table to the corpus and report the
+    per-source token budget under the TRAINED tokenizer — the number
+    that actually prices a pretraining mixture (whitespace token
+    counts over- or under-state it per language/source).
+
+    Apply path at scale: tokenization is word-local, so the corpus
+    never re-tokenizes — the word table (already merged as training's
+    final state) broadcasts its word -> n_subtokens map onto one
+    corpus token pass. Rows-only (train's rules are not
+    SQL-derivable); exact-parity tested against the pure-Python
+    reference apply."""
+    _, syms = _train(spark, sf_dir)
+    lens = F.broadcast(
+        syms.select("w", F.size("syms").alias("n_sub")))
+    docs = spread(load_table(spark, "documents", sf_dir))
+    toks = docs.select(
+        "source", F.explode(F.expr(X.TOKENS_EXPR)).alias("w"))
+    return (
+        toks.join(lens, "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_sub").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
+
+
 QUERIES = {
     "bpe_train_merges": bpe_train_merges,
     "bpe_vocab_stats": bpe_vocab_stats,
+    "bpe_token_count": bpe_token_count,
 }
 
 ORACLES: dict[str, str] = {}

@@ -127,7 +127,7 @@ _PRIORITY = [
     "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
     # -- rows-only (no oracle by design; weaker driver check) -----------
     "kmeans_embed", "approx_price_quantiles", "freq_items_sketch",
-    "bpe_train_merges", "bpe_vocab_stats",
+    "bpe_train_merges", "bpe_vocab_stats", "bpe_token_count",
     # -- r1 driver-green (re-confirmation) ------------------------------
     "wordcount", "vote_winner", "split_by_key", "range_partition_hist",
     "mr_wordcount", "mr_wordcount_range", "mr_vote_winner",

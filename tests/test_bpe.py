@@ -10,6 +10,7 @@ from distributed_system_mapreduce_spark.functions.text import TOKENS_EXPR
 from distributed_system_mapreduce_spark.operators.bpe import (
     EOW,
     N_MERGES,
+    bpe_token_count,
     bpe_train_merges,
     bpe_vocab_stats,
 )
@@ -85,3 +86,33 @@ def test_bpe_vocab_stats_invariants(spark):
     # at least one merge actually fired (strict shrink)
     assert row["weighted_symbol_len"] < total_chars + n_tok
     assert 0 < row["n_symbols"] and row["n_words"] > 0
+
+
+def test_bpe_token_count_matches_reference_apply(spark):
+    got = {
+        r["source"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_token_count(spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, "documents", SF_DIR)
+    rows = docs.select(
+        "source", F.explode(F.expr(TOKENS_EXPR)).alias("w")).collect()
+    wc = Counter(r["w"] for r in rows)
+    rules = _reference_bpe(dict(wc), N_MERGES)
+    vocab = {w: list(w) + [EOW] for w in wc}
+    for (a, b, _) in rules:
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms)
+                        and syms[i] == a and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    want = {}
+    for r in rows:
+        nw, nt = want.get(r["source"], (0, 0))
+        want[r["source"]] = (nw + 1, nt + len(vocab[r["w"]]))
+    assert got == want and got
