@@ -43,3 +43,37 @@ def test_freq_items_sketch_bounds_and_containment(spark):
         for tok, true in exact.items():
             if true > floor:
                 assert tok in reported, (tok, true, floor)
+
+
+def test_hll_sketch_store_merge(spark, tmp_path):
+    """Persisted mergeable sketches — the warehouse pattern: per-day
+    HLL sketches written once as binary columns in the FileStore,
+    later UNIONED at read time to answer any-date-range distinct
+    questions without rescanning the raw events. The merged estimate
+    must equal the single-pass whole-corpus sketch exactly (same
+    algorithm, same lgConfigK), and sit within HLL error of truth."""
+    from pyspark.sql import functions as F
+
+    from distributed_system_mapreduce_spark.sources.filestore import (
+        FileStore,
+    )
+    from distributed_system_mapreduce_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, "events", SF_DIR)
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"))
+    fs = FileStore(spark, str(tmp_path / "store"))
+    fs.write(daily, "daily_user_sketches")
+
+    merged = (
+        fs.read("daily_user_sketches")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]["est"]
+    )
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+        .alias("est")).collect()[0]["est"]
+    true = ev.select("user_id").distinct().count()
+    assert merged == direct  # merge-of-parts == single pass, exactly
+    assert abs(merged - true) <= max(2, 0.05 * true)
