@@ -635,7 +635,92 @@ WHERE c.component IS NULL OR c.component = v.vec_id
 """
 
 
+# ------------------------------------------- incremental index probe
+DELTA_MOD = 97  # "today's arrivals": vec_id % DELTA_MOD == 0 (~1%)
+
+
+def ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN: today's arrival vectors (the delta) probe the
+    STANDING banded-LSH index built over the existing corpus — the
+    interactive/streaming-ingest posture (same delta x index
+    discipline as dedup_incremental: per-query cost ∝ delta x bucket,
+    never corpus x corpus re-pairing, and the index store is the
+    persisted artifact new batches keep probing).
+
+    Corpus = vecs with vec_id % DELTA_MOD != 0; delta = the rest.
+    Candidates share >= 1 of 6 band buckets; exact cosine re-rank to
+    top-k with the standard full tie-break."""
+    from pyspark.sql import Window
+
+    bb = F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.expr(V.lsh_band_bucket_expr(
+                "embedding", i, PLANES_PER_BAND)).alias("bucket"),
+        )
+        for i in range(N_BANDS)
+    ])
+    store = (
+        _with_norm(spark, sf_dir).withColumn("bands", bb)
+        .localCheckpoint()
+    )
+    bands = store.select(
+        "vec_id", F.explode("bands").alias("bb")
+    ).select("vec_id", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+    is_delta = F.col("vec_id") % DELTA_MOD == 0
+    q = bands.filter(is_delta).alias("a")
+    c = bands.filter(~is_delta).alias("b")
+    cand = (
+        q.join(c, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket")))
+        .select(F.col("a.vec_id").alias("query_id"),
+                F.col("b.vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    vecs = store.select("vec_id", "embedding", "norm")
+    pairs = (
+        cand.join(vecs.alias("a"),
+                  F.col("query_id") == F.col("a.vec_id"))
+        .join(vecs.alias("b"),
+              F.col("neighbor_id") == F.col("b.vec_id"))
+        .select("query_id", "neighbor_id", _cos_spark().alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+ANN_INCREMENTAL_SQL = f"""
+WITH bands AS ({{bands}}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM bands a
+  JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.vec_id % {DELTA_MOD} = 0 AND b.vec_id % {DELTA_MOD} <> 0
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM (
+    SELECT query_id, neighbor_id, {_COS_SQL} AS cosine
+    FROM cand
+    JOIN ({_NORM_SQL}) a ON cand.query_id = a.vec_id
+    JOIN ({_NORM_SQL}) b ON cand.neighbor_id = b.vec_id
+  )
+)
+WHERE rank <= {TOP_K}
+"""
+ANN_INCREMENTAL_SQL = ANN_INCREMENTAL_SQL.format(bands=_bands_union_sql())
+
+
 QUERIES = {
+    "ann_incremental": ann_incremental,
     "ann_topk_brute": ann_topk_brute,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
@@ -653,6 +738,7 @@ ORACLES = {
     "embedding_components": EMBEDDING_COMPONENTS_SQL,
     "embedding_dedup_apply": EMBEDDING_DEDUP_APPLY_SQL,
     "ann_topk_pq": ANN_TOPK_PQ_SQL,
+    "ann_incremental": ANN_INCREMENTAL_SQL,
 }
 
 
