@@ -483,16 +483,64 @@ def dedup_components(spark: SparkSession, sf_dir: str,
     return min_label_components(pairs, persist=persist)
 
 
+# Below this many EDGES the whole pair graph is driver-trivial and
+# the iterative loop is pure job-scheduling overhead (each round is
+# 3-4 jobs; a 60-edge graph at sf0.1 spent ~3s scheduling). The same
+# adaptive spirit as AQE's runtime broadcast decision: measure, then
+# pick the plan. The distributed loop remains the >threshold path.
+SMALL_GRAPH_EDGES = 100_000
+
+
 def min_label_components(pairs: DataFrame, persist: bool = False,
+                         small_graph_edges: int = SMALL_GRAPH_EDGES,
                          ) -> DataFrame:
     """Connected components over an undirected pair list (first two
     columns = the edge endpoints) via iterative min-label propagation
     — the shared engine behind dedup_components (text near-dup graph)
     and embedding_components (semantic near-dup graph). Returns
     (doc_id, component). See dedup_components for the round/lineage
-    discipline."""
+    discipline.
+
+    Adaptive small-graph path: the near-dup pair graph is usually
+    tiny relative to the corpus (it only holds candidate-verified
+    duplicates); when the materialized edge list is under
+    `small_graph_edges`, labels come from a driver-side union-find
+    over the collected edges — identical output (min-id component
+    labels), none of the per-round scheduling overhead. Pass 0 to
+    force the distributed loop (the tests for the loop do); the
+    persist=True cluster posture always takes the loop (its contract
+    is lineage-preserving caches end to end)."""
     a, b = pairs.columns[:2]
     fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    if small_graph_edges and not persist:
+        mat = _cut(fwd, persist)
+        if mat.count() <= small_graph_edges:
+            rows = mat.collect()
+            parent: dict = {}
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for r in rows:
+                u, v = r["src"], r["dst"]
+                parent.setdefault(u, u)
+                parent.setdefault(v, v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    parent[ru] = rv
+            comp: dict = {}
+            for n in parent:
+                comp.setdefault(find(n), []).append(n)
+            out = [(n, min(ns)) for ns in comp.values() for n in ns]
+            spark = pairs.sparkSession
+            schema = mat.select(
+                F.col("src").alias("doc_id"),
+                F.col("src").alias("component")).schema
+            return spark.createDataFrame(out, schema)
+        fwd = mat  # reuse the materialization in the loop below
     edges = _cut(fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ), persist)

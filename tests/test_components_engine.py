@@ -42,12 +42,20 @@ def test_min_label_components_matches_union_find(spark):
         })
         pairs = spark.createDataFrame(
             [(int(a), int(b)) for a, b in edges], "doc_a long, doc_b long")
-        got = {
+        want = _union_find_labels(edges)
+        # BOTH paths: the adaptive driver union-find (default) and the
+        # forced distributed min-label loop must agree with truth
+        got_fast = {
             r["doc_id"]: r["component"]
             for r in min_label_components(pairs).collect()
         }
-        want = _union_find_labels(edges)
-        assert got == want, (trial, edges)
+        got_loop = {
+            r["doc_id"]: r["component"]
+            for r in min_label_components(
+                pairs, small_graph_edges=0).collect()
+        }
+        assert got_fast == want, (trial, edges)
+        assert got_loop == want, (trial, edges)
 
 
 def test_min_label_components_persist_posture(spark):
@@ -58,5 +66,9 @@ def test_min_label_components_persist_posture(spark):
              for r in min_label_components(pairs).collect()}
     cached = {r["doc_id"]: r["component"]
               for r in min_label_components(pairs, persist=True).collect()}
+    looped = {r["doc_id"]: r["component"]
+              for r in min_label_components(
+                  pairs, persist=True, small_graph_edges=0).collect()}
+    assert plain == looped
     assert plain == cached
     assert plain[3] == 1 and plain[22] == 1 and plain[11] == 10
