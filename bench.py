@@ -61,15 +61,22 @@ def main() -> None:
             # executor-memory pressure inflates the tail of the run
             it.next()._2().unpersist(True)
 
+    errors: dict[str, str] = {}
     for name in names:
         fn = QUERIES[name]
         best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-            _drop_persisted()
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop") \
+                    .mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+                _drop_persisted()
+        except Exception as exc:  # one broken query must not void
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            _drop_persisted()     # the whole round's bench artifact
+            continue
         times[name] = round(best, 3)
 
     total = round(sum(times[n] for n in HEADLINE if n in times), 3)
@@ -79,9 +86,9 @@ def main() -> None:
     detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
-        json.dump({"sf": float(sf), "queries": times}, fh, indent=1,
-                  sort_keys=True)
-    print(json.dumps({
+        json.dump({"sf": float(sf), "queries": times, "errors": errors},
+                  fh, indent=1, sort_keys=True)
+    line = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
@@ -92,7 +99,10 @@ def main() -> None:
         # all-queries total (53.2s over 74 queries at sf0.1)
         "total_all_queries": round(sum(times.values()), 3),
         "detail": "BENCH_DETAIL.json",
-    }))
+    }
+    if errors:
+        line["n_errors"] = len(errors)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

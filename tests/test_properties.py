@@ -351,3 +351,100 @@ def test_text_normalize_cross_engine_fuzz(spark, texts):
             FROM t""").fetchall()
     }
     assert got == want
+
+
+@_slow
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10_000),
+                  min_size=1, max_size=60),
+    probes=st.lists(st.integers(min_value=0, max_value=10_000),
+                    min_size=1, max_size=60),
+)
+def test_bloom_probe_never_false_negative(spark, keys, probes):
+    """For ANY key set and probe set, every true member passes the
+    Bloom probe (the filter may admit extras, never drop members) —
+    the property that makes Bloom pre-filtering sound as a semi-join
+    optimization."""
+    from pyspark.sql import functions as F
+
+    from distributed_system_mapreduce_spark.operators.probabilistic import (
+        BLOOM_HASHES,
+        BLOOM_WORDS,
+        _pos_expr,
+    )
+
+    kdf = spark.createDataFrame(
+        [(int(k),) for k in set(keys)], "k long")
+    bits = kdf.select(
+        F.explode(F.array(*[
+            F.expr(_pos_expr(j, "k")) for j in range(BLOOM_HASHES)
+        ])).alias("pos")
+    ).select(
+        F.expr("CAST(pos DIV 32 AS INT)").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+        .alias("mask"),
+    )
+    words_df = bits.groupBy("word").agg(F.bit_or("mask").alias("mask"))
+    dense = (
+        spark.range(BLOOM_WORDS)
+        .select(F.col("id").cast("int").alias("word"))
+        .join(words_df, "word", "left")
+        .agg(F.array_sort(F.collect_list(F.struct(
+            "word", F.coalesce("mask", F.lit(0).cast("bigint"))
+            .alias("mask")))).alias("wm"))
+        .select(F.expr("transform(wm, x -> x.mask)").alias("ms"))
+    )
+    pass_expr = " AND ".join(
+        f"((element_at(ms, CAST(({p}) DIV 32 AS INT) + 1) & "
+        f"shiftleft(CAST(1 AS BIGINT), CAST(({p}) % 32 AS INT))) <> 0)"
+        for p in (_pos_expr(j, "k") for j in range(BLOOM_HASHES))
+    )
+    pdf = spark.createDataFrame(
+        [(int(p),) for p in set(probes) | set(keys)], "k long")
+    got = {
+        r["k"]: r["pass"]
+        for r in pdf.crossJoin(F.broadcast(dense))
+        .withColumn("pass", F.expr(pass_expr)).collect()
+    }
+    for k in set(keys):
+        assert got[k], f"member {k} dropped by the Bloom filter"
+
+
+@_slow
+@given(vals=st.lists(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+    min_size=1, max_size=200))
+def test_kmv_bottom_k_selection_is_exact(spark, vals):
+    """The salted two-phase bottom-K keeps EXACTLY the K smallest
+    distinct hashes (same claim the oracle's single window makes) —
+    checked against Python's sorted() on any value multiset, through
+    the real kmv pipeline stages."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from distributed_system_mapreduce_spark.operators.probabilistic import (
+        KMV_K,
+        KMV_SALTS,
+        _hex_conv,
+    )
+
+    df = spark.createDataFrame(
+        [(v,) for v in set(vals)], "s string").select(
+        "s", F.expr(_hex_conv("md5(s)", 13)).alias("h"))
+    w1 = Window.partitionBy(
+        F.pmod(F.col("h"), F.lit(KMV_SALTS))).orderBy("h", "s")
+    phase1 = (df.withColumn("rn", F.row_number().over(w1))
+              .filter(F.col("rn") <= KMV_K).drop("rn"))
+    w2 = Window.partitionBy(F.lit(1)).orderBy("h", "s")
+    kept = sorted(
+        r["h"]
+        for r in phase1.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= KMV_K).collect()
+    )
+    import hashlib
+
+    def h52(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:13], 16)
+
+    want = sorted(h52(v) for v in set(vals))[:KMV_K]
+    assert kept == want
