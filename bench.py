@@ -79,7 +79,11 @@ def main() -> None:
             continue
         times[name] = round(best, 3)
 
-    total = round(sum(times[n] for n in HEADLINE if n in times), 3)
+    headline_errors = [n for n in HEADLINE if n in errors]
+    # a missing HEADLINE member must not make the headline look
+    # FASTER: the metric is only valid when every member ran
+    total = (round(sum(times[n] for n in HEADLINE if n in times), 3)
+             if not headline_errors else None)
     # Full per-query map goes to a file; the final stdout line stays
     # short (headline queries only) so the driver's line capture never
     # truncates mid-JSON (r1's ~2 KB line came back unparsed).
@@ -102,6 +106,8 @@ def main() -> None:
     }
     if errors:
         line["n_errors"] = len(errors)
+    if headline_errors:
+        line["headline_invalid"] = headline_errors
     print(json.dumps(line))
 
 

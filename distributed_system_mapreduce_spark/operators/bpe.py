@@ -50,7 +50,11 @@ def _symbolize(words: DataFrame) -> DataFrame:
 
 
 def _pair_counts(syms: DataFrame) -> DataFrame:
-    pairs = syms.select(
+    # size-1 words carry no pairs — and must be filtered BEFORE the
+    # transform: sequence(1, 0) is [1, 0] (a descending range, not
+    # empty), so the unguarded expression indexes past the array and
+    # throws under ANSI element_at once any word merges to one symbol
+    pairs = syms.filter(F.size("syms") > 1).select(
         "cnt",
         F.explode(F.expr(
             "transform(sequence(1, size(syms) - 1), "

@@ -306,6 +306,10 @@ def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(offs), ["event_type", "day"])
         .select("event_type", "t",
                 (F.col("run") + F.col("off")).alias("cur"))
+        # three consumers (mx, the argmax filter, and offs' shared
+        # deltas parent) — cut lineage so the union + cumsum window
+        # evaluates once, not per consumer
+        .localCheckpoint()
     )
     mx = cur.groupBy("event_type").agg(
         F.max("cur").alias("max_concurrent"))

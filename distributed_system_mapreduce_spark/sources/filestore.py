@@ -169,13 +169,9 @@ class _HadoopIO:
             raise OSError(f"rename failed: {src} -> {dst}")
 
     def file_sizes(self, p: str) -> list[int]:
-        out = []
-        it = self._fs.listFiles(self._Path(p), True)
-        while it.hasNext():
-            f = it.next()
-            if not f.getPath().getName().startswith(("_", ".")):
-                out.append(f.getLen())
-        return out
+        # derive from ls_files so the data-file filter lives once
+        return [self._fs.getFileStatus(self._Path(f)).getLen()
+                for f in self.ls_files(p)]
 
     def read_text(self, p: str) -> str:
         stream = self._fs.open(self._Path(p))
@@ -286,25 +282,46 @@ class FileStore:
         scan cost proportional to bytes, not file count.
 
         The rewrite stages into a sibling temp dataset and swaps via
-        two renames, so a reader never observes a half-written
-        directory and a mid-compaction crash leaves either the old or
-        the staged dataset intact, never a mix. File sizing uses the
-        real on-disk byte total (compression included), not row
-        counts."""
+        two renames: a reader never observes a HALF-WRITTEN directory
+        (the staged copy is complete before the swap starts), though
+        a reader racing the swap itself can see a brief
+        no-such-dataset window — single-writer maintenance windows
+        are assumed, like every table-compactor. A crash leaves
+        either the old or the staged dataset whole, never a mix;
+        stale staging from a crashed run is recovered or cleared on
+        the next call. File sizing uses the real on-disk byte total
+        (compression included), not row counts.
+
+        Refuses keyed (write_keyed) datasets: their bucket dirs and
+        _n_buckets sidecar ARE the layout merge() depends on — for
+        those, rewrite via write_keyed, or rely on merge()'s
+        bucket-local rewrites staying bucket-sized."""
         import math
 
         p = self._path(name)
+        old = self._path(f"{name}__precompact")
+        tmp = self._path(f"{name}__compacting")
+        # crash recovery: a previous run that died mid-swap left the
+        # data under __precompact (and possibly a complete __compacting)
+        if not self._io.exists(p) and self._io.exists(old):
+            self._io.rename(old, p)
+        if self._io.exists(tmp):
+            self._io.delete(tmp)
+        if self._io.exists(old):
+            self._io.delete(old)
         if not self._io.exists(p):
             raise FileNotFoundError(name)
+        if self._io.exists(p + "/_n_buckets"):
+            raise ValueError(
+                f"{name} is a keyed dataset; compact() would destroy "
+                "its bucket layout — use write_keyed to re-lay it out")
         total = sum(self._io.file_sizes(p))
         n_files = max(1, math.ceil(total / target_bytes))
-        tmp = self._path(f"{name}__compacting")
         (
             self.spark.read.parquet(p)
             .repartition(n_files)
             .write.format("parquet").mode("overwrite").save(tmp)
         )
-        old = self._path(f"{name}__precompact")
         self._io.rename(p, old)
         try:
             self._io.rename(tmp, p)
@@ -456,13 +473,16 @@ class FileStore:
         if not self._io.exists(p):
             raise FileNotFoundError(name)
         n_buckets = int(self._io.read_text(p + "/_n_buckets").strip())
-        try:
+        # bootstrap detection is POSITIVE (no parquet files present):
+        # write_keyed of an EMPTY frame leaves no footers to infer
+        # from. A bare try/except around the read would also swallow
+        # transient read failures on a POPULATED table and silently
+        # rewrite touched buckets with only the change rows.
+        has_data = any(
+            f.endswith(".parquet") for f in self._io.ls_files(p))
+        if has_data:
             base = self.spark.read.parquet(p)
-        except Exception:
-            # bootstrap: write_keyed of an EMPTY frame leaves no
-            # parquet footers to infer from (partitioned writers emit
-            # nothing for zero rows) — an empty base with the change
-            # schema is exactly what a first merge should see
+        else:
             cols = [c for c in changes.columns if c != delete_col]
             base = (
                 self.spark.createDataFrame([], changes.select(*cols).schema)

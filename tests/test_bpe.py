@@ -116,3 +116,26 @@ def test_bpe_token_count_matches_reference_apply(spark):
         nw, nt = want.get(r["source"], (0, 0))
         want[r["source"]] = (nw + 1, nt + len(vocab[r["w"]]))
     assert got == want and got
+
+
+def test_pair_counts_survives_single_symbol_words(spark):
+    """A word merged down to ONE symbol must contribute no pairs and
+    no crash: sequence(1, 0) is the DESCENDING [1, 0] in Spark, so an
+    unguarded transform would index past the array under ANSI
+    element_at (regression guard for the size filter)."""
+    import pandas as pd
+
+    from distributed_system_mapreduce_spark.operators.bpe import (
+        _merge_round,
+        _pair_counts,
+    )
+
+    words = spark.createDataFrame(
+        [("a", 5), ("ab", 2)], "w string, cnt long")
+    syms = words.selectExpr(
+        "w", "cnt", "concat(split(w, ''), array('</w>')) AS syms")
+    m1 = _merge_round(syms, "a", "</w>")   # 'a' -> ['a</w>'] (size 1)
+    rows = {r["w"]: r["syms"] for r in m1.collect()}
+    assert rows["a"] == ["a</w>"]
+    got = {(r["a"], r["b"]): r["n"] for r in _pair_counts(m1).collect()}
+    assert got == {("a", "b"): 2, ("b", "</w>"): 2}

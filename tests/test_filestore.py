@@ -351,3 +351,33 @@ def test_compact_reduces_files_preserves_data(fs, spark):
     # staged/backup dirs are gone
     assert not [n for n in fs.store() if "__compact" in n
                 or "__precompact" in n]
+
+
+def test_compact_refuses_keyed_dataset(fs, spark):
+    """compact() must not flatten a write_keyed dataset's bucket
+    layout out from under merge()."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, 50).select(
+        F.col("id"), (F.col("id") % 3).alias("v"))
+    fs.write_keyed(base, "keyed", "id", n_buckets=4)
+    with pytest.raises(ValueError, match="keyed"):
+        fs.compact("keyed")
+
+
+def test_compact_recovers_from_crashed_swap(fs, spark):
+    """A crash between the two swap renames leaves the data under
+    __precompact; the next compact() must restore and proceed."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, 500).select(
+        F.col("id"), (F.col("id") % 3).alias("v"))
+    fs.write(base.repartition(8), "feed2")
+    before = {(r["id"], r["v"]) for r in fs.read("feed2").collect()}
+    # simulate the crash window: dataset moved aside, swap never done
+    fs._io.rename(fs._path("feed2"), fs._path("feed2__precompact"))
+    n = fs.compact("feed2", target_bytes=1 << 30)
+    assert n == 1
+    after = {(r["id"], r["v"]) for r in fs.read("feed2").collect()}
+    assert after == before

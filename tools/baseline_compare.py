@@ -129,10 +129,13 @@ def main() -> None:
                           t_spark if t_spark is not None else 1e9)
 
         mj = MapleJuice(spark)
-        t = time.time()
-        out = mj.juice_exe(mj.maple_exe(docs, wc_maple), wc_juice)
-        got = {r["key"]: r["value"] for r in out.collect()}
-        t_adapter = time.time() - t
+        t_adapter, got = None, None
+        for _ in range(3):  # same min-of-3 discipline as the others
+            t = time.time()
+            out = mj.juice_exe(mj.maple_exe(docs, wc_maple), wc_juice)
+            got = {r["key"]: r["value"] for r in out.collect()}
+            t_adapter = min(time.time() - t,
+                            t_adapter if t_adapter is not None else 1e9)
 
         assert got == ref, "engine/exe-adapter vs reference mismatch"
         spark_rows = {r["word"]: str(r["cnt"])
