@@ -307,3 +307,80 @@ GROUP BY media_type
 
 QUERIES["multimodal_dedup"] = multimodal_dedup
 ORACLES["multimodal_dedup"] = MULTIMODAL_DEDUP_SQL
+
+
+# --------------------------------------------- perceptual-hash near-dup
+# The image near-dup pipeline: per-image perceptual hash -> bucket on
+# the high bits -> Hamming-distance verify INSIDE buckets only (the
+# same candidates->verify discipline as text MinHash-LSH; at scale,
+# band multiple bit-slices the way the text path bands minhashes).
+# The phash KERNEL here is the deterministic stub (16 bits of
+# md5('ph:' || payload checksum)) standing where pHash/dHash over
+# decoded pixels would plug in — the bucketing, pairing, and Hamming
+# verification are the real, engine-checked plumbing, kernel
+# swappable exactly like decode_real.
+PHASH_HAM_MAX = 3
+PHASH_BUCKET_BITS = 8  # bucket key = high byte of the 16-bit hash
+
+
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs: same high-byte bucket AND Hamming
+    distance <= PHASH_HAM_MAX over the 16-bit perceptual hash."""
+    docs = load_table(spark, "documents", sf_dir)
+    imgs = (
+        attach_payloads(docs)
+        .filter(F.col("media_type") == "image")
+        .select(
+            "doc_id",
+            F.expr("CAST(conv(substring(md5(concat('ph:', md5(payload)"
+                   ")), 1, 4), 16, 10) AS BIGINT)").alias("phash"),
+        )
+        .withColumn("bucket", F.expr(
+            f"phash DIV {1 << (16 - PHASH_BUCKET_BITS)}"))
+    )
+    a, b = imgs.alias("a"), imgs.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("CAST(bit_count(a.phash ^ b.phash) AS BIGINT)")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PHASH_HAM_MAX)
+    )
+
+
+# payload bytes are the utf-8 of text, and DuckDB md5(VARCHAR)
+# hashes the utf-8 bytes -- same digest as Spark md5(payload)
+_PHASH_HEX = "md5('ph:' || md5(text))"
+_PHASH_SQL = f"""
+  SELECT doc_id,
+         CAST((strpos('0123456789abcdef', substr({_PHASH_HEX}, 1, 1)) - 1)
+              * 4096
+            + (strpos('0123456789abcdef', substr({_PHASH_HEX}, 2, 1)) - 1)
+              * 256
+            + (strpos('0123456789abcdef', substr({_PHASH_HEX}, 3, 1)) - 1)
+              * 16
+            + (strpos('0123456789abcdef', substr({_PHASH_HEX}, 4, 1)) - 1)
+           AS BIGINT) AS phash
+  FROM documents
+  WHERE doc_id % 3 = 0
+"""
+
+MULTIMODAL_PHASH_DEDUP_SQL = f"""
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+  FROM ({_PHASH_SQL}) a
+  JOIN ({_PHASH_SQL}) b
+    ON a.phash // {1 << (16 - PHASH_BUCKET_BITS)}
+       = b.phash // {1 << (16 - PHASH_BUCKET_BITS)}
+   AND a.doc_id < b.doc_id
+)
+WHERE hamming <= {PHASH_HAM_MAX}
+"""
+
+QUERIES["multimodal_phash_dedup"] = multimodal_phash_dedup
+ORACLES["multimodal_phash_dedup"] = MULTIMODAL_PHASH_DEDUP_SQL
