@@ -693,7 +693,79 @@ GROUP BY source
 """
 
 
+
+
+# ------------------------------------------------------------ source HHI
+def source_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-concentration census: per language, the Herfindahl-
+    Hirschman index of source TOKEN shares (sum of squared shares),
+    the dominant source, and its share — the one-number answer to
+    "is this language's data effectively one crawl?" that decides
+    whether domain_mix's rebalancing has anything to work with.
+
+    Exactness: shares are never summed as floats (cross-partition
+    double sums are order-nondeterministic). HHI = Σc² / T² computed
+    as exact integer Σc² (DECIMAL) and token total T, split into
+    quotient + remainder so every operand of the two final double
+    divisions fits a double exactly (the events_twap discipline —
+    at corpus scale Σc² clears 2^53 where decimal→double casts
+    diverge per engine). Shape: one corpus token rollup (partial
+    agg), then arithmetic on the bounded (lang, source) table.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    per = (
+        docs.select("lang", "source", n_tokens().alias("nt"))
+        .groupBy("lang", "source")
+        .agg(F.sum("nt").cast("decimal(38,0)").alias("c"))
+    )
+    top = F.max(F.struct(F.col("c"), F.col("source")))
+    agg = (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+            F.sum("c").cast("bigint").alias("total_tokens"),
+            F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+            top.alias("t"),
+        )
+    )
+    q = F.expr("CAST(sum_sq DIV total_tokens AS BIGINT)")
+    r = F.expr("CAST(sum_sq % total_tokens AS BIGINT)")
+    td = F.col("total_tokens").cast("double")
+    return agg.select(
+        "lang", "n_sources", "total_tokens",
+        ((q.cast("double") + r.cast("double") / td) / td).alias("hhi"),
+        F.col("t.source").alias("top_source"),
+        (F.col("t.c").cast("double") / td).alias("top_share"),
+    )
+
+
+SOURCE_HHI_SQL = f"""
+WITH per AS (
+  SELECT lang, source, CAST(SUM({N_TOKENS_SQL}) AS DECIMAL(38,0)) AS c
+  FROM documents GROUP BY lang, source
+),
+agg AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_sources,
+         CAST(SUM(c) AS BIGINT) AS total_tokens,
+         SUM(c * c) AS sum_sq,
+         MAX({{'c': c, 'source': source}}) AS t
+  FROM per GROUP BY lang
+)
+SELECT lang, n_sources, total_tokens,
+       (CAST(CAST(CAST(sum_sq AS HUGEINT) // total_tokens AS BIGINT)
+             AS DOUBLE)
+        + CAST(CAST(CAST(sum_sq AS HUGEINT) % total_tokens AS BIGINT)
+               AS DOUBLE) / CAST(total_tokens AS DOUBLE))
+         / CAST(total_tokens AS DOUBLE) AS hhi,
+       t['source'] AS top_source,
+       CAST(t['c'] AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS top_share
+FROM agg
+"""
+
+
 QUERIES = {
+    "source_hhi": source_hhi,
     "tokenizer_fertility": tokenizer_fertility,
     "lang_confusion": lang_confusion,
     "chunk_overlap": chunk_overlap,
@@ -705,6 +777,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "source_hhi": SOURCE_HHI_SQL,
     "tokenizer_fertility": TOKENIZER_FERTILITY_SQL,
     "lang_confusion": _lang_confusion_sql(),
     "chunk_overlap": CHUNK_OVERLAP_SQL,
