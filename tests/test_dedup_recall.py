@@ -72,3 +72,34 @@ def test_minhash_estimator_tracks_exact_on_planted(spark, tmp_path):
         for r in planted_rows
     ) / len(planted_rows)
     assert err <= 0.25, err
+
+
+def test_fuzzy_blocking_recall_vs_brute(spark):
+    """q-gram blocking guarantees recall only for names longer than
+    q*(d+1); the part catalog's names sit below that bound, so recall
+    is an EMPIRICAL property here — measure it against the brute
+    all-pairs levenshtein truth. On this catalog it is 1.0 (every
+    true pair shares a gram); the assertion pins that, so a
+    blocking-scheme change that silently loses pairs fails loudly."""
+    from pyspark.sql import functions as F
+
+    from distributed_system_mapreduce_spark.operators.fuzzy import (
+        MAX_DIST,
+        fuzzy_name_pairs,
+    )
+    from distributed_system_mapreduce_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    got = {(r["name_a"], r["name_b"])
+           for r in fuzzy_name_pairs(spark, SF_DIR).collect()}
+    names = (load_table(spark, "part", SF_DIR)
+             .select(F.col("p_name").alias("name")).distinct())
+    a, b = names.alias("a"), names.alias("b")
+    truth = {
+        (r["na"], r["nb"])
+        for r in a.join(b, F.col("a.name") < F.col("b.name"))
+        .select(F.col("a.name").alias("na"), F.col("b.name").alias("nb"),
+                F.levenshtein("a.name", "b.name").alias("d"))
+        .filter(F.col("d") <= MAX_DIST).collect()
+    }
+    assert got == truth and truth
