@@ -332,7 +332,109 @@ FROM agg
 """
 
 
+
+
+# ---------------------------------------------------- community_lpa
+LPA_ROUNDS = 3
+LPA_SUPPORT = 2  # strong-tie threshold, as in triangle_count
+
+
+def community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the strong co-purchase
+    graph: LPA_ROUNDS synchronous rounds, each node adopting its
+    neighbors' most frequent label (ties -> smallest label), then a
+    community census (label, n_members) — the product-family
+    discovery that follows the degree/triangle health checks.
+
+    Determinism is the whole trick for an ITERATIVE algorithm that
+    value-hashes cross-engine: the vote argmax is a total order
+    (count desc, label asc) realized as one min(struct(-count,
+    label)) partial aggregate per node per round — no window over
+    the vote stream — and rounds unroll off ONE localCheckpointed
+    symmetric edge table (two shuffles per round: labels onto edges
+    by src, vote count by (dst, label)). Fixed round count keeps the
+    plan static; convergence-looped LPA would add the
+    dedup_components driver loop shape instead.
+    """
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("u"),
+                 F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= LPA_SUPPORT)
+    )
+    edges = (
+        und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(und.select(F.col("v").alias("src"),
+                                F.col("u").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct() \
+        .withColumn("label", F.col("node"))
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.groupBy("dst")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                                F.col("label"))).alias("t"))
+            .select(F.col("dst").alias("node"),
+                    F.col("t.label").alias("label"))
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"),
+             F.min("node").alias("min_member"))
+    )
+
+
+def _lpa_round_sql(prev: str) -> str:
+    return (
+        f"SELECT dst AS node, label FROM ("
+        f"  SELECT e.dst, l.label, COUNT(*) AS c,"
+        f"         ROW_NUMBER() OVER (PARTITION BY e.dst"
+        f"                            ORDER BY COUNT(*) DESC,"
+        f"                                     l.label ASC) AS rn"
+        f"  FROM edges e JOIN {prev} l ON e.src = l.node"
+        f"  GROUP BY e.dst, l.label"
+        f") WHERE rn = 1"
+    )
+
+
+COMMUNITY_LPA_SQL = f"""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+und AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {LPA_SUPPORT}
+),
+edges AS (
+  SELECT u AS src, v AS dst FROM und
+  UNION ALL
+  SELECT v, u FROM und
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+l1 AS ({_lpa_round_sql('l0')}),
+l2 AS ({_lpa_round_sql('l1')}),
+l3 AS ({_lpa_round_sql('l2')})
+SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+       MIN(node) AS min_member
+FROM l3
+GROUP BY label
+"""
+
+
 QUERIES = {
+    "community_lpa": community_lpa,
     "cdc_apply": cdc_apply,
     "skyline_parts": skyline_parts,
     "winsorized_stats": winsorized_stats,
@@ -340,6 +442,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "community_lpa": COMMUNITY_LPA_SQL,
     "cdc_apply": CDC_APPLY_SQL,
     "skyline_parts": SKYLINE_PARTS_SQL,
     "winsorized_stats": WINSORIZED_STATS_SQL,
