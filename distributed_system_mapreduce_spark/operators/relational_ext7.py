@@ -433,7 +433,107 @@ GROUP BY label
 """
 
 
+
+
+# --------------------------------------------------------- events_drift
+DRIFT_BUCKETS = 10
+DRIFT_LO, DRIFT_HI = 0.0, 500.0
+_DRIFT_BUCKET = (
+    f"CASE WHEN value < {DRIFT_LO} THEN 0 "
+    f"WHEN value >= {DRIFT_HI} THEN {DRIFT_BUCKETS} + 1 "
+    f"ELSE CAST(floor((value - {DRIFT_LO}) * {DRIFT_BUCKETS} "
+    f"/ ({DRIFT_HI} - {DRIFT_LO})) AS INT) + 1 END")
+
+
+def events_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: per event type, the total-variation
+    distance between the value distribution of the FIRST and SECOND
+    half of the observed time range — the data-drift alarm every
+    production feature pipeline runs before trusting a window of
+    data. TVD = max over events of |P_first(A) - P_second(A)| =
+    0.5 * Σ_buckets |p_i - q_i|.
+
+    Exactness: TVD is computed WITHOUT per-bucket float sums —
+    0.5·Σ|c1_i·N2 - c2_i·N1| / (N1·N2) keeps the entire accumulation
+    in exact integer (DECIMAL) arithmetic; the single double division
+    happens once per type at output. Shape: one scan bucketed by
+    width_bucket into a bounded (type, half, bucket) rollup; the
+    split point is the observed midpoint timestamp, broadcast from a
+    2-value aggregate.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", "ts", "value")
+    lohi = F.broadcast(ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")))
+    b = (
+        ev.crossJoin(lohi)
+        .select(
+            "event_type",
+            # first half: ts strictly before the midpoint epoch-us
+            (F.unix_micros(F.col("ts").cast("timestamp"))
+             < (F.unix_micros(F.col("lo").cast("timestamp"))
+                + F.unix_micros(F.col("hi").cast("timestamp"))) / 2
+             ).alias("first_half"),
+            # hand-rolled width_bucket (DuckDB lacks the function):
+            # same double ops on both engines, so bucket ids agree
+            F.expr(_DRIFT_BUCKET).alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum(F.col("first_half").cast("long")).alias("c1"),
+            F.sum((~F.col("first_half")).cast("long")).alias("c2"),
+        )
+    )
+    tot = b.groupBy("event_type").agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"))
+    return (
+        b.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("n1").alias("n_first"),
+            F.min("n2").alias("n_second"),
+            (F.sum(F.abs(
+                F.col("c1").cast("decimal(38,0)") * F.col("n2")
+                - F.col("c2").cast("decimal(38,0)") * F.col("n1")
+            )).cast("double")
+             / (F.lit(2.0) * F.min("n1").cast("double")
+                * F.min("n2").cast("double"))).alias("tvd"),
+        )
+    )
+
+
+EVENTS_DRIFT_SQL = f"""
+WITH lohi AS (
+  SELECT epoch_us(MIN(ts)) AS lo, epoch_us(MAX(ts)) AS hi FROM events
+),
+b AS (
+  SELECT event_type,
+         {_DRIFT_BUCKET} AS bucket,
+         SUM(CASE WHEN epoch_us(ts) < (lo + hi) / 2
+                  THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN epoch_us(ts) < (lo + hi) / 2
+                  THEN 0 ELSE 1 END) AS c2
+  FROM events CROSS JOIN lohi
+  GROUP BY event_type, bucket
+),
+tot AS (
+  SELECT event_type, CAST(SUM(c1) AS BIGINT) AS n1,
+         CAST(SUM(c2) AS BIGINT) AS n2
+  FROM b GROUP BY event_type
+)
+SELECT b.event_type, MIN(n1) AS n_first, MIN(n2) AS n_second,
+       CAST(SUM(abs(CAST(c1 AS DECIMAL(38,0)) * n2
+                    - CAST(c2 AS DECIMAL(38,0)) * n1)) AS DOUBLE)
+         / (2.0 * CAST(MIN(n1) AS DOUBLE) * CAST(MIN(n2) AS DOUBLE))
+         AS tvd
+FROM b JOIN tot ON b.event_type = tot.event_type
+GROUP BY b.event_type
+"""
+
+
 QUERIES = {
+    "events_drift": events_drift,
     "community_lpa": community_lpa,
     "cdc_apply": cdc_apply,
     "skyline_parts": skyline_parts,
@@ -442,6 +542,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_drift": EVENTS_DRIFT_SQL,
     "community_lpa": COMMUNITY_LPA_SQL,
     "cdc_apply": CDC_APPLY_SQL,
     "skyline_parts": SKYLINE_PARTS_SQL,

@@ -99,7 +99,7 @@ _PRIORITY = [
     "kmv_distinct", "bloom_semi_filter", "events_concurrency",
     "cdc_apply", "skyline_parts", "winsorized_stats", "events_twap",
     "fuzzy_name_pairs", "ann_incremental", "multimodal_phash_dedup",
-    "source_hhi", "community_lpa",
+    "source_hhi", "community_lpa", "events_drift",
     "cross_source_overlap", "dedup_substring", "curation_pipeline",
     "events_anomaly",
     "events_props_stats", "events_retention", "events_sliding_window",
