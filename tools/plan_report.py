@@ -136,6 +136,24 @@ SHOWCASE = [
     ("winsorized_stats",
      "exact array-percentile per bounded group, cutoffs broadcast "
      "onto an un-shuffled scan, DECIMAL interior sum"),
+    ("events_twap",
+     "user-partitioned lead window, DECIMAL integral, "
+     "quotient-split before the one double division"),
+    ("fuzzy_name_pairs",
+     "q-gram blocking equi-join + length filter, levenshtein "
+     "verify on candidates only"),
+    ("ann_incremental",
+     "delta x standing band index equi-join, cosine re-rank — "
+     "never corpus x corpus"),
+    ("community_lpa",
+     "3 unrolled LPA rounds off one checkpointed edge table; vote "
+     "argmax as min(struct) partial agg, no vote window"),
+    ("source_hhi",
+     "one token rollup, HHI on the bounded (lang, source) table in "
+     "exact integers, quotient-split divisions"),
+    ("events_drift",
+     "one bucketed scan -> bounded (type, half, bucket) rollup; TVD "
+     "in exact integer DECIMAL, one division per type"),
     ("freq_items_sketch",
      "Arrow-batched Misra-Gries partials (<= K counters/partition), "
      "summary-sized shuffle, TakeOrdered final"),
