@@ -20,6 +20,7 @@ from distributed_system_mapreduce_spark.operators import (
     curation2,
     curation3,
     curation4,
+    curation5,
     dedup,
     engine_queries,
     export,
@@ -36,15 +37,16 @@ from distributed_system_mapreduce_spark.operators import (
     relational_ext5,
     relational_ext6,
     relational_ext7,
+    relational_ext8,
     similarity,
     text_analysis,
 )
 
 _MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
             relational_ext3, relational_ext4, relational_ext5,
-            relational_ext6, relational_ext7,
+            relational_ext6, relational_ext7, relational_ext8,
             engine_queries, text_analysis, curation, curation2, curation3,
-            curation4,
+            curation4, curation5,
             dedup,
             similarity, clustering, sketches, probabilistic, bpe, fuzzy,
             multimodal, asof, export]
@@ -123,6 +125,10 @@ _PRIORITY = [
     "dedup_cluster_stats", "embedding_quantize", "text_integrity",
     "k_anonymity", "user_growth", "link_prediction",
     "join_size_estimate", "gopher_rules", "shard_assignment",
+    "events_autocorr", "funnel_latency", "customer_repeat_cohort",
+    "minhash_containment", "semantic_outliers", "token_rank_curve",
+    "nation_share_yoy", "user_behavior_gini", "ngram_novelty",
+    "split_ks_check",
     # multimodal decode family: stub kernel is deterministic md5
     # arithmetic, so the Arrow stage is oracle-checked end-to-end
     "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
