@@ -33,8 +33,6 @@ from distributed_system_mapreduce_spark.functions.vectors import (
 from distributed_system_mapreduce_spark.operators.dedup import (
     DEDUP_MINHASH_SQL,
     _SHINGLE_SQL,
-    _doc_shingles,
-    dedup_minhash,
 )
 from distributed_system_mapreduce_spark.tables import load_table, spread
 
@@ -52,10 +50,26 @@ def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: pairwise work only inside LSH buckets (never all-pairs,
     same posture as dedup_ngram_jaccard); the intersection is an
     array_intersect over two per-doc shingle arrays joined onto the
-    candidate list — no shingle-level equi-join explosion. Integer
-    set sizes; the two ratios are fixed-order double divisions."""
-    cand = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
-    ds = _doc_shingles(spark, sf_dir)
+    candidate list — no shingle-level equi-join explosion. ONE
+    tokenize+explode+groupBy pass produces both the minhash columns
+    and the shingle arrays (the dedup_ngram_jaccard shared store —
+    composing dedup_minhash + _doc_shingles re-shingles the corpus
+    twice). Integer set sizes; fixed-order double divisions."""
+    from distributed_system_mapreduce_spark.operators.dedup import (
+        N_HASHES,
+        _bands_from,
+        _candidates_from,
+        _shingle_df,
+    )
+
+    sh = _shingle_df(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh{i}")
+        for i in range(N_HASHES)
+    ] + [F.collect_list("s").alias("sh")]
+    store = sh.groupBy("doc_id").agg(*aggs).localCheckpoint()
+    cand = _candidates_from(_bands_from(store)).select("doc_a", "doc_b")
+    ds = store.select("doc_id", "sh")
     pairs = (
         cand.join(ds.alias("da"), F.col("doc_a") == F.col("da.doc_id"))
         .join(ds.alias("db"), F.col("doc_b") == F.col("db.doc_id"))

@@ -38,6 +38,7 @@ from distributed_system_mapreduce_spark.operators import (
     relational_ext6,
     relational_ext7,
     relational_ext8,
+    relational_ext9,
     similarity,
     text_analysis,
 )
@@ -45,6 +46,7 @@ from distributed_system_mapreduce_spark.operators import (
 _MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
             relational_ext3, relational_ext4, relational_ext5,
             relational_ext6, relational_ext7, relational_ext8,
+            relational_ext9,
             engine_queries, text_analysis, curation, curation2, curation3,
             curation4, curation5,
             dedup,
@@ -128,7 +130,8 @@ _PRIORITY = [
     "events_autocorr", "funnel_latency", "customer_repeat_cohort",
     "minhash_containment", "semantic_outliers", "token_rank_curve",
     "nation_share_yoy", "user_behavior_gini", "ngram_novelty",
-    "split_ks_check",
+    "split_ks_check", "user_churn", "l_diversity",
+    "events_dow_profile", "top_returned_parts",
     # multimodal decode family: stub kernel is deterministic md5
     # arithmetic, so the Arrow stage is oracle-checked end-to-end
     "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
