@@ -773,6 +773,54 @@ def view_purchase_left_join_stream(events: DataFrame,
     )
 
 
+def attribution_counts_stream(events: DataFrame,
+                              watermark: str = "2 days",
+                              lookback_hours: int = 24) -> DataFrame:
+    """CHAINED stateful operators: a watermarked stream-stream join
+    (purchase matched to the same user's preceding views, the
+    view_purchase_join_stream shape) followed by a windowed
+    AGGREGATION over the join output — per purchase, the number of
+    attributed views, finalized when the purchase-day window closes.
+    The streaming twin of batch purchase_attribution's count stage
+    (operators/asof.py), and the shape that needs Spark's
+    multiple-stateful-operator support: the join's watermark
+    propagates to the downstream window so BOTH state stores get a
+    provable expiry horizon (join buffers ∝ watermark + lookback,
+    window state ∝ watermark; neither grows with stream length).
+
+    Append mode: a (day, purchase) row emits exactly once, after the
+    watermark proves its day complete — late views inside the
+    watermark are still counted; beyond it they are dropped by the
+    join, so an emitted count is never contradicted."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            f"user_id = p_user_id AND "
+            f"purchase_ts >= view_ts AND "
+            f"purchase_ts <= view_ts + INTERVAL {lookback_hours} HOURS"
+        ))
+    return (
+        joined.groupBy(
+            F.window("purchase_ts", "1 day").alias("w"),
+            "purchase_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_views"))
+        .select(F.col("w.start").alias("day"), "purchase_id", "n_views")
+    )
+
+
 def cdc_stream_to_filestore(events: DataFrame, fs, name: str,
                             checkpoint_dir: str) -> Any:
     """Streaming CDC materialization: treat the event stream as an

@@ -797,3 +797,64 @@ def test_cdc_stream_materializes_current_snapshot(spark, tmp_path):
         .select("user_id", "current_value", "last_ts").collect()
     }
     assert got == want and got
+
+
+def test_attribution_counts_stream_chained_stateful(spark):
+    """Stream-stream join FOLLOWED BY windowed aggregation (two
+    stateful operators chained): per purchase, attributed-view counts
+    per day. Append mode only emits windows the final watermark
+    (max ts - 2 days) has proven complete, so the check is two-sided:
+    every emitted row must equal the batch twin, and every batch row
+    whose day closed before the final watermark MUST have emitted."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from distributed_system_mapreduce_spark.streaming import (
+        attribution_counts_stream,
+        read_events_stream,
+    )
+    from distributed_system_mapreduce_spark.tables import load_table
+
+    stream = read_events_stream(spark, SF_DIR)
+    q = run_stream_to_memory(
+        attribution_counts_stream(stream), "attr_stream",
+        output_mode="append")
+    try:
+        got = {
+            (r["day"], r["purchase_id"]): r["n_views"]
+            for r in spark.table("attr_stream").collect()
+        }
+        ev = load_table(spark, "events", SF_DIR)
+        v = (ev.filter(F.col("event_type") == "view")
+             .select("user_id", F.col("ts").alias("view_ts")))
+        p = (ev.filter(F.col("event_type") == "purchase")
+             .select(F.col("event_id").alias("purchase_id"),
+                     F.col("user_id").alias("p_user_id"),
+                     F.col("ts").alias("purchase_ts")))
+        want = {
+            (r["day"], r["purchase_id"]): r["n_views"]
+            for r in (
+                v.join(p, F.expr(
+                    "user_id = p_user_id AND "
+                    "purchase_ts >= view_ts AND "
+                    "purchase_ts <= view_ts + INTERVAL 24 HOURS"))
+                .groupBy(
+                    F.date_trunc("day", "purchase_ts").alias("day"),
+                    "purchase_id")
+                .agg(F.count(F.lit(1)).alias("n_views"))
+            ).collect()
+        }
+        assert got.items() <= want.items()
+        final_wm = (
+            ev.agg(F.max("ts")).collect()[0][0]
+            - datetime.timedelta(days=2)
+        )
+        finalized = {
+            k: n for k, n in want.items()
+            if k[0] + datetime.timedelta(days=1) < final_wm
+        }
+        assert len(finalized) > 0
+        assert finalized.items() <= got.items()
+    finally:
+        q.stop()
