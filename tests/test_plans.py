@@ -180,3 +180,25 @@ def test_wave6_plan_shapes(spark):
         n = sum(1 for ln in plan.splitlines()
                 if "+- Exchange" in ln or ":- Exchange" in ln)
         assert n == 1, (name, n, plan)
+
+
+def test_wave9_to_11_plan_shapes(spark):
+    """This round's new waves keep the posture: no cartesian products
+    (the only nested loops are broadcast 1-row/bounded tables), the
+    global top-k queries plan as TakeOrderedAndProject (never a
+    global sort), and the shingle-heavy containment op stays free of
+    Python evaluation."""
+    for name in ("events_autocorr", "funnel_latency",
+                 "customer_repeat_cohort", "nation_share_yoy",
+                 "user_behavior_gini", "ngram_novelty",
+                 "split_ks_check", "semantic_outliers",
+                 "minhash_containment", "user_churn", "l_diversity",
+                 "events_dow_profile"):
+        assert plan_lacks(QUERIES[name](spark, SF_DIR),
+                          "CartesianProduct"), name
+    for name in ("top_returned_parts", "token_rank_curve"):
+        plan = formatted_plan(QUERIES[name](spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan, name
+        assert "CartesianProduct" not in plan, name
+    assert plan_lacks(QUERIES["minhash_containment"](spark, SF_DIR),
+                      "BatchEvalPython")
