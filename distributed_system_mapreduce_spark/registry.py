@@ -21,6 +21,7 @@ from distributed_system_mapreduce_spark.operators import (
     curation3,
     curation4,
     curation5,
+    curation6,
     dedup,
     engine_queries,
     export,
@@ -48,7 +49,7 @@ _MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
             relational_ext6, relational_ext7, relational_ext8,
             relational_ext9,
             engine_queries, text_analysis, curation, curation2, curation3,
-            curation4, curation5,
+            curation4, curation5, curation6,
             dedup,
             similarity, clustering, sketches, probabilistic, bpe, fuzzy,
             multimodal, asof, export]
@@ -132,6 +133,8 @@ _PRIORITY = [
     "nation_share_yoy", "user_behavior_gini", "ngram_novelty",
     "split_ks_check", "user_churn", "l_diversity",
     "events_dow_profile", "top_returned_parts",
+    "stratified_reservoir", "dedup_survivorship",
+    "tokenizer_oov_rate", "hard_negative_mining",
     # multimodal decode family: stub kernel is deterministic md5
     # arithmetic, so the Arrow stage is oracle-checked end-to-end
     "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
