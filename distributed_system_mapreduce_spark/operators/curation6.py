@@ -304,7 +304,123 @@ WHERE rn = 1
 """
 
 
+# ------------------------------------------------------ embedding_margin
+MARGIN_TOPK = 20
+_NANO = "1000000000.0"
+_GRID_EXPR = ("CAST(floor(CAST(x AS DOUBLE) * 1000000000.0 + 0.5) "
+              "AS BIGINT)")
+
+
+def embedding_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-learning margin audit: for each vector, the squared-L2
+    distance to its nearest and second-nearest LABEL CENTROID; the
+    MARGIN_TOPK smallest-margin vectors are the ambiguous/boundary
+    cases a labeling pass reviews first, plus a flag when the nearest
+    centroid is not the vector's own label (mislabel candidate).
+
+    Shape: centroids are the semantic_outliers grid-exact per-label
+    means (bounded (label, dim) partial agg, collected to arrays);
+    the vector scan cross-joins the BROADCAST bounded centroid table
+    (|labels| rows — a constant fan-out, not a cartesian blowup);
+    nearest-two selection is a sort of a per-vector bounded array;
+    the global top-k is TakeOrderedAndProject. Distances are strict
+    left-folds, so margins hash identically cross-engine."""
+    vecs = spread(load_table(spark, "embeddings", sf_dir))
+    dims = vecs.select(
+        "label", F.posexplode("embedding").alias("pos", "x"),
+    ).select("label", "pos", F.expr(_GRID_EXPR).alias("g"))
+    cent = (
+        dims.groupBy("label", "pos")
+        .agg(F.sum("g").cast("long").alias("s_nano"),
+             F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "label", "pos",
+            ((F.col("s_nano").cast("double") / F.lit(float(1e9)))
+             / F.col("n").cast("double")).alias("c"),
+        )
+        .groupBy("label")
+        .agg(F.expr(
+            "transform(array_sort(collect_list(struct(pos, c))), "
+            "e -> e.c)").alias("centroid"))
+        .select(F.col("label").alias("clabel"), "centroid")
+    )
+    scored = (
+        vecs.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "label", "clabel",
+            F.expr(V.dist2_expr("embedding", "centroid")).alias("d2"),
+        )
+    )
+    two = (
+        scored.groupBy("vec_id", "label")
+        .agg(F.expr(
+            "slice(array_sort(collect_list(struct(d2, clabel))), 1, 2)"
+        ).alias("nn"))
+        .select(
+            "vec_id", "label",
+            F.col("nn")[0]["clabel"].alias("nearest_label"),
+            F.col("nn")[0]["d2"].alias("d2_nearest"),
+            (F.col("nn")[1]["d2"] - F.col("nn")[0]["d2"])
+            .alias("margin"),
+        )
+    )
+    return (
+        two.select(
+            "vec_id", "label", "nearest_label", "d2_nearest", "margin",
+            (F.col("nearest_label") != F.col("label")).cast("long")
+            .alias("is_mislabel_candidate"),
+        )
+        .orderBy(F.asc("margin"), F.asc("vec_id"))
+        .limit(MARGIN_TOPK)
+    )
+
+
+EMBEDDING_MARGIN_SQL = f"""
+WITH dims AS (
+  SELECT label, pos - 1 AS pos,
+         CAST(floor(CAST(x AS DOUBLE) * {_NANO} + 0.5) AS BIGINT) AS g
+  FROM (SELECT label, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings)
+),
+cent AS (
+  SELECT label AS clabel,
+         list((CAST(s_nano AS DOUBLE) / {_NANO})
+              / CAST(n AS DOUBLE) ORDER BY pos) AS centroid
+  FROM (
+    SELECT label, pos, CAST(SUM(g) AS BIGINT) AS s_nano,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM dims GROUP BY label, pos
+  ) GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, e.label, c.clabel,
+         {V.dist2_sql("e.embedding", "c.centroid")} AS d2
+  FROM embeddings e CROSS JOIN cent c
+),
+ranked AS (
+  SELECT vec_id, label, clabel, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY d2 ASC, clabel ASC) AS rn
+  FROM scored
+),
+two AS (
+  SELECT a.vec_id, a.label, a.clabel AS nearest_label,
+         a.d2 AS d2_nearest, b.d2 - a.d2 AS margin
+  FROM ranked a JOIN ranked b
+    ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2
+)
+SELECT vec_id, label, nearest_label, d2_nearest, margin,
+       CAST(CASE WHEN nearest_label <> label THEN 1 ELSE 0 END
+            AS BIGINT) AS is_mislabel_candidate
+FROM two
+ORDER BY margin ASC, vec_id ASC
+LIMIT {MARGIN_TOPK}
+"""
+
+
 QUERIES = {
+    "embedding_margin": embedding_margin,
     "stratified_reservoir": stratified_reservoir,
     "dedup_survivorship": dedup_survivorship,
     "tokenizer_oov_rate": tokenizer_oov_rate,
@@ -312,6 +428,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_margin": EMBEDDING_MARGIN_SQL,
     "stratified_reservoir": STRATIFIED_RESERVOIR_SQL,
     "dedup_survivorship": DEDUP_SURVIVORSHIP_SQL,
     "tokenizer_oov_rate": TOKENIZER_OOV_RATE_SQL,

@@ -1,0 +1,181 @@
+"""Relational wave 13: session-shape and mix-drift census queries.
+
+- session_lengths  : global histogram of session sizes under the
+                     30-minute-gap sessionization — the engagement
+                     distribution behind the per-user session counts.
+- returns_mix_shift: year-over-year total-variation distance of the
+                     (returnflag, linestatus) mix — category-drift
+                     monitoring on the relational side (events_drift
+                     is the event-stream twin).
+
+Reference parity: SURVEY §2.C extensions (maple+juice pairs in the
+reference's model, /root/reference/maple_juice/maple_juice.go:376).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from distributed_system_mapreduce_spark.tables import load_table
+
+SESSION_GAP_MIN = 30
+
+
+# ------------------------------------------------------- session_lengths
+def session_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How big are sessions? Events sessionize per user on a
+    30-minute inactivity gap (the events_sessionize rule); this
+    reports the GLOBAL histogram of events-per-session — the
+    engagement-depth distribution product analytics tracks.
+
+    Shape: the gap flags and session ids are per-user windows
+    (bounded partitions, single exchange), the histogram is one
+    partial-agg shuffle on the bounded length key. All integers."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us, 1).over(w)
+    newsess = (gap.isNull()
+               | (gap > SESSION_GAP_MIN * 60 * 1_000_000)).cast("long")
+    sess = (
+        ev.withColumn("new_s", newsess)
+        .withColumn(
+            "sess_id",
+            F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "sess_id")
+        .agg(F.count(F.lit(1)).alias("length"))
+    )
+    return (
+        sess.groupBy("length")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .select(F.col("length").cast("long").alias("length"),
+                "n_sessions")
+    )
+
+
+SESSION_LENGTHS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts, 1) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id))
+              > {SESSION_GAP_MIN} * 60 * 1000000
+              OR LAG(ts, 1) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_s,
+         ts, event_id
+  FROM events
+),
+sess AS (
+  SELECT user_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+),
+lens AS (
+  SELECT user_id, sess_id, COUNT(*) AS length
+  FROM sess GROUP BY user_id, sess_id
+)
+SELECT CAST(length AS BIGINT) AS length,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM lens GROUP BY length
+"""
+
+
+# ----------------------------------------------------- returns_mix_shift
+def returns_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category-mix drift on the fact table: per ship year, the
+    total-variation distance between this year's and the previous
+    year's (returnflag, linestatus) distribution — the relational
+    twin of events_drift's first-vs-second-half monitor, reported as
+    a year-over-year series.
+
+    Exactness: TVD accumulates 0.5·Σ|c_cur·N_prev − c_prev·N_cur| in
+    exact DECIMAL integer arithmetic with ONE double division per
+    year (the events_drift discipline). Shape: one partial-agg
+    shuffle to the bounded (year, flag, status) table; the lag
+    alignment is a broadcast self-join on that bounded table. A
+    category absent in one year still contributes — the full outer
+    join keeps both sides' categories with zero fills."""
+    li = load_table(spark, "lineitem", sf_dir)
+    yc = (
+        li.groupBy(
+            F.year("l_shipdate").alias("yr"),
+            "l_returnflag", "l_linestatus",
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cur = yc.select("yr", "l_returnflag", "l_linestatus",
+                    F.col("c").alias("c_cur"))
+    prv = yc.select((F.col("yr") + 1).alias("yr"), "l_returnflag",
+                    "l_linestatus", F.col("c").alias("c_prev"))
+    both = (
+        cur.join(F.broadcast(prv),
+                 ["yr", "l_returnflag", "l_linestatus"], "full")
+        .fillna({"c_cur": 0, "c_prev": 0})
+    )
+    tot = both.groupBy("yr").agg(
+        F.sum("c_cur").cast("long").alias("n_cur"),
+        F.sum("c_prev").cast("long").alias("n_prev"))
+    return (
+        both.join(F.broadcast(tot), "yr")
+        .filter((F.col("n_cur") > 0) & (F.col("n_prev") > 0))
+        .groupBy("yr")
+        .agg(
+            F.min("n_cur").alias("n_lines"),
+            F.min("n_prev").alias("n_lines_prev"),
+            (F.sum(F.abs(
+                F.col("c_cur").cast("decimal(38,0)") * F.col("n_prev")
+                - F.col("c_prev").cast("decimal(38,0)") * F.col("n_cur")
+            )).cast("double")
+             / (F.lit(2.0) * F.min("n_cur").cast("double")
+                * F.min("n_prev").cast("double"))).alias("tvd"),
+        )
+    )
+
+
+RETURNS_MIX_SHIFT_SQL = """
+WITH yc AS (
+  SELECT year(l_shipdate) AS yr, l_returnflag, l_linestatus,
+         COUNT(*) AS c
+  FROM lineitem GROUP BY 1, 2, 3
+),
+mixed AS (
+  SELECT COALESCE(cur.yr, prv.yr) AS yr,
+         COALESCE(cur.c, 0) AS c_cur,
+         COALESCE(prv.c, 0) AS c_prev
+  FROM yc cur
+  FULL JOIN (SELECT yr + 1 AS yr, l_returnflag, l_linestatus, c
+             FROM yc) prv
+    ON cur.yr = prv.yr AND cur.l_returnflag = prv.l_returnflag
+       AND cur.l_linestatus = prv.l_linestatus
+),
+tot AS (
+  SELECT yr, CAST(SUM(c_cur) AS BIGINT) AS n_cur,
+         CAST(SUM(c_prev) AS BIGINT) AS n_prev
+  FROM mixed GROUP BY yr
+)
+SELECT b.yr, MIN(n_cur) AS n_lines, MIN(n_prev) AS n_lines_prev,
+       CAST(SUM(abs(CAST(c_cur AS DECIMAL(38,0)) * n_prev
+                    - CAST(c_prev AS DECIMAL(38,0)) * n_cur))
+            AS DOUBLE)
+         / (2.0 * CAST(MIN(n_cur) AS DOUBLE)
+            * CAST(MIN(n_prev) AS DOUBLE)) AS tvd
+FROM mixed b JOIN tot ON b.yr = tot.yr
+WHERE n_cur > 0 AND n_prev > 0
+GROUP BY b.yr
+"""
+
+
+QUERIES = {
+    "session_lengths": session_lengths,
+    "returns_mix_shift": returns_mix_shift,
+}
+
+ORACLES = {
+    "session_lengths": SESSION_LENGTHS_SQL,
+    "returns_mix_shift": RETURNS_MIX_SHIFT_SQL,
+}

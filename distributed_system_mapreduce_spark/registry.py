@@ -40,6 +40,7 @@ from distributed_system_mapreduce_spark.operators import (
     relational_ext7,
     relational_ext8,
     relational_ext9,
+    relational_ext10,
     similarity,
     text_analysis,
 )
@@ -47,7 +48,7 @@ from distributed_system_mapreduce_spark.operators import (
 _MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
             relational_ext3, relational_ext4, relational_ext5,
             relational_ext6, relational_ext7, relational_ext8,
-            relational_ext9,
+            relational_ext9, relational_ext10,
             engine_queries, text_analysis, curation, curation2, curation3,
             curation4, curation5, curation6,
             dedup,
@@ -135,6 +136,7 @@ _PRIORITY = [
     "events_dow_profile", "top_returned_parts",
     "stratified_reservoir", "dedup_survivorship",
     "tokenizer_oov_rate", "hard_negative_mining",
+    "embedding_margin", "session_lengths", "returns_mix_shift",
     # multimodal decode family: stub kernel is deterministic md5
     # arithmetic, so the Arrow stage is oracle-checked end-to-end
     "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
