@@ -170,12 +170,159 @@ GROUP BY b.yr
 """
 
 
+# ------------------------------------------------------ user_survival_km
+_DAY_US = 86_400_000_000
+
+
+def user_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-error: each user
+    enters at their first event, 'fails' at their first error at or
+    after it, and is right-censored at the end of observation
+    otherwise; S(t) = Π_{s<=t} (1 - d_s/n_s) over failure days — the
+    retention/reliability estimator that handles censoring correctly
+    where a naive failure-rate curve does not.
+
+    Exactness for an estimator that is a PRODUCT of ratios: factor
+    (n_s - d_s)/n_s is one exact-integer division; S(t) folds the
+    factors in day order with a strict left fold from 1.0 — Spark
+    aggregate() and DuckDB list_reduce produce the identical IEEE
+    sequence, so the curve value-hashes cross-engine (the
+    functions/vectors discipline applied to time instead of dims).
+    Shape: one per-user partial-agg shuffle; everything after lives
+    on the BOUNDED day grid (triangular broadcast joins — the
+    split_ks_check discipline; never a global window over users)."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+    endcap = F.broadcast(ev.agg(F.max("us").alias("end_us")))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("us").alias("start_us"),
+            F.min(F.when(F.col("event_type") == "error",
+                         F.col("us"))).alias("err_us"),
+        )
+        .crossJoin(endcap)
+        .select(
+            F.expr(
+                f"CASE WHEN err_us IS NOT NULL THEN "
+                f"(err_us - start_us) DIV {_DAY_US} END").alias("ed"),
+            F.expr(f"(end_us - start_us) DIV {_DAY_US}").alias("cd"),
+        )
+    )
+    days = (
+        per_user.select(
+            F.coalesce("ed", "cd").alias("t"),
+            F.col("ed").isNotNull().cast("long").alias("is_event"),
+        )
+        .groupBy("t")
+        .agg(
+            F.sum("is_event").cast("long").alias("d"),
+            F.sum(1 - F.col("is_event")).cast("long").alias("c"),
+        )
+    )
+    n_total = F.broadcast(per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")))
+    b = F.broadcast(days.select(F.col("t").alias("s"),
+                                F.col("d").alias("ds"),
+                                F.col("c").alias("cs")))
+    # at-risk at t: everyone not failed/censored strictly before t
+    atrisk = (
+        days.join(b, F.col("s") < F.col("t"), "left")
+        .groupBy("t", "d", "c")
+        .agg(F.coalesce(F.sum(F.col("ds") + F.col("cs")), F.lit(0))
+             .cast("long").alias("gone"))
+        .crossJoin(n_total)
+        .select(
+            "t", "d", "c",
+            (F.col("n_users") - F.col("gone")).alias("n_risk"),
+        )
+    )
+    steps = F.broadcast(
+        atrisk.filter(F.col("d") > 0).select(
+            F.col("t").alias("s"),
+            ((F.col("n_risk") - F.col("d")).cast("double")
+             / F.col("n_risk").cast("double")).alias("factor"),
+        )
+    )
+    return (
+        atrisk.filter(F.col("d") > 0)
+        .join(steps, F.col("s") <= F.col("t"))
+        .groupBy("t", "d", "c", "n_risk")
+        .agg(F.expr(
+            "aggregate(transform(array_sort(collect_list("
+            "struct(s, factor))), e -> e.factor), "
+            "CAST(1.0 AS DOUBLE), (acc, x) -> acc * x)"
+        ).alias("survival"))
+        .select(
+            F.col("t").alias("day"),
+            F.col("n_risk").alias("n_at_risk"),
+            F.col("d").alias("n_events"),
+            F.col("c").alias("n_censored"),
+            "survival",
+        )
+    )
+
+
+USER_SURVIVAL_KM_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+),
+endcap AS (SELECT MAX(us) AS end_us FROM ev),
+per_user AS (
+  SELECT CASE WHEN err_us IS NOT NULL THEN
+           CAST(CAST(err_us - start_us AS HUGEINT) // {_DAY_US}
+                AS BIGINT) END AS ed,
+         CAST(CAST(end_us - start_us AS HUGEINT) // {_DAY_US}
+              AS BIGINT) AS cd
+  FROM (
+    SELECT user_id, MIN(us) AS start_us,
+           MIN(CASE WHEN event_type = 'error' THEN us END) AS err_us
+    FROM ev GROUP BY user_id
+  ) CROSS JOIN endcap
+),
+days AS (
+  SELECT COALESCE(ed, cd) AS t,
+         CAST(SUM(CASE WHEN ed IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN ed IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS c
+  FROM per_user GROUP BY COALESCE(ed, cd)
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM per_user),
+atrisk AS (
+  SELECT t, d, c,
+         n_users
+           - COALESCE(SUM(d + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM days CROSS JOIN tot
+),
+steps AS (
+  SELECT t AS s,
+         CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS factor
+  FROM atrisk WHERE d > 0
+)
+SELECT a.t AS day, a.n_risk AS n_at_risk, a.d AS n_events,
+       a.c AS n_censored,
+       list_reduce(
+         list_prepend(CAST(1.0 AS DOUBLE),
+                      list(st.factor ORDER BY st.s)),
+         (acc, x) -> acc * x) AS survival
+FROM atrisk a JOIN steps st ON st.s <= a.t
+WHERE a.d > 0
+GROUP BY a.t, a.n_risk, a.d, a.c
+"""
+
+
 QUERIES = {
     "session_lengths": session_lengths,
     "returns_mix_shift": returns_mix_shift,
+    "user_survival_km": user_survival_km,
 }
 
 ORACLES = {
     "session_lengths": SESSION_LENGTHS_SQL,
     "returns_mix_shift": RETURNS_MIX_SHIFT_SQL,
+    "user_survival_km": USER_SURVIVAL_KM_SQL,
 }
