@@ -202,3 +202,23 @@ def test_wave9_to_11_plan_shapes(spark):
         assert "CartesianProduct" not in plan, name
     assert plan_lacks(QUERIES["minhash_containment"](spark, SF_DIR),
                       "BatchEvalPython")
+
+
+def test_wave12_to_14_plan_shapes(spark):
+    """Sampling/survivorship/contrastive/survival waves: no cartesian
+    products (bounded centroid/day-grid fan-outs are broadcast
+    nested loops over constant-size tables, never CartesianProduct),
+    the ambiguity ranking is TakeOrderedAndProject, and the LSH
+    mining path stays JVM-only."""
+    for name in ("stratified_reservoir", "dedup_survivorship",
+                 "tokenizer_oov_rate", "hard_negative_mining",
+                 "session_lengths", "returns_mix_shift",
+                 "user_survival_km", "events_cusum",
+                 "discount_qty_elasticity"):
+        assert plan_lacks(QUERIES[name](spark, SF_DIR),
+                          "CartesianProduct"), name
+    plan = formatted_plan(QUERIES["embedding_margin"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert plan_lacks(QUERIES["hard_negative_mining"](spark, SF_DIR),
+                      "BatchEvalPython")
