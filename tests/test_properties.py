@@ -448,3 +448,128 @@ def test_kmv_bottom_k_selection_is_exact(spark, vals):
 
     want = sorted(h52(v) for v in set(vals))[:KMV_K]
     assert kept == want
+
+
+@_slow
+@given(counts=st.lists(st.integers(min_value=0, max_value=50),
+                       min_size=2, max_size=25))
+def test_cusum_fold_equals_python_recurrence(spark, counts):
+    """The events_cusum scaled integer fold must equal the plain
+    Python CUSUM recurrence on an arbitrary daily series (single
+    type, synthetic days)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    n = len(counts)
+    total = sum(counts)
+    s = best = 0
+    at = None
+    for i, c in enumerate(counts):
+        s = max(0, s + n * c - total)
+        if s > best:
+            best, at = s, datetime.date(2024, 1, 1) + datetime.timedelta(
+                days=i)
+    rows = [("t", datetime.date(2024, 1, 1) + datetime.timedelta(days=i),
+             n * c - total) for i, c in enumerate(counts)]
+    df = spark.createDataFrame(
+        rows, "event_type string, day date, term long")
+    fold = (
+        "aggregate(array_sort(arr), "
+        "named_struct('s', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT),"
+        " 'at', CAST(NULL AS DATE)), "
+        "(acc, e) -> named_struct("
+        "  's', greatest(CAST(0 AS BIGINT), acc.s + e.term),"
+        "  'best', CASE WHEN greatest(CAST(0 AS BIGINT),"
+        "       acc.s + e.term) > acc.best"
+        "       THEN greatest(CAST(0 AS BIGINT), acc.s + e.term)"
+        "       ELSE acc.best END,"
+        "  'at', CASE WHEN greatest(CAST(0 AS BIGINT),"
+        "       acc.s + e.term) > acc.best"
+        "       THEN e.day ELSE acc.at END))"
+    )
+    out = (
+        df.groupBy("event_type")
+        .agg(F.expr("collect_list(struct(day, term))").alias("arr"))
+        .select(F.expr(fold).alias("r"))
+        .collect()[0]["r"]
+    )
+    assert out["best"] == best
+    assert out["at"] == at
+
+
+@_slow
+@given(data=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=10),   # event day or None
+              st.booleans()),                           # has event?
+    min_size=1, max_size=30))
+def test_km_matches_python_reference(spark, data):
+    """user_survival_km's fold must reproduce the textbook
+    Kaplan-Meier estimator computed in pure Python from the same
+    per-user (event day | censor day) outcomes. Users are synthesized
+    as single-event streams so the operator's day derivation is
+    exercised end-to-end through a parquet round-trip."""
+    import datetime
+
+    import pandas as pd
+
+    from distributed_system_mapreduce_spark.operators.relational_ext10 import (
+        user_survival_km,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    horizon = 12
+    rows = []
+    outcomes = []
+    for uid, (day, has_event) in enumerate(data):
+        rows.append({"event_id": uid * 10, "ts": base,
+                     "user_id": uid, "event_type": "view",
+                     "value": 1.0, "props": "{}"})
+        if has_event:
+            rows.append({"event_id": uid * 10 + 1,
+                         "ts": base + datetime.timedelta(days=day,
+                                                         hours=1),
+                         "user_id": uid, "event_type": "error",
+                         "value": 1.0, "props": "{}"})
+            outcomes.append((day, True))
+        else:
+            outcomes.append((None, False))
+    # one sentinel user fixes the observation end for every run
+    rows.append({"event_id": 999999, "ts": base + datetime.timedelta(
+        days=horizon), "user_id": 999999, "event_type": "view",
+        "value": 1.0, "props": "{}"})
+    outcomes.append((None, False))
+    import pathlib
+    import tempfile
+
+    # hypothesis reuses the function-scoped tmp_path across examples;
+    # allocate a fresh dir per example instead
+    sf = pathlib.Path(tempfile.mkdtemp(prefix="km_")) / "sf"
+    sf.mkdir()
+    pd.DataFrame(rows).to_parquet(sf / "events.parquet",
+                                  coerce_timestamps="us",
+                                  allow_truncated_timestamps=True)
+    got = {
+        r["day"]: (r["n_at_risk"], r["n_events"], r["survival"])
+        for r in user_survival_km(spark, str(sf)).collect()
+    }
+    # pure-python KM in RELATIVE time (days since each user's entry):
+    # regular users enter at day 0 (censor at `horizon`); the
+    # sentinel enters at the horizon itself (censor at 0)
+    pairs = [(d if ev else None, horizon)
+             for d, ev in outcomes[:-1]] + [(None, 0)]
+    n_total = len(pairs)
+    surv = 1.0
+    expected = {}
+    for t in sorted({d for d, _ in pairs if d is not None}):
+        d_t = sum(1 for d, _ in pairs if d == t)
+        n_t = n_total \
+            - sum(1 for d, _ in pairs if d is not None and d < t) \
+            - sum(1 for d, c in pairs if d is None and c < t)
+        surv = surv * ((n_t - d_t) / n_t)
+        expected[t] = (n_t, d_t, surv)
+    assert set(got) == set(expected)
+    for t, (n_t, d_t, s_t) in expected.items():
+        gn, gd, gs = got[t]
+        assert (gn, gd) == (n_t, d_t), (t, got[t], expected[t])
+        assert abs(gs - s_t) < 1e-12, (t, gs, s_t)
