@@ -200,12 +200,177 @@ WHERE n >= {ELASTICITY_MIN_N} AND n * sxx - sx * sx > 0
 """
 
 
+# -------------------------------------------------------- join_key_skew
+_SKEW_KEYS = ("l_partkey", "l_suppkey", "l_orderkey")
+
+
+def join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew census over the fact table: for each candidate
+    join key, the key cardinality, heaviest-key count, exact p99 of
+    the per-key count distribution, and the row share held by keys
+    at-or-above that p99 — the diagnostic that decides whether a join
+    needs salting (functions/skew.py) before it ships.
+
+    Shape: one column-pruned scan + partial-agg shuffle per key (the
+    per-key count table), a 1-row exact-percentile aggregate
+    (interpolation parity with quantile_cont; swap approx_percentile
+    when the KEY cardinality itself is unbounded), the p99 threshold
+    broadcast back onto the count table. Counts exact; the share is
+    one double division."""
+    li = load_table(spark, "lineitem", sf_dir)
+    outs = []
+    for k in _SKEW_KEYS:
+        counts = li.groupBy(k).agg(F.count(F.lit(1)).alias("cnt"))
+        stats = F.broadcast(counts.agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.max("cnt").cast("long").alias("max_cnt"),
+            F.expr("percentile(cnt, 0.99)").alias("p99_cnt"),
+        ))
+        outs.append(
+            counts.crossJoin(stats)
+            .groupBy("n_keys", "n_rows", "max_cnt", "p99_cnt")
+            .agg(F.sum(F.when(F.col("cnt") >= F.col("p99_cnt"),
+                              F.col("cnt")).otherwise(0))
+                 .cast("long").alias("heavy_rows"))
+            .select(
+                F.lit(k).alias("key_col"), "n_keys", "n_rows",
+                "max_cnt", "p99_cnt",
+                (F.col("heavy_rows").cast("double")
+                 / F.col("n_rows").cast("double")).alias("heavy_share"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _skew_block_sql(k: str) -> str:
+    return f"""
+  SELECT '{k}' AS key_col, n_keys, n_rows, max_cnt, p99_cnt,
+         CAST(heavy_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)
+           AS heavy_share
+  FROM (
+    SELECT MIN(n_keys) AS n_keys, MIN(n_rows) AS n_rows,
+           MIN(max_cnt) AS max_cnt, MIN(p99_cnt) AS p99_cnt,
+           CAST(SUM(CASE WHEN cnt >= p99_cnt THEN cnt ELSE 0 END)
+                AS BIGINT) AS heavy_rows
+    FROM (SELECT {k} AS key, COUNT(*) AS cnt
+          FROM lineitem GROUP BY {k}) c
+    CROSS JOIN (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+             quantile_cont(cnt, 0.99) AS p99_cnt
+      FROM (SELECT {k} AS key, COUNT(*) AS cnt
+            FROM lineitem GROUP BY {k}) s
+    ) st
+  )
+"""
+
+
+JOIN_KEY_SKEW_SQL = " UNION ALL ".join(
+    _skew_block_sql(k) for k in _SKEW_KEYS)
+
+
+# --------------------------------------------------------- revenue_gini
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of per-customer order revenue — the
+    whole Lorenz-curve inequality summary, not just a top-k share
+    (revenue_concentration reports that point estimate).
+
+    Gini needs every customer's GLOBAL revenue rank — the classic
+    "requires a total order" trap. Never a single-partition window:
+    ranks come from the partitioned prefix-sum stitch
+    (range_partition_hist discipline) — repartitionByRange on
+    (revenue, custkey), per-partition counts to O(#partitions)
+    driver state, broadcast offsets + within-partition row_number.
+    Arithmetic: revenue in exact integer cents, the rank-weighted
+    sum Σ(2i-n-1)·x_i in exact BIGINTs (fits under 2^53 through
+    sf0.1; widen to DECIMAL(38,0) + the DIV/% split beyond), ONE
+    double division at output."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, "orders", sf_dir)
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg((F.sum(F.col("o_totalprice").cast("decimal(38,2)"))
+              * 100).cast("long").alias("cents"))
+    )
+    kr = (
+        rev.repartitionByRange(32, "cents", "o_custkey")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    ptots = {
+        r["pid"]: r["n"]
+        for r in kr.groupBy("pid").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, run = [], 0
+    for pid in sorted(ptots):
+        offsets.append((pid, run))
+        run += ptots[pid]
+    off_df = spark.createDataFrame(offsets or [(0, 0)],
+                                   "pid int, off long")
+    w = Window.partitionBy("pid").orderBy("cents", "o_custkey")
+    ranked = (
+        kr.withColumn("i_in", F.row_number().over(w))
+        .join(F.broadcast(off_df), "pid")
+        .select("cents", (F.col("i_in") + F.col("off")).alias("i"))
+    )
+    n = F.lit(run).cast("long")
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum((2 * F.col("i") - n - 1) * F.col("cents"))
+        .cast("long").alias("num"),
+    )
+    return agg.select(
+        "n_customers",
+        (F.col("total_cents").cast("double") / F.lit(100.0))
+        .alias("total_revenue"),
+        (F.col("num").cast("double")
+         / (F.col("n_customers").cast("double")
+            * F.col("total_cents").cast("double"))).alias("gini"),
+    )
+
+
+REVENUE_GINI_SQL = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) * 100
+              AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i,
+         COUNT(*) OVER () AS n
+  FROM rev
+)
+SELECT CAST(MIN(n) AS BIGINT) AS n_customers,
+       CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE) / 100.0
+         AS total_revenue,
+       CAST(CAST(SUM((2 * i - n - 1) * cents) AS BIGINT)
+            AS DOUBLE)
+         / (CAST(MIN(n) AS DOUBLE)
+            * CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE)) AS gini
+FROM ranked
+"""
+
+
 QUERIES = {
     "events_cusum": events_cusum,
     "discount_qty_elasticity": discount_qty_elasticity,
+    "join_key_skew": join_key_skew,
+    "revenue_gini": revenue_gini,
 }
 
 ORACLES = {
     "events_cusum": EVENTS_CUSUM_SQL,
     "discount_qty_elasticity": DISCOUNT_QTY_ELASTICITY_SQL,
+    "join_key_skew": JOIN_KEY_SKEW_SQL,
+    "revenue_gini": REVENUE_GINI_SQL,
 }

@@ -139,6 +139,7 @@ _PRIORITY = [
     "tokenizer_oov_rate", "hard_negative_mining",
     "embedding_margin", "session_lengths", "returns_mix_shift",
     "user_survival_km", "events_cusum", "discount_qty_elasticity",
+    "join_key_skew", "revenue_gini",
     # multimodal decode family: stub kernel is deterministic md5
     # arithmetic, so the Arrow stage is oracle-checked end-to-end
     "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
