@@ -42,6 +42,7 @@ from distributed_system_mapreduce_spark.operators import (
     relational_ext9,
     relational_ext10,
     relational_ext11,
+    relational_ext12,
     similarity,
     text_analysis,
 )
@@ -50,6 +51,7 @@ _MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
             relational_ext3, relational_ext4, relational_ext5,
             relational_ext6, relational_ext7, relational_ext8,
             relational_ext9, relational_ext10, relational_ext11,
+            relational_ext12,
             engine_queries, text_analysis, curation, curation2, curation3,
             curation4, curation5, curation6,
             dedup,
@@ -139,7 +141,7 @@ _PRIORITY = [
     "tokenizer_oov_rate", "hard_negative_mining",
     "embedding_margin", "session_lengths", "returns_mix_shift",
     "user_survival_km", "events_cusum", "discount_qty_elasticity",
-    "join_key_skew", "revenue_gini",
+    "join_key_skew", "revenue_gini", "events_holt_forecast",
     # multimodal decode family: stub kernel is deterministic md5
     # arithmetic, so the Arrow stage is oracle-checked end-to-end
     "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
