@@ -80,6 +80,7 @@ class _LocalIO:
             return f.read()
 
     def write_text(self, p: str, content: str) -> None:
+        os.makedirs(os.path.dirname(p), exist_ok=True)
         with open(p, "w") as f:
             f.write(content)
 
@@ -531,3 +532,131 @@ class FileStore:
         for b in touched:
             if b not in out_buckets:
                 self._io.delete(f"{p}/{self._MERGE_BUCKET}={b}")
+
+    # --------------------------------------- snapshots / time travel
+    # Iceberg/Delta-style versioned datasets built on two invariants:
+    # data files are IMMUTABLE once written (every snapshot writes a
+    # fresh directory), and a version exists iff its manifest file
+    # exists (the manifest publish, a write-then-rename, is the
+    # commit point). A crash before publish leaves an orphan data
+    # dir — invisible to readers, reclaimed by vacuum(); nothing a
+    # reader can observe is ever half-written. The reference has no
+    # versioning at all (re-`put` replaces an SDFS file in place,
+    # PutFile file_system.go:825); this is the capability a Spark
+    # lakehouse deployment would expect in its stead.
+
+    def _vdir(self, name: str) -> str:
+        return self._path(name) + "/_versions"
+
+    def _snapshot_versions(self, name: str) -> list[int]:
+        vd = self._vdir(name)
+        if not self._io.exists(vd):
+            return []
+        out = []
+        for f in self._io.ls_files(vd):
+            base = f.rsplit("/", 1)[-1]
+            if base.startswith("v") and base.endswith(".json"):
+                out.append(int(base[1:-5]))
+        return sorted(out)
+
+    def versions(self, name: str) -> list[int]:
+        """Committed snapshot versions, oldest first."""
+        return self._snapshot_versions(name)
+
+    def _read_manifest(self, name: str, version: int) -> dict:
+        import json
+
+        return json.loads(self._io.read_text(
+            f"{self._vdir(name)}/v{version}.json"))
+
+    def _publish(self, name: str, version: int, files: list[str],
+                 parent: int | None) -> None:
+        import json
+
+        vd = self._vdir(name)
+        body = json.dumps({"version": version, "files": files,
+                           "parent": parent})
+        tmp = f"{vd}/.v{version}.json.tmp"
+        self._io.write_text(tmp, body)
+        self._io.rename(tmp, f"{vd}/v{version}.json")
+
+    def _write_data_dir(self, df: DataFrame, name: str,
+                        version: int) -> list[str]:
+        import uuid
+
+        d = f"{self._path(name)}/data/v{version:06d}-{uuid.uuid4().hex[:8]}"
+        df.write.format("parquet").mode("overwrite").save(d)
+        return [f for f in self._io.ls_files(d)
+                if f.endswith(".parquet")]
+
+    def write_snapshot(self, df: DataFrame, name: str) -> int:
+        """Commit `df` as a NEW full version of the dataset (the
+        previous version stays readable — overwrite semantics with
+        history). Returns the committed version number."""
+        vs = self._snapshot_versions(name)
+        v = (vs[-1] + 1) if vs else 1
+        files = self._write_data_dir(df, name, v)
+        self._publish(name, v, files, vs[-1] if vs else None)
+        return v
+
+    def append_snapshot(self, df: DataFrame, name: str) -> int:
+        """Commit `df` as a new version consisting of the previous
+        version's files PLUS the new rows — append with history, no
+        data rewritten or copied."""
+        vs = self._snapshot_versions(name)
+        if not vs:
+            return self.write_snapshot(df, name)
+        v = vs[-1] + 1
+        prev = self._read_manifest(name, vs[-1])["files"]
+        files = self._write_data_dir(df, name, v)
+        self._publish(name, v, prev + files, vs[-1])
+        return v
+
+    def read_snapshot(self, name: str,
+                      version: int | None = None) -> DataFrame:
+        """Read a committed version (default: latest) — time travel
+        is just planning the scan over that version's file list."""
+        vs = self._snapshot_versions(name)
+        if not vs:
+            raise FileNotFoundError(f"no snapshots for {name!r}")
+        v = vs[-1] if version is None else version
+        if v not in vs:
+            raise FileNotFoundError(f"{name!r} has no version {v}")
+        files = self._read_manifest(name, v)["files"]
+        if not files:
+            raise FileNotFoundError(f"{name!r} v{v} is empty")
+        return self.spark.read.parquet(*files)
+
+    def restore_snapshot(self, name: str, version: int) -> int:
+        """Roll back: commit a NEW version whose file list is the old
+        version's — no data moves, history is preserved (the
+        Iceberg rollback model, not a destructive reset)."""
+        vs = self._snapshot_versions(name)
+        if version not in vs:
+            raise FileNotFoundError(f"{name!r} has no version {version}")
+        v = vs[-1] + 1
+        files = self._read_manifest(name, version)["files"]
+        self._publish(name, v, files, vs[-1])
+        return v
+
+    def vacuum_snapshots(self, name: str, keep_last: int = 1) -> int:
+        """Expire history: keep the newest `keep_last` manifests,
+        delete older manifests and every data file no kept version
+        references (orphan dirs from pre-publish crashes included).
+        Returns the number of files deleted."""
+        vs = self._snapshot_versions(name)
+        keep = set(vs[-keep_last:]) if vs else set()
+        live: set[str] = set()
+        for v in keep:
+            live.update(self._read_manifest(name, v)["files"])
+        deleted = 0
+        droot = self._path(name) + "/data"
+        if self._io.exists(droot):
+            for f in self._io.ls_files(droot):
+                if f.endswith(".parquet") and f not in live:
+                    self._io.delete(f)
+                    deleted += 1
+        for v in vs:
+            if v not in keep:
+                self._io.delete(f"{self._vdir(name)}/v{v}.json")
+        return deleted

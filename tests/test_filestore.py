@@ -381,3 +381,72 @@ def test_compact_recovers_from_crashed_swap(fs, spark):
     assert n == 1
     after = {(r["id"], r["v"]) for r in fs.read("feed2").collect()}
     assert after == before
+
+
+def test_snapshot_time_travel_and_rollback(spark, tmp_path):
+    """write_snapshot/append_snapshot commit immutable versions: old
+    versions stay readable byte-for-byte after later writes, restore
+    publishes a NEW version pointing at old files (no data copied),
+    and an uncommitted (orphan) data dir is invisible to readers."""
+    from distributed_system_mapreduce_spark.sources.filestore import (
+        FileStore,
+    )
+
+    fs = FileStore(spark, str(tmp_path / "snaproot"))
+    df1 = spark.range(0, 10).withColumnRenamed("id", "k")
+    df2 = spark.range(10, 15).withColumnRenamed("id", "k")
+    v1 = fs.write_snapshot(df1, "ds")
+    v2 = fs.append_snapshot(df2, "ds")
+    assert fs.versions("ds") == [1, 2] == [v1, v2]
+    assert sorted(r["k"] for r in fs.read_snapshot("ds", 1).collect()) \
+        == list(range(10))
+    assert sorted(r["k"] for r in fs.read_snapshot("ds").collect()) \
+        == list(range(15))
+    # full overwrite as v3; v1/v2 still read the old data
+    v3 = fs.write_snapshot(df2, "ds")
+    assert sorted(r["k"] for r in fs.read_snapshot("ds").collect()) \
+        == list(range(10, 15))
+    assert sorted(r["k"] for r in fs.read_snapshot("ds", 2).collect()) \
+        == list(range(15))
+    # rollback to v2: new version, same files, history intact
+    v4 = fs.restore_snapshot("ds", 2)
+    assert v4 == 4 and fs.versions("ds") == [1, 2, 3, 4]
+    assert sorted(r["k"] for r in fs.read_snapshot("ds").collect()) \
+        == list(range(15))
+    # an orphan data dir (crash before manifest publish) is invisible
+    orphan = fs._write_data_dir(
+        spark.range(100, 200).withColumnRenamed("id", "k"), "ds", 99)
+    assert len(orphan) > 0
+    assert sorted(r["k"] for r in fs.read_snapshot("ds").collect()) \
+        == list(range(15))
+
+
+def test_snapshot_vacuum_reclaims_unreferenced_files(spark, tmp_path):
+    """vacuum keeps the newest N versions readable, deletes older
+    manifests, and reclaims every data file (orphans included) that
+    no kept version references."""
+    from distributed_system_mapreduce_spark.sources.filestore import (
+        FileStore,
+    )
+
+    fs = FileStore(spark, str(tmp_path / "vacroot"))
+    fs.write_snapshot(spark.range(0, 5).withColumnRenamed("id", "k"),
+                      "ds")
+    fs.write_snapshot(spark.range(5, 9).withColumnRenamed("id", "k"),
+                      "ds")
+    fs.append_snapshot(spark.range(9, 12).withColumnRenamed("id", "k"),
+                       "ds")
+    fs._write_data_dir(  # orphan from a simulated pre-publish crash
+        spark.range(50, 60).withColumnRenamed("id", "k"), "ds", 99)
+    deleted = fs.vacuum_snapshots("ds", keep_last=2)
+    # v1's files + the orphan go; v2 (shared with v3) and v3 stay
+    assert deleted > 0
+    assert fs.versions("ds") == [2, 3]
+    assert sorted(r["k"] for r in fs.read_snapshot("ds", 2).collect()) \
+        == list(range(5, 9))
+    assert sorted(r["k"] for r in fs.read_snapshot("ds").collect()) \
+        == list(range(5, 12))
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        fs.read_snapshot("ds", 1)
