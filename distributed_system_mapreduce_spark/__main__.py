@@ -45,6 +45,10 @@ _HELP = """commands (reference CLI parity, run_server.go:328):
   explain <name> [sf_dir]       show a query's physical plan
   sql <statement> [sf_dir]      run ad-hoc SQL over the table views
   queries                       list registered queries
+  snapshot versions <name>      list committed snapshot versions
+  snapshot read <name> [v]      show a version (default latest)
+  snapshot restore <name> <v>   roll back (publishes a new version)
+  snapshot vacuum <name> [keep] expire history, reclaim dead files
   id | members | join | leave | gossip | all-to-all
                                 delegated to the cluster platform
   help                          this text
@@ -188,6 +192,24 @@ def _dispatch(spark, args: list[str]) -> int:
 
         for n in registry.QUERIES:
             print(n)
+    elif verb == "snapshot" and rest:
+        sub, srest = rest[0], rest[1:]
+        if sub == "versions" and len(srest) == 1:
+            for v in store.versions(srest[0]):
+                print(v)
+        elif sub == "read" and len(srest) in (1, 2):
+            v = int(srest[1]) if len(srest) == 2 else None
+            store.read_snapshot(srest[0], v).show(50, truncate=False)
+        elif sub == "restore" and len(srest) == 2:
+            v = store.restore_snapshot(srest[0], int(srest[1]))
+            print(f"restored {srest[0]} to v{srest[1]} as v{v}")
+        elif sub == "vacuum" and len(srest) in (1, 2):
+            keep = int(srest[1]) if len(srest) == 2 else 1
+            n = store.vacuum_snapshots(srest[0], keep_last=keep)
+            print(f"vacuumed {n} files from {srest[0]}")
+        else:
+            print(_HELP)
+            return 2
     else:
         print(_HELP)
         return 2

@@ -97,3 +97,25 @@ def test_sql_verb_over_views(spark, store_root, capsys):
         "sql", "SELECT count(*) AS n FROM documents", SF_DIR]) == 0
     out = capsys.readouterr().out
     assert "500" in out
+
+
+def test_snapshot_verbs(spark, store_root, capsys):
+    """snapshot versions/read/restore/vacuum drive the FileStore
+    versioning API through the CLI dispatch."""
+    from distributed_system_mapreduce_spark.__main__ import _store
+
+    st = _store(spark)
+    st.write_snapshot(
+        spark.range(0, 3).withColumnRenamed("id", "k"), "ds")
+    st.write_snapshot(
+        spark.range(3, 5).withColumnRenamed("id", "k"), "ds")
+    assert run_command(spark, ["snapshot", "versions", "ds"]) == 0
+    assert capsys.readouterr().out.split() == ["1", "2"]
+    assert run_command(spark, ["snapshot", "read", "ds", "1"]) == 0
+    assert "0" in capsys.readouterr().out
+    assert run_command(spark, ["snapshot", "restore", "ds", "1"]) == 0
+    assert "as v3" in capsys.readouterr().out
+    assert run_command(spark, ["snapshot", "vacuum", "ds", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "vacuumed" in out
+    assert run_command(spark, ["snapshot", "bogus"]) == 2
