@@ -43,6 +43,7 @@ from distributed_system_mapreduce_spark.operators import (
     relational_ext10,
     relational_ext11,
     relational_ext12,
+    relational_ext13,
     similarity,
     text_analysis,
 )
@@ -51,7 +52,7 @@ _MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
             relational_ext3, relational_ext4, relational_ext5,
             relational_ext6, relational_ext7, relational_ext8,
             relational_ext9, relational_ext10, relational_ext11,
-            relational_ext12,
+            relational_ext12, relational_ext13,
             engine_queries, text_analysis, curation, curation2, curation3,
             curation4, curation5, curation6,
             dedup,
@@ -142,6 +143,7 @@ _PRIORITY = [
     "embedding_margin", "session_lengths", "returns_mix_shift",
     "user_survival_km", "events_cusum", "discount_qty_elasticity",
     "join_key_skew", "revenue_gini", "events_holt_forecast",
+    "events_daily_quantiles", "graph_bfs_reach",
     # multimodal decode family: stub kernel is deterministic md5
     # arithmetic, so the Arrow stage is oracle-checked end-to-end
     "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
