@@ -570,15 +570,24 @@ class FileStore:
             f"{self._vdir(name)}/v{version}.json"))
 
     def _publish(self, name: str, version: int, files: list[str],
-                 parent: int | None) -> None:
+                 parent: int | None, tag: str | None = None) -> None:
         import json
 
         vd = self._vdir(name)
         body = json.dumps({"version": version, "files": files,
-                           "parent": parent})
+                           "parent": parent, "tag": tag})
         tmp = f"{vd}/.v{version}.json.tmp"
         self._io.write_text(tmp, body)
         self._io.rename(tmp, f"{vd}/v{version}.json")
+
+    def snapshot_tags(self, name: str) -> set[str]:
+        """Tags of every committed version — the idempotence ledger a
+        replaying writer (e.g. a streaming micro-batch sink) checks
+        before committing its unit of work again."""
+        return {
+            t for v in self._snapshot_versions(name)
+            if (t := self._read_manifest(name, v).get("tag")) is not None
+        }
 
     def _write_data_dir(self, df: DataFrame, name: str,
                         version: int) -> list[str]:
@@ -589,27 +598,29 @@ class FileStore:
         return [f for f in self._io.ls_files(d)
                 if f.endswith(".parquet")]
 
-    def write_snapshot(self, df: DataFrame, name: str) -> int:
+    def write_snapshot(self, df: DataFrame, name: str,
+                       tag: str | None = None) -> int:
         """Commit `df` as a NEW full version of the dataset (the
         previous version stays readable — overwrite semantics with
         history). Returns the committed version number."""
         vs = self._snapshot_versions(name)
         v = (vs[-1] + 1) if vs else 1
         files = self._write_data_dir(df, name, v)
-        self._publish(name, v, files, vs[-1] if vs else None)
+        self._publish(name, v, files, vs[-1] if vs else None, tag)
         return v
 
-    def append_snapshot(self, df: DataFrame, name: str) -> int:
+    def append_snapshot(self, df: DataFrame, name: str,
+                        tag: str | None = None) -> int:
         """Commit `df` as a new version consisting of the previous
         version's files PLUS the new rows — append with history, no
         data rewritten or copied."""
         vs = self._snapshot_versions(name)
         if not vs:
-            return self.write_snapshot(df, name)
+            return self.write_snapshot(df, name, tag)
         v = vs[-1] + 1
         prev = self._read_manifest(name, vs[-1])["files"]
         files = self._write_data_dir(df, name, v)
-        self._publish(name, v, prev + files, vs[-1])
+        self._publish(name, v, prev + files, vs[-1], tag)
         return v
 
     def read_snapshot(self, name: str,

@@ -773,6 +773,26 @@ def view_purchase_left_join_stream(events: DataFrame,
     )
 
 
+def snapshot_sink_stream(df: DataFrame, fs, name: str,
+                         checkpoint_dir: str) -> Any:
+    """Stream into the VERSIONED store: every micro-batch commits as
+    an append_snapshot tagged with its batch id, so each batch is one
+    immutable, time-travelable version and a crash-replayed batch is
+    detected by its tag and skipped BEFORE any data is written —
+    exactly-once at the version level, on top of the checkpoint's
+    at-least-once replay. Readers time-travel the ingest history
+    (read_snapshot(v)) or follow the latest version, and vacuum
+    expires it; this is the streaming half of the snapshot store the
+    same way rollup_stream_to_filestore is for the keyed store."""
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        tag = f"batch-{batch_id}"
+        if tag in fs.snapshot_tags(name):
+            return
+        fs.append_snapshot(batch_df, name, tag=tag)
+
+    return _run_foreach_batch(df, _sink, checkpoint_dir)
+
+
 def attribution_counts_stream(events: DataFrame,
                               watermark: str = "2 days",
                               lookback_hours: int = 24) -> DataFrame:

@@ -858,3 +858,59 @@ def test_attribution_counts_stream_chained_stateful(spark):
         assert finalized.items() <= got.items()
     finally:
         q.stop()
+
+
+def test_snapshot_sink_stream_versions_are_exactly_once(spark, tmp_path):
+    """Each micro-batch commits as one tagged snapshot version;
+    draining the same source again over the same checkpoint adds
+    nothing; a replayed committed batch is skipped by its tag; a
+    crash-before-publish replay (orphan data dir already on disk)
+    commits exactly one new version and the orphan stays invisible."""
+    import pandas as pd
+
+    from distributed_system_mapreduce_spark.sources.filestore import (
+        FileStore,
+    )
+    from distributed_system_mapreduce_spark.streaming.jobs import (
+        snapshot_sink_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        pd.DataFrame({"k": list(range(i * 10, i * 10 + 5))}).to_parquet(
+            src / f"f{i}.parquet")
+    fs = FileStore(spark, str(tmp_path / "store"))
+    stream = (
+        spark.readStream.schema("k long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    ckpt = str(tmp_path / "ckpt")
+    snapshot_sink_stream(stream, fs, "ingest", ckpt)
+    vs = fs.versions("ingest")
+    assert len(vs) == 3
+    got = sorted(r["k"] for r in fs.read_snapshot("ingest").collect())
+    assert len(got) == 15
+    # earlier versions are strict prefixes of the ingest history
+    assert len(fs.read_snapshot("ingest", vs[0]).collect()) == 5
+    # re-drain over the same checkpoint: nothing new
+    stream2 = (
+        spark.readStream.schema("k long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    snapshot_sink_stream(stream2, fs, "ingest", ckpt)
+    assert fs.versions("ingest") == vs
+    # the committed batches are all tagged (the sink's replay guard)
+    bdf = spark.range(0, 5).withColumnRenamed("id", "k")
+    assert {"batch-0", "batch-1", "batch-2"} <= fs.snapshot_tags("ingest")
+    before = fs.versions("ingest")
+    # crash-before-publish replay: orphan dir exists, tag absent ->
+    # exactly one new version; orphan rows never appear
+    fs._write_data_dir(spark.range(900, 950).withColumnRenamed(
+        "id", "k"), "ingest", 77)
+    fs.append_snapshot(bdf, "ingest", tag="batch-99")
+    assert len(fs.versions("ingest")) == len(before) + 1
+    got2 = sorted(r["k"] for r in fs.read_snapshot("ingest").collect())
+    assert len(got2) == 20 and 900 not in got2
