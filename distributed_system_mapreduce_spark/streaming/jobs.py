@@ -773,6 +773,73 @@ def view_purchase_left_join_stream(events: DataFrame,
     )
 
 
+_KMV_OUT = ("source string, n_kept long, kth_hash long, "
+            "est_distinct double")
+_KMV_STATE = "hs array<string>"
+
+
+def _kmv_fn(key, pdfs, state):
+    """Per-source bottom-K merge: state holds at most K '(h13hex)|s'
+    strings (lexicographic order on the fixed-width hex prefix IS
+    numeric order on h, with the shingle as tie-break — the batch
+    operator's (h, s) order); each micro-batch's distinct shingles
+    hash with the SAME md5-prefix construction and the union re-takes
+    the K smallest. Emits the sketch estimate after every batch
+    (update-style output in an append query: one row per source per
+    batch it appears in)."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    from distributed_system_mapreduce_spark.operators.probabilistic import (
+        KMV_K,
+        _POW52,
+    )
+
+    cur = set(state.get[0]) if state.exists else set()
+    ws = re.compile(r"[ \t\n\r\f\v]+")
+    for pdf in pdfs:
+        for text in pdf["text"]:
+            toks = [t for t in ws.split(text or "") if t]
+            for i in range(len(toks) - 1):
+                s = f"{toks[i]} {toks[i + 1]}"
+                h = hashlib.md5(s.encode()).hexdigest()[:13]
+                cur.add(f"{h}|{s}")
+    kept = sorted(cur)[:KMV_K]
+    state.update((kept,))
+    if not kept:
+        return
+    kth = int(kept[-1].split("|", 1)[0], 16)
+    n = len(kept)
+    est = float(n) if n < KMV_K else (KMV_K - 1) / (kth / _POW52)
+    yield pd.DataFrame({
+        "source": [key[0]], "n_kept": [n], "kth_hash": [kth],
+        "est_distinct": [est],
+    })
+
+
+def kmv_distinct_stream(docs: DataFrame) -> DataFrame:
+    """Streaming KMV cardinality: the bottom-K sketch as STREAMING
+    STATE — each source's K smallest shingle hashes persist across
+    micro-batches (bounded: K strings per source, the mergeable-
+    summary property that makes sketches the right streaming state),
+    and every batch emits the refreshed estimate. After draining a
+    corpus the final per-source row equals the batch kmv_distinct
+    sketch EXACTLY (same hash set, same kth hash, same estimate) —
+    not just approximately; proven in tests/test_streaming.py."""
+    return (
+        docs.groupBy("source")
+        .applyInPandasWithState(
+            _kmv_fn,
+            outputStructType=_KMV_OUT,
+            stateStructType=_KMV_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def snapshot_sink_stream(df: DataFrame, fs, name: str,
                          checkpoint_dir: str) -> Any:
     """Stream into the VERSIONED store: every micro-batch commits as

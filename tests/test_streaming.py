@@ -914,3 +914,53 @@ def test_snapshot_sink_stream_versions_are_exactly_once(spark, tmp_path):
     assert len(fs.versions("ingest")) == len(before) + 1
     got2 = sorted(r["k"] for r in fs.read_snapshot("ingest").collect())
     assert len(got2) == 20 and 900 not in got2
+
+
+def test_kmv_stream_state_equals_batch_sketch(spark, tmp_path):
+    """The streaming bottom-K state, drained over the whole corpus in
+    3 micro-batches, must equal the batch kmv_distinct sketch EXACTLY
+    per source — same kept count, same kth hash, same estimate (the
+    mergeable-summary property, not an approximation). The final row
+    per source is selected by monotonicity: n_kept only grows, and
+    once saturated the kth hash only shrinks."""
+    from pyspark.sql import functions as F
+
+    from distributed_system_mapreduce_spark.operators.probabilistic import (
+        kmv_distinct,
+    )
+    from distributed_system_mapreduce_spark.streaming.jobs import (
+        kmv_distinct_stream,
+    )
+    from distributed_system_mapreduce_spark.tables import load_table
+
+    docs = load_table(spark, "documents", SF_DIR).select(
+        "doc_id", "text", "source")
+    docs.repartition(3).write.mode("overwrite").parquet(
+        str(tmp_path / "din"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "din"))
+    )
+    q = run_stream_to_memory(
+        kmv_distinct_stream(stream), "kmv_stream",
+        output_mode="append")
+    try:
+        rows = spark.table("kmv_stream").collect()
+        final = {}
+        for r in rows:
+            cur = final.get(r["source"])
+            if (cur is None or r["n_kept"] > cur["n_kept"]
+                    or (r["n_kept"] == cur["n_kept"]
+                        and r["kth_hash"] < cur["kth_hash"])):
+                final[r["source"]] = r
+        want = {r["source"]: r for r in kmv_distinct(
+            spark, SF_DIR).collect()}
+        assert set(final) == set(want)
+        for src, w in want.items():
+            g = final[src]
+            assert g["n_kept"] == w["n_kept"], src
+            assert g["kth_hash"] == w["kth_hash"], src
+            assert g["est_distinct"] == w["est_distinct"], src
+    finally:
+        q.stop()
