@@ -1,0 +1,200 @@
+"""Relational wave 18: association rules and experiment analysis.
+
+- assoc_rules   : market-basket association rules (support,
+                  confidence both directions, lift) over co-ordered
+                  part pairs — basket_pairs' reporting sibling with
+                  the full rule statistics.
+- ab_test_zstat : two-proportion z-test for a hash-split A/B
+                  experiment on user conversion — the experiment
+                  readout computed exactly from four integers.
+
+Reference parity: SURVEY §2.C extensions (maple+juice pairs in the
+reference's model, /root/reference/maple_juice/maple_juice.go:376).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_system_mapreduce_spark.tables import load_table
+
+MIN_SUPPORT = 2
+
+
+# ------------------------------------------------------------ assoc_rules
+def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over co-ordered parts: for every pair with
+    support >= MIN_SUPPORT, the support count, P(b|a), P(a|b), and
+    lift — the full rule statistics a recommender shortlist needs
+    beyond basket_pairs' raw co-occurrence top-k.
+
+    Shape: pair generation is the basket_pairs self-join (fan-out
+    bounded by lines-per-order, linear in orders); per-item basket
+    counts join back on the part keys (shuffle equi-joins); the
+    basket total is a broadcast 1-row aggregate. All counts exact;
+    confidences and lift are fixed-order double divisions."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey").distinct()
+    n_baskets = F.broadcast(
+        li.agg(F.countDistinct("l_orderkey").cast("long").alias("nb")))
+    item = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("part_a"),
+                 F.col("b.l_partkey").alias("part_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= MIN_SUPPORT)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"),
+                     F.col("cnt").alias("cnt_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"),
+                     F.col("cnt").alias("cnt_b"))
+    return (
+        pairs.join(ia, "part_a").join(ib, "part_b")
+        .crossJoin(n_baskets)
+        .select(
+            "part_a", "part_b", "support", "cnt_a", "cnt_b",
+            (F.col("support").cast("double")
+             / F.col("cnt_a").cast("double")).alias("conf_a_to_b"),
+            (F.col("support").cast("double")
+             / F.col("cnt_b").cast("double")).alias("conf_b_to_a"),
+            ((F.col("support").cast("double")
+              * F.col("nb").cast("double"))
+             / (F.col("cnt_a").cast("double")
+                * F.col("cnt_b").cast("double"))).alias("lift"),
+        )
+    )
+
+
+ASSOC_RULES_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nb FROM li),
+item AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM li GROUP BY l_partkey
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {MIN_SUPPORT}
+)
+SELECT part_a, part_b, support,
+       ia.cnt AS cnt_a, ib.cnt AS cnt_b,
+       CAST(support AS DOUBLE) / CAST(ia.cnt AS DOUBLE)
+         AS conf_a_to_b,
+       CAST(support AS DOUBLE) / CAST(ib.cnt AS DOUBLE)
+         AS conf_b_to_a,
+       (CAST(support AS DOUBLE) * CAST(nb AS DOUBLE))
+         / (CAST(ia.cnt AS DOUBLE) * CAST(ib.cnt AS DOUBLE)) AS lift
+FROM pairs
+JOIN item ia ON pairs.part_a = ia.l_partkey
+JOIN item ib ON pairs.part_b = ib.l_partkey
+CROSS JOIN nb
+"""
+
+
+# ---------------------------------------------------------- ab_test_zstat
+def ab_test_zstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for a deterministic hash-split A/B
+    experiment: users whose md5 leads below '8' are arm A, the rest
+    arm B; the outcome is conversion (any purchase event). Reports
+    the four exact counts, both rates, and the pooled z statistic —
+    the experiment readout, reproducible because the assignment is a
+    pure hash of the user id (the train_val_split wall discipline,
+    salted 'ab:' so it is independent of every other hash decision).
+
+    Shape: one per-user partial agg, then a 1-row census; the z is
+    ONE fixed-order double expression over exact integers (IEEE
+    sqrt)."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(F.max((F.col("event_type") == "purchase").cast("long"))
+             .alias("converted"))
+        .select(
+            (F.substring(F.md5(F.concat(F.lit("ab:"),
+                                        F.col("user_id").cast("string"))),
+                         1, 1) < "8").alias("arm_a"),
+            "converted",
+        )
+    )
+    na = F.sum(F.col("arm_a").cast("long"))
+    xa = F.sum(F.when(F.col("arm_a"), F.col("converted")).otherwise(0))
+    nb = F.sum((~F.col("arm_a")).cast("long"))
+    xb = F.sum(F.when(~F.col("arm_a"), F.col("converted")).otherwise(0))
+    agg = per_user.agg(
+        na.cast("long").alias("n_a"), xa.cast("long").alias("x_a"),
+        nb.cast("long").alias("n_b"), xb.cast("long").alias("x_b"))
+    pa = F.col("x_a").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("x_b").cast("double") / F.col("n_b").cast("double")
+    pool = ((F.col("x_a") + F.col("x_b")).cast("double")
+            / (F.col("n_a") + F.col("n_b")).cast("double"))
+    se = F.sqrt(pool * (F.lit(1.0) - pool)
+                * (F.lit(1.0) / F.col("n_a").cast("double")
+                   + F.lit(1.0) / F.col("n_b").cast("double")))
+    return agg.select(
+        "n_a", "x_a", "n_b", "x_b",
+        pa.alias("rate_a"), pb.alias("rate_b"),
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0) & (se > 0),
+               (pa - pb) / se).alias("z"),
+    )
+
+
+AB_TEST_ZSTAT_SQL = """
+WITH per_user AS (
+  SELECT substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+           AS arm_a,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY user_id
+),
+agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN arm_a THEN converted ELSE 0 END) AS BIGINT)
+      AS x_a,
+    CAST(SUM(CASE WHEN arm_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN arm_a THEN 0 ELSE converted END) AS BIGINT)
+      AS x_b
+  FROM per_user
+)
+SELECT n_a, x_a, n_b, x_b,
+       CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+       CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+       CASE WHEN n_a > 0 AND n_b > 0 AND
+                 sqrt((CAST(x_a + x_b AS DOUBLE)
+                       / CAST(n_a + n_b AS DOUBLE))
+                      * (1.0 - CAST(x_a + x_b AS DOUBLE)
+                               / CAST(n_a + n_b AS DOUBLE))
+                      * (1.0 / CAST(n_a AS DOUBLE)
+                         + 1.0 / CAST(n_b AS DOUBLE))) > 0
+       THEN (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+             - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+            / sqrt((CAST(x_a + x_b AS DOUBLE)
+                    / CAST(n_a + n_b AS DOUBLE))
+                   * (1.0 - CAST(x_a + x_b AS DOUBLE)
+                            / CAST(n_a + n_b AS DOUBLE))
+                   * (1.0 / CAST(n_a AS DOUBLE)
+                      + 1.0 / CAST(n_b AS DOUBLE)))
+       END AS z
+FROM agg
+"""
+
+
+QUERIES = {
+    "assoc_rules": assoc_rules,
+    "ab_test_zstat": ab_test_zstat,
+}
+
+ORACLES = {
+    "assoc_rules": ASSOC_RULES_SQL,
+    "ab_test_zstat": AB_TEST_ZSTAT_SQL,
+}
