@@ -69,23 +69,12 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-round unrolled BFS, state is the (node, dist) table, no
     driver-side iteration state beyond the loop counter. The oracle
     is an independent recursive-CTE shortest-path formulation."""
-    li = load_table(spark, "lineitem", sf_dir).select(
-        "l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
-    und = (
-        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-        .groupBy(F.col("a.l_partkey").alias("u"),
-                 F.col("b.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .where(F.col("w") >= BFS_SUPPORT)
+    from distributed_system_mapreduce_spark.functions.graphs import (
+        strong_edges,
     )
-    edges = (
-        und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-        .unionByName(und.select(F.col("v").alias("src"),
-                                F.col("u").alias("dst")))
-        .localCheckpoint()
-    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = strong_edges(li, BFS_SUPPORT).localCheckpoint()
     seed = edges.agg(F.min("src").alias("node")).withColumn(
         "dist", F.lit(0).cast("long"))
     dist = seed

@@ -40,13 +40,15 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.agg(F.countDistinct("l_orderkey").cast("long").alias("nb")))
     item = li.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("long").alias("cnt"))
-    a, b = li.alias("a"), li.alias("b")
+    from distributed_system_mapreduce_spark.functions.graphs import (
+        copair_counts,
+    )
+
     pairs = (
-        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-        .groupBy(F.col("a.l_partkey").alias("part_a"),
-                 F.col("b.l_partkey").alias("part_b"))
-        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        copair_counts(li)
+        .select(F.col("u").alias("part_a"),
+                F.col("v").alias("part_b"),
+                F.col("w").cast("long").alias("support"))
         .filter(F.col("support") >= MIN_SUPPORT)
     )
     ia = item.select(F.col("l_partkey").alias("part_a"),

@@ -267,17 +267,16 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     TPC-H order cap, i.e. LINEAR in orders, never corpus x corpus.
     One equi-join shuffle + one partial-agg shuffle + TakeOrdered
     top-k with a full tie-break."""
-    li = load_table(spark, "lineitem", sf_dir).select(
-        "l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
+    from distributed_system_mapreduce_spark.functions.graphs import (
+        copair_counts,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
     return (
-        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count("*").alias("n_orders"))
+        copair_counts(li)
+        .select(F.col("u").alias("part_a"),
+                F.col("v").alias("part_b"),
+                F.col("w").alias("n_orders"))
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(20)
     )

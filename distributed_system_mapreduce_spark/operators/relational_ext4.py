@@ -147,16 +147,15 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SDFS intermediates (/root/reference/maple_juice/maple_juice.go:241
     exe contract); here the "intermediates" are Catalyst exchanges.
     """
-    li = load_table(spark, "lineitem", sf_dir).select(
-        "l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-               & (F.col("a.l_partkey") != F.col("b.l_partkey")))
-        .select(F.col("a.l_partkey").alias("src"),
-                F.col("b.l_partkey").alias("dst"))
-        .distinct()
+    from distributed_system_mapreduce_spark.functions.graphs import (
+        strong_edges,
     )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    # support 1 = every co-purchase pair, both directions (the
+    # in-array pair expansion replaces the order-key self-join —
+    # functions/graphs.py, measured ~2.8x on the edge build)
+    edges = strong_edges(li, 1)
     # fold the degree in via a src-partitioned window (one shuffle, no
     # join) and checkpoint ONCE: each round then needs one equi-join +
     # one partial agg against this single materialized table
@@ -240,16 +239,13 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     out-degree by sqrt(2m)) — same join plan, different edge
     direction rule.
     """
-    li = load_table(spark, "lineitem", sf_dir).select(
-        "l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
+    from distributed_system_mapreduce_spark.functions.graphs import (
+        strong_undirected,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
     edges = (
-        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-        .groupBy(F.col("a.l_partkey").alias("u"),
-                 F.col("b.l_partkey").alias("v"))
-        .agg(F.count("*").alias("w"))
-        .where(F.col("w") >= _TRI_SUPPORT)
+        strong_undirected(li, _TRI_SUPPORT)
         .select("u", "v")
         .localCheckpoint()
     )

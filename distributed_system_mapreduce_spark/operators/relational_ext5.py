@@ -145,18 +145,12 @@ def graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles (degree per node, nodes per degree). Output is bounded by
     the max degree.
     """.format(s=_DEG_SUPPORT)
-    li = load_table(spark, "lineitem", sf_dir).select(
-        "l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-        .groupBy(F.col("a.l_partkey").alias("u"),
-                 F.col("b.l_partkey").alias("v"))
-        .agg(F.count("*").alias("w"))
-        .where(F.col("w") >= _DEG_SUPPORT)
-        .select("u", "v")
+    from distributed_system_mapreduce_spark.functions.graphs import (
+        strong_undirected,
     )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = strong_undirected(li, _DEG_SUPPORT).select("u", "v")
     sym = edges.union(edges.select(F.col("v"), F.col("u")))
     deg = sym.groupBy(F.col("u").alias("node")).agg(
         F.count("*").alias("degree"))

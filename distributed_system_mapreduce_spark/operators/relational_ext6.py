@@ -136,16 +136,13 @@ def link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge join is bounded by the degree census (graph_degree_dist) —
     hub nodes get split/capped before this runs, as with any
     wedge-based algorithm."""
-    li = load_table(spark, "lineitem", sf_dir).select(
-        "l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
+    from distributed_system_mapreduce_spark.functions.graphs import (
+        strong_undirected,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
     edges = (
-        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-        .groupBy(F.col("a.l_partkey").alias("u"),
-                 F.col("b.l_partkey").alias("v"))
-        .agg(F.count("*").alias("w"))
-        .where(F.col("w") >= _LP_SUPPORT)
+        strong_undirected(li, _LP_SUPPORT)
         .select("u", "v")
         .localCheckpoint(eager=False)
     )

@@ -356,23 +356,12 @@ def community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan static; convergence-looped LPA would add the
     dedup_components driver loop shape instead.
     """
-    li = load_table(spark, "lineitem", sf_dir).select(
-        "l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
-    und = (
-        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-        .groupBy(F.col("a.l_partkey").alias("u"),
-                 F.col("b.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .where(F.col("w") >= LPA_SUPPORT)
+    from distributed_system_mapreduce_spark.functions.graphs import (
+        strong_edges,
     )
-    edges = (
-        und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-        .unionByName(und.select(F.col("v").alias("src"),
-                                F.col("u").alias("dst")))
-        .localCheckpoint()
-    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = strong_edges(li, LPA_SUPPORT).localCheckpoint()
     labels = edges.select(F.col("src").alias("node")).distinct() \
         .withColumn("label", F.col("node"))
     for _ in range(LPA_ROUNDS):
