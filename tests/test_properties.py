@@ -573,3 +573,41 @@ def test_km_matches_python_reference(spark, data):
         gn, gd, gs = got[t]
         assert (gn, gd) == (n_t, d_t), (t, got[t], expected[t])
         assert abs(gs - s_t) < 1e-12, (t, gs, s_t)
+
+
+@_slow
+@given(baskets=st.lists(
+    st.lists(st.integers(min_value=1, max_value=12),
+             min_size=0, max_size=6),
+    min_size=1, max_size=12))
+def test_copair_counts_equals_self_join_form(spark, baskets):
+    """The in-array pair expansion (functions/graphs.py) must produce
+    exactly the distinct-self-join pair counts for any basket
+    multiset — including baskets with repeated items (set semantics)
+    and singleton/empty baskets."""
+    from pyspark.sql import functions as F
+
+    from distributed_system_mapreduce_spark.functions.graphs import (
+        copair_counts,
+    )
+
+    rows = [(o, p) for o, items in enumerate(baskets) for p in items]
+    if not rows:
+        rows = [(0, 1)]
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long")
+    got = {(r["u"], r["v"]): r["w"]
+           for r in copair_counts(li).collect()}
+    d = li.distinct()
+    a, b = d.alias("a"), d.alias("b")
+    want = {
+        (r["u"], r["v"]): r["w"]
+        for r in (
+            a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                   & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+            .groupBy(F.col("a.l_partkey").alias("u"),
+                     F.col("b.l_partkey").alias("v"))
+            .agg(F.count("*").alias("w"))
+        ).collect()
+    }
+    assert got == want
