@@ -840,6 +840,36 @@ def kmv_distinct_stream(docs: DataFrame) -> DataFrame:
     )
 
 
+def daily_distinct_users_stream(events: DataFrame,
+                                watermark: str = "2 days") -> DataFrame:
+    """EXACT streaming count-distinct via chained aggregations: the
+    first stateful aggregation holds one state row per (day, type,
+    user) — the dedup layer — and the second counts the deduped rows
+    per (day, type), finalized when the watermark closes the day.
+    This is the canonical shape for exact windowed COUNT DISTINCT in
+    Structured Streaming (distinct counts don't merge, so a single
+    agg can't do it; approx_count_distinct trades this state for a
+    sketch — the approx_distinct_users_by_type tradeoff, made
+    streaming). Watermark propagates through window_time() so both
+    state stores expire."""
+    ev = events.withWatermark("ts", watermark)
+    per_user = (
+        ev.groupBy(
+            F.window("ts", "1 day").alias("w"),
+            "event_type", "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per_user.groupBy(
+            F.window(F.window_time("w"), "1 day").alias("w2"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(F.col("w2.start").alias("day"), "event_type", "n_users")
+    )
+
+
 def snapshot_sink_stream(df: DataFrame, fs, name: str,
                          checkpoint_dir: str) -> Any:
     """Stream into the VERSIONED store: every micro-batch commits as

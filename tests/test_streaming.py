@@ -964,3 +964,52 @@ def test_kmv_stream_state_equals_batch_sketch(spark, tmp_path):
             assert g["est_distinct"] == w["est_distinct"], src
     finally:
         q.stop()
+
+
+def test_daily_distinct_users_stream_chained_aggs(spark):
+    """Chained stateful aggregations (dedup layer, then count layer)
+    give EXACT daily distinct users in append mode: emitted closed
+    days must match the batch countDistinct, and every day the final
+    watermark closed must have emitted."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from distributed_system_mapreduce_spark.streaming.jobs import (
+        daily_distinct_users_stream,
+    )
+    from distributed_system_mapreduce_spark.tables import load_table
+
+    stream = read_events_stream(spark, SF_DIR)
+    q = run_stream_to_memory(
+        daily_distinct_users_stream(stream), "ddu_stream",
+        output_mode="append")
+    try:
+        got = {
+            (r["day"], r["event_type"]): r["n_users"]
+            for r in spark.table("ddu_stream").collect()
+        }
+        ev = load_table(spark, "events", SF_DIR)
+        want = {
+            (r["day"], r["event_type"]): r["n_users"]
+            for r in (
+                ev.groupBy(
+                    F.window(F.col("ts").cast("timestamp"), "1 day")
+                    .alias("w"), "event_type")
+                .agg(F.countDistinct("user_id").cast("long")
+                     .alias("n_users"))
+                .select(F.col("w.start").alias("day"), "event_type",
+                        "n_users")
+            ).collect()
+        }
+        assert got.items() <= want.items()
+        final_wm = (ev.agg(F.max("ts")).collect()[0][0]
+                    - datetime.timedelta(days=2))
+        finalized = {
+            k: v for k, v in want.items()
+            if k[0] + datetime.timedelta(days=1) < final_wm
+        }
+        assert len(finalized) > 0
+        assert finalized.items() <= got.items()
+    finally:
+        q.stop()
