@@ -22,6 +22,7 @@ from distributed_system_mapreduce_spark.operators import (
     curation4,
     curation5,
     curation6,
+    curation7,
     dedup,
     engine_queries,
     export,
@@ -55,7 +56,7 @@ _MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
             relational_ext9, relational_ext10, relational_ext11,
             relational_ext12, relational_ext13, relational_ext14,
             engine_queries, text_analysis, curation, curation2, curation3,
-            curation4, curation5, curation6,
+            curation4, curation5, curation6, curation7,
             dedup,
             similarity, clustering, sketches, probabilistic, bpe, fuzzy,
             multimodal, asof, export]
@@ -145,7 +146,7 @@ _PRIORITY = [
     "user_survival_km", "events_cusum", "discount_qty_elasticity",
     "join_key_skew", "revenue_gini", "events_holt_forecast",
     "events_daily_quantiles", "graph_bfs_reach",
-    "assoc_rules", "ab_test_zstat",
+    "assoc_rules", "ab_test_zstat", "lsh_param_sweep",
     # multimodal decode family: stub kernel is deterministic md5
     # arithmetic, so the Arrow stage is oracle-checked end-to-end
     "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
