@@ -163,6 +163,30 @@ SHOWCASE = [
     ("k_anonymity",
      "two-phase exact distinct per release cell, bounded type "
      "rollup"),
+    ("graph_degree_dist",
+     "co-purchase pairs expanded IN-ARRAY per order (no order-key "
+     "self-join), then two bounded partial aggs"),
+    ("revenue_gini",
+     "exact global ranks via range-partitioned row_number + "
+     "broadcast O(#partitions) offsets, integer-cent Gini"),
+    ("user_survival_km",
+     "per-user partial agg -> bounded day grid, triangular "
+     "broadcast at-risk counts, strict-fold survival product"),
+    ("minhash_containment",
+     "shared one-pass minhash+shingle store, LSH bucket candidates, "
+     "array_intersect containment on candidates only"),
+    ("hard_negative_mining",
+     "banded-LSH index store, label-mismatch bucket join, per-query "
+     "min(struct) argmax — no all-pairs"),
+    ("events_holt_forecast",
+     "sequential smoother as a bounded day-sorted array fold — one "
+     "partial-agg shuffle feeds a per-type fold"),
+    ("lsh_param_sweep",
+     "one checkpointed signature store; each banding derives its "
+     "band table by projection and pays one bucket self-join"),
+    ("embedding_margin",
+     "grid-exact centroids broadcast (bounded fan-out), per-vector "
+     "bounded sort for nearest-two, TakeOrdered top-k"),
 ]
 
 
