@@ -191,12 +191,53 @@ FROM agg
 """
 
 
+# ----------------------------------------------------- events_grouping_sets
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((type), (month), ()) — the ad-hoc
+    granularity list that is neither ROLLUP (events_rollup) nor CUBE
+    (events_cube): per-type totals, per-month totals, and the grand
+    total in ONE pass, skipping the (type, month) cells a dashboard
+    does not want to pay for. Still one shuffle with map-side
+    partials over the expanded sets; grouping_id disambiguates."""
+    ev = load_table(spark, "events", sf_dir)
+    ev.createOrReplaceTempView("__ev_gs")
+    return spark.sql("""
+        SELECT event_type,
+               CAST(date_trunc('month', ts) AS DATE) AS month,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 AS sum_value,
+               CAST(grouping_id() AS BIGINT) AS gid
+        FROM __ev_gs
+        GROUP BY GROUPING SETS ((event_type),
+                                (CAST(date_trunc('month', ts) AS DATE)),
+                                ())
+    """)
+
+
+EVENTS_GROUPING_SETS_SQL = """
+SELECT event_type,
+       CAST(date_trunc('month', ts) AS DATE) AS month,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+            AS DOUBLE) AS sum_value,
+       GROUPING(event_type,
+                CAST(date_trunc('month', ts) AS DATE)) AS gid
+FROM events
+GROUP BY GROUPING SETS ((event_type),
+                        (CAST(date_trunc('month', ts) AS DATE)),
+                        ())
+"""
+
+
 QUERIES = {
     "assoc_rules": assoc_rules,
     "ab_test_zstat": ab_test_zstat,
+    "events_grouping_sets": events_grouping_sets,
 }
 
 ORACLES = {
     "assoc_rules": ASSOC_RULES_SQL,
     "ab_test_zstat": AB_TEST_ZSTAT_SQL,
+    "events_grouping_sets": EVENTS_GROUPING_SETS_SQL,
 }
