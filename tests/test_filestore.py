@@ -450,3 +450,24 @@ def test_snapshot_vacuum_reclaims_unreferenced_files(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         fs.read_snapshot("ds", 1)
+
+
+def test_snapshot_diff_reports_added_removed_changed(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from distributed_system_mapreduce_spark.sources.filestore import (
+        FileStore,
+    )
+
+    fs = FileStore(spark, str(tmp_path / "diffroot"))
+    v1 = fs.write_snapshot(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, val string"),
+        "ds")
+    v2 = fs.write_snapshot(
+        spark.createDataFrame(
+            [(2, "b"), (3, "C"), (4, "d")], "k long, val string"),
+        "ds")
+    got = {(r["op"], r["k"])
+           for r in fs.snapshot_diff("ds", v1, v2, "k").collect()}
+    assert got == {("added", 4), ("removed", 1), ("changed", 3)}
