@@ -139,3 +139,99 @@ ORACLES = {
     "events_daily_quantiles": EVENTS_DAILY_QUANTILES_SQL,
     "graph_bfs_reach": GRAPH_BFS_REACH_SQL,
 }
+
+
+# ---------------------------------------------------------- kcore_census
+KCORE_K = 3
+KCORE_ROUNDS = 8
+KCORE_SUPPORT = 2
+
+
+def kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the strong co-purchase graph: iteratively peel nodes
+    of degree < K until stable (KCORE_ROUNDS fixed rounds — fixpoint
+    well before that on co-purchase graphs; extra rounds are no-ops,
+    so the fixed unroll is deterministic on both engines); report the
+    surviving core size — the "dense interior" health metric that
+    degree and triangle censuses only hint at.
+
+    Shape: each round is one partial-agg degree count + one semi-join
+    of the edge table against surviving endpoints (both sides), off a
+    localCheckpointed symmetric edge table (the community_lpa
+    discipline). The oracle unrolls the same rounds as chained CTEs —
+    an independent formulation of the same peel."""
+    from distributed_system_mapreduce_spark.functions.graphs import (
+        strong_edges,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    alive = strong_edges(li, KCORE_SUPPORT).localCheckpoint()
+    for _ in range(KCORE_ROUNDS):
+        keep = (
+            alive.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= KCORE_K)
+            .select(F.col("src").alias("node"))
+        )
+        alive = (
+            alive.join(keep.withColumnRenamed("node", "src"), "src",
+                       "left_semi")
+            .join(keep.withColumnRenamed("node", "dst"), "dst",
+                  "left_semi")
+            .localCheckpoint()
+        )
+    return alive.agg(
+        F.lit(KCORE_K).cast("long").alias("k"),
+        F.lit(KCORE_ROUNDS).cast("long").alias("n_rounds"),
+        F.countDistinct("src").cast("long").alias("n_core_nodes"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_core_edges"),
+    )
+
+
+def _kcore_sql() -> str:
+    rounds = []
+    prev = "edges"
+    for i in range(KCORE_ROUNDS):
+        # MATERIALIZED: each round references the previous CTE three
+        # times (degree + both endpoint joins); default inlining would
+        # expand the base subtree 3^rounds times and exhaust file
+        # handles re-opening the parquet
+        rounds.append(
+            f"k{i} AS MATERIALIZED (SELECT src AS node FROM {prev} "
+            f"GROUP BY src HAVING COUNT(*) >= {KCORE_K}),\n"
+            f"e{i} AS MATERIALIZED (SELECT e.src, e.dst FROM {prev} e "
+            f"JOIN k{i} a ON e.src = a.node "
+            f"JOIN k{i} b ON e.dst = b.node)"
+        )
+        prev = f"e{i}"
+    return (
+        f"""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+und AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {KCORE_SUPPORT}
+),
+edges AS (
+  SELECT u AS src, v AS dst FROM und
+  UNION ALL
+  SELECT v, u FROM und
+),
+"""
+        + ",\n".join(rounds)
+        + f"""
+SELECT CAST({KCORE_K} AS BIGINT) AS k,
+       CAST({KCORE_ROUNDS} AS BIGINT) AS n_rounds,
+       CAST(COUNT(DISTINCT src) AS BIGINT) AS n_core_nodes,
+       CAST(COUNT(*) / 2 AS BIGINT) AS n_core_edges
+FROM {prev}
+"""
+    )
+
+
+KCORE_CENSUS_SQL = _kcore_sql()
+
+QUERIES["kcore_census"] = kcore_census
+ORACLES["kcore_census"] = KCORE_CENSUS_SQL
