@@ -222,3 +222,25 @@ def test_wave12_to_14_plan_shapes(spark):
     assert "CartesianProduct" not in plan
     assert plan_lacks(QUERIES["hard_negative_mining"](spark, SF_DIR),
                       "BatchEvalPython")
+
+
+def test_wave15_to_18_plan_shapes(spark):
+    """Skew census, Gini stitch, forecasting, BFS/k-core, rules, and
+    the banding sweep keep the posture: no cartesian products, no
+    Python eval, and the graph family's pair source is the in-array
+    expansion (Generate over collect_set), not an order-key
+    self-join."""
+    for name in ("join_key_skew", "revenue_gini",
+                 "events_holt_forecast", "events_daily_quantiles",
+                 "graph_bfs_reach", "kcore_census", "assoc_rules",
+                 "ab_test_zstat", "lsh_param_sweep",
+                 "events_grouping_sets"):
+        df = QUERIES[name](spark, SF_DIR)
+        assert plan_lacks(df, "CartesianProduct"), name
+        assert plan_lacks(df, "BatchEvalPython"), name
+    for name in ("graph_degree_dist", "basket_pairs"):
+        plan = formatted_plan(QUERIES[name](spark, SF_DIR))
+        assert "Generate" in plan, name  # in-array pair explode
+        # the order-key self-join is gone entirely
+        assert "SortMergeJoin" not in plan, name
+        assert "ShuffledHashJoin" not in plan, name
