@@ -240,14 +240,126 @@ GROUP BY day
 """
 
 
+# ----------------------------------------------------- attribution_credit
+def attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based multi-touch attribution: each purchase's credit
+    is split across its prior-24h view/click touches U-shaped — 40%
+    to the first touch, 40% to the last, 20% spread over the middle
+    (100% to a lone touch, 50/50 for two) — then rolled up per touch
+    type. The marketing-mix question last-touch counting
+    (purchase_attribution) cannot answer.
+
+    Shape: the same bucketized range join as purchase_attribution
+    (purchases explode into two window-sized bins, hash equi-join,
+    exact predicate after — never an inequality join); per-purchase
+    touch ORDER comes from a window partitioned by the purchase id
+    (bounded by touches-per-user-per-day). Cross-engine exactness:
+    each touch's credit is one or two exact-rational double ops,
+    grid-scaled to integer nanocredits (floor(c*1e9 + 0.5)) so the
+    per-type SUM is an exact BIGINT; one double division at
+    output."""
+    ev = load_table(spark, "events", sf_dir)
+    touches = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .select(F.col("event_id").alias("touch_id"),
+                "user_id", F.col("event_type").alias("touch_type"),
+                F.col("ts").alias("touch_ts"))
+        .withColumn(
+            "bin", F.floor(F.unix_timestamp("touch_ts") / F.lit(_BIN_S)))
+    )
+    pbin = F.floor(F.unix_timestamp("ts") / F.lit(_BIN_S))
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .withColumn("bin", F.explode(F.array(pbin - 1, pbin)))
+    )
+    p, t = purchases.alias("p"), touches.alias("t")
+    matched = (
+        p.join(t, (F.col("p.user_id") == F.col("t.user_id"))
+               & (F.col("p.bin") == F.col("t.bin")))
+        .filter(
+            (F.col("touch_ts") < F.col("ts"))
+            & (F.col("touch_ts") >= F.col("ts")
+               - F.expr(f"INTERVAL {ATTR_HOURS} HOURS")))
+        .select("event_id", "touch_id", "touch_type", "touch_ts")
+    )
+    w = Window.partitionBy("event_id").orderBy("touch_ts", "touch_id")
+    ranked = matched.select(
+        "event_id", "touch_type",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("event_id")).alias("n"),
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")),
+              F.when(F.col("n") == 2, F.lit(0.5)).otherwise(F.lit(0.4)))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2).cast("double"))
+    )
+    return (
+        ranked.select(
+            "touch_type",
+            F.floor(credit * F.lit(1000000000.0) + F.lit(0.5))
+            .cast("long").alias("c9"),
+        )
+        .groupBy("touch_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_touches"),
+             F.sum("c9").cast("long").alias("c9_sum"))
+        .select(
+            "touch_type", "n_touches",
+            (F.col("c9_sum").cast("double") / F.lit(1e9))
+            .alias("credit"),
+        )
+    )
+
+
+ATTRIBUTION_CREDIT_SQL = f"""
+WITH matched AS (
+  SELECT p.event_id, t.event_id AS touch_id,
+         t.event_type AS touch_type, t.ts AS touch_ts
+  FROM (SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase') p
+  JOIN (SELECT event_id, user_id, event_type, ts FROM events
+        WHERE event_type IN ('view', 'click')) t
+    ON t.user_id = p.user_id
+   AND t.ts < p.ts
+   AND t.ts >= p.ts - INTERVAL {ATTR_HOURS} HOURS
+),
+ranked AS (
+  SELECT touch_type,
+         ROW_NUMBER() OVER (PARTITION BY event_id
+                            ORDER BY touch_ts, touch_id) AS pos,
+         COUNT(*) OVER (PARTITION BY event_id) AS n
+  FROM matched
+),
+credited AS (
+  SELECT touch_type,
+         CAST(floor((CASE
+            WHEN n = 1 THEN 1.0
+            WHEN pos = 1 OR pos = n THEN
+              CASE WHEN n = 2 THEN 0.5 ELSE 0.4 END
+            ELSE 0.2 / CAST(n - 2 AS DOUBLE)
+         END) * 1000000000.0 + 0.5) AS BIGINT) AS c9
+  FROM ranked
+)
+SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(CAST(SUM(c9) AS BIGINT) AS DOUBLE) / 1000000000.0
+         AS credit
+FROM credited
+GROUP BY touch_type
+"""
+
+
 QUERIES = {
     "events_asof_order": events_asof_order,
     "purchase_attribution": purchase_attribution,
     "abandoned_views": abandoned_views,
+    "attribution_credit": attribution_credit,
 }
 
 ORACLES = {
     "events_asof_order": EVENTS_ASOF_ORDER_SQL,
     "purchase_attribution": PURCHASE_ATTRIBUTION_SQL,
     "abandoned_views": ABANDONED_VIEWS_SQL,
+    "attribution_credit": ATTRIBUTION_CREDIT_SQL,
 }

@@ -147,7 +147,7 @@ _PRIORITY = [
     "join_key_skew", "revenue_gini", "events_holt_forecast",
     "events_daily_quantiles", "graph_bfs_reach",
     "assoc_rules", "ab_test_zstat", "lsh_param_sweep",
-    "events_grouping_sets", "kcore_census",
+    "events_grouping_sets", "kcore_census", "attribution_credit",
     # multimodal decode family: stub kernel is deterministic md5
     # arithmetic, so the Arrow stage is oracle-checked end-to-end
     "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
