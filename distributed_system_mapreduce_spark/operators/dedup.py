@@ -574,6 +574,108 @@ def min_label_components(pairs: DataFrame, persist: bool = False,
     return labels
 
 
+def two_phase_components(pairs: DataFrame, persist: bool = False,
+                         max_rounds: int = 50) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    — the canonical MAPREDUCE formulation of CC, and the scale
+    alternative to min-label propagation: rounds are O(log^2 n) on
+    ANY graph (min-label needs diameter rounds, bad on path-shaped
+    components), and each round's shuffle is bounded by the current
+    edge set, which only shrinks toward the star forest.
+
+      large-star(u): hook every neighbor v > u onto
+                     m = min(neighbors(u) + [u])
+      small-star(u): orient edges big->small, hook every small
+                     neighbor (and u itself) onto the min
+
+    At fixpoint the edge set is a star forest pointing each node at
+    its component minimum; labels read straight off the edges. Rounds
+    localCheckpoint-cut exactly like min_label_components; convergence
+    is an exact set comparison (two counts per round) on the shrinking
+    edge set, not a checksum.
+
+    Reference tie-in: the reference's iterative jobs re-run maple/
+    juice over SDFS intermediates (maple_juice.go job loop); this is
+    that loop expressed as Catalyst stages with lineage cuts.
+    """
+    a, b = pairs.columns[:2]
+    edges = _cut(
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"),
+                F.least("u", "v").alias("v"))
+        .distinct(),
+        persist,
+    )
+    nodes = _cut(
+        edges.select(F.col("u").alias("doc_id"))
+        .union(edges.select("v")).distinct(),
+        persist,
+    )
+
+    def _bidir(e: DataFrame) -> DataFrame:
+        return e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    for _ in range(max_rounds):
+        # -- large-star: per node u, min over self + ALL neighbors;
+        #    strictly-larger neighbors hook onto it
+        d = _bidir(edges)
+        mins = (
+            d.groupBy("u").agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        ls = (
+            d.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # -- small-star: orient big->small, everything hooks the min
+        d2 = ls.select(F.greatest("u", "v").alias("u"),
+                       F.least("u", "v").alias("v"))
+        mins2 = d2.groupBy("u").agg(F.min("v").alias("m"))
+        ss = _cut(
+            d2.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct(),
+            persist,
+        )
+        changed = (ss.count() != edges.count()
+                   or ss.subtract(edges).count() > 0)
+        if persist:
+            edges.unpersist()
+        edges = ss
+        if not changed:
+            break
+    else:  # pragma: no cover - O(log^2 n) bound makes this unreachable
+        raise RuntimeError("two_phase_components did not converge")
+    labels = (
+        nodes.join(edges, nodes["doc_id"] == edges["u"], "left")
+        .select("doc_id",
+                F.coalesce(F.col("v"), F.col("doc_id")).alias("component"))
+    )
+    if persist:
+        nodes.unpersist()
+    return labels
+
+
+def dedup_components_star(spark: SparkSession, sf_dir: str,
+                          persist: bool = False) -> DataFrame:
+    """dedup_components computed by the alternating-star CC engine —
+    same verified near-dup edge set, same (doc_id, component=min id)
+    contract, same recursive-CTE oracle, independently derived by a
+    second distributed algorithm. Running both is the cross-engine
+    check a 100 TB dedup job wants before deleting data."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir, persist=persist).select(
+        "doc_a", "doc_b")
+    return two_phase_components(pairs, persist=persist)
+
+
 DEDUP_COMPONENTS_SQL = f"""
 WITH RECURSIVE e AS (
   SELECT doc_a AS src, doc_b AS dst FROM ({DEDUP_NGRAM_JACCARD_SQL})
@@ -824,6 +926,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_minhash_estimate": dedup_minhash_estimate,
     "dedup_components": dedup_components,
+    "dedup_components_star": dedup_components_star,
     "dedup_apply": dedup_apply,
     "cross_source_overlap": cross_source_overlap,
     "dedup_substring": dedup_substring,
@@ -838,6 +941,7 @@ ORACLES = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,
+    "dedup_components_star": DEDUP_COMPONENTS_SQL,
     "dedup_apply": DEDUP_APPLY_SQL,
     "cross_source_overlap": CROSS_SOURCE_OVERLAP_SQL,
 }

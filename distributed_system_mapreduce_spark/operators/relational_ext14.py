@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from distributed_system_mapreduce_spark.tables import load_table
 
 MIN_SUPPORT = 2
+_DAY_US = 86_400_000_000
 
 
 # ------------------------------------------------------------ assoc_rules
@@ -230,14 +231,100 @@ GROUP BY GROUPING SETS ((event_type),
 """
 
 
+DECAY_WEEK_CAP = 60  # 1<<w stays in BIGINT; older mass rounds to 2^-60
+
+
+def decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed popularity per event type — the
+    freshness-weighted score feeds ranking/trending far better than a
+    raw count (a type with all its volume last week beats one with
+    the same volume a year ago). Half-life = one week: an event w
+    full weeks before the corpus max day weighs 2^-w.
+
+    Exact cross-engine despite being an exponential sum: weights are
+    DYADIC (2^-w via integer shift, never pow/exp — libm rounding
+    differs per engine), per-(type, week) counts are exact BIGINTs,
+    each term n*2^-w is an exact double product (n < 2^53), and the
+    ~60-bucket series is summed with a strict left fold in week order
+    so both engines execute the identical IEEE sequence (the
+    user_survival_km discipline). Shape: one partial-agg shuffle to
+    the bounded (type, week) grid; the corpus max-day is a broadcast
+    1-row aggregate; the fold runs on <= 60 elements per type."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {_DAY_US}")
+        .alias("day"))
+    maxd = F.broadcast(ev.agg(F.max("day").alias("maxd")))
+    weekly = (
+        ev.crossJoin(maxd)
+        .select("event_type",
+                F.expr(f"LEAST((maxd - day) DIV 7, {DECAY_WEEK_CAP})")
+                .alias("w"))
+        .groupBy("event_type", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        weekly.groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.expr(
+                "aggregate(transform(array_sort(collect_list("
+                "struct(w, n))), "
+                "e -> CAST(e.n AS DOUBLE)"
+                " / CAST(shiftleft(CAST(1 AS BIGINT), CAST(e.w AS INT))"
+                "        AS DOUBLE)), "
+                "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            ).alias("decayed_score"),
+        )
+        .select(
+            "event_type", "n_events", "decayed_score",
+            (F.col("decayed_score")
+             / F.col("n_events").cast("double")).alias("freshness"),
+        )
+    )
+
+
+DECAYED_POPULARITY_SQL = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) // {_DAY_US} AS day
+  FROM events
+),
+maxd AS (SELECT MAX(day) AS maxd FROM ev),
+weekly AS (
+  SELECT event_type,
+         LEAST((maxd - day) // 7, {DECAY_WEEK_CAP}) AS w,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ev CROSS JOIN maxd
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type,
+         CAST(SUM(n) AS BIGINT) AS n_events,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list(CAST(n AS DOUBLE)
+                  / CAST(CAST(1 AS BIGINT) << CAST(w AS INT) AS DOUBLE)
+                  ORDER BY w)),
+           (acc, x) -> acc + x) AS decayed_score
+  FROM weekly GROUP BY event_type
+)
+SELECT event_type, n_events, decayed_score,
+       decayed_score / CAST(n_events AS DOUBLE) AS freshness
+FROM scored
+"""
+
+
 QUERIES = {
     "assoc_rules": assoc_rules,
     "ab_test_zstat": ab_test_zstat,
     "events_grouping_sets": events_grouping_sets,
+    "decayed_popularity": decayed_popularity,
 }
 
 ORACLES = {
     "assoc_rules": ASSOC_RULES_SQL,
     "ab_test_zstat": AB_TEST_ZSTAT_SQL,
     "events_grouping_sets": EVENTS_GROUPING_SETS_SQL,
+    "decayed_popularity": DECAYED_POPULARITY_SQL,
 }

@@ -28,6 +28,7 @@ from distributed_system_mapreduce_spark.operators import (
     export,
     fuzzy,
     mapreduce_queries,
+    mlstats,
     multimodal,
     probabilistic,
     relational,
@@ -59,7 +60,7 @@ _MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
             curation4, curation5, curation6, curation7,
             dedup,
             similarity, clustering, sketches, probabilistic, bpe, fuzzy,
-            multimodal, asof, export]
+            multimodal, asof, export, mlstats]
 
 _MERGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -148,6 +149,8 @@ _PRIORITY = [
     "events_daily_quantiles", "graph_bfs_reach",
     "assoc_rules", "ab_test_zstat", "lsh_param_sweep",
     "events_grouping_sets", "kcore_census", "attribution_credit",
+    "dedup_components_star", "decayed_popularity",
+    "kfold_assign", "revenue_trend_ols", "events_chi2_dow",
     # multimodal decode family: stub kernel is deterministic md5
     # arithmetic, so the Arrow stage is oracle-checked end-to-end
     "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",

@@ -8,6 +8,7 @@ import random
 
 from distributed_system_mapreduce_spark.operators.dedup import (
     min_label_components,
+    two_phase_components,
 )
 
 
@@ -56,6 +57,29 @@ def test_min_label_components_matches_union_find(spark):
         }
         assert got_fast == want, (trial, edges)
         assert got_loop == want, (trial, edges)
+
+
+def test_two_phase_components_matches_union_find(spark):
+    """Alternating large-star/small-star vs union-find truth — include
+    a path graph (worst case for min-label, the star engine's reason
+    to exist) alongside seeded random graphs."""
+    rng = random.Random(7)
+    cases = [[(i, i + 1) for i in range(12)]]  # 13-node path
+    for _ in range(3):
+        n = rng.randint(8, 24)
+        cases.append(sorted({
+            tuple(sorted(rng.sample(range(n * 10), 2)))
+            for _ in range(rng.randint(4, 20))
+        }))
+    for trial, edges in enumerate(cases):
+        pairs = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in edges], "doc_a long, doc_b long")
+        want = _union_find_labels(edges)
+        got = {
+            r["doc_id"]: r["component"]
+            for r in two_phase_components(pairs).collect()
+        }
+        assert got == want, (trial, edges)
 
 
 def test_min_label_components_persist_posture(spark):
