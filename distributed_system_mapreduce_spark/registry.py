@@ -47,6 +47,7 @@ from distributed_system_mapreduce_spark.operators import (
     relational_ext12,
     relational_ext13,
     relational_ext14,
+    relational_ext15,
     similarity,
     text_analysis,
 )
@@ -60,7 +61,7 @@ _MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
             curation4, curation5, curation6, curation7,
             dedup,
             similarity, clustering, sketches, probabilistic, bpe, fuzzy,
-            multimodal, asof, export, mlstats]
+            multimodal, asof, export, mlstats, relational_ext15]
 
 _MERGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -151,6 +152,7 @@ _PRIORITY = [
     "events_grouping_sets", "kcore_census", "attribution_credit",
     "dedup_components_star", "decayed_popularity",
     "kfold_assign", "revenue_trend_ols", "events_chi2_dow",
+    "events_mad_outliers", "audience_overlap",
     # multimodal decode family: stub kernel is deterministic md5
     # arithmetic, so the Arrow stage is oracle-checked end-to-end
     "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
