@@ -244,3 +244,21 @@ def test_wave15_to_18_plan_shapes(spark):
         # the order-key self-join is gone entirely
         assert "SortMergeJoin" not in plan, name
         assert "ShuffledHashJoin" not in plan, name
+
+
+def test_wave19_plan_shapes(spark):
+    """Stats/CV/decay wave: no cartesian products or Python eval
+    anywhere; the OLS dimension joins broadcast; the audience pair
+    source is the in-array expansion, never a distinct-by-distinct
+    self-join on user_id."""
+    for name in ("decayed_popularity", "kfold_assign",
+                 "revenue_trend_ols", "events_chi2_dow",
+                 "events_mad_outliers", "audience_overlap"):
+        df = QUERIES[name](spark, SF_DIR)
+        assert plan_lacks(df, "CartesianProduct"), name
+        assert plan_lacks(df, "BatchEvalPython"), name
+    assert plan_has(QUERIES["revenue_trend_ols"](spark, SF_DIR),
+                    "BroadcastHashJoin")
+    plan = formatted_plan(QUERIES["audience_overlap"](spark, SF_DIR))
+    assert "Generate" in plan  # in-array pair explode
+    assert "SortMergeJoin" not in plan
