@@ -154,12 +154,180 @@ JOIN aud ab ON ab.event_type = type_b
 """
 
 
+THROTTLE_GAP_S = 60
+_NEG_SENTINEL = -(1 << 62)
+
+
+# ------------------------------------------------------------ events_throttle
+def events_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rate-limit ledger: replay each user's event stream in
+    (ts, event_id) order keeping an event only if it lands >=
+    THROTTLE_GAP_S after the last KEPT one — the ingest-throttling /
+    notification-dedup primitive whose keep decision depends on prior
+    keep decisions, so no window function expresses it.
+
+    Shape: ONE shuffle to per-user sorted arrays (bounded by a user's
+    own activity), then a strict left fold with a (n_kept, last_kept)
+    struct accumulator — linear, JVM-side, no Python. Exactness: pure
+    integer micro-timestamps. The DuckDB twin is the same fold via
+    list_reduce; the accumulator fields are ordered (n, last) so the
+    n-expression reads only the not-yet-updated last field, correct
+    under BOTH Spark's snapshot semantics and DuckDB's
+    sequential-mutation semantics (the CUSUM fold rule)."""
+    gap_us = THROTTLE_GAP_S * 1_000_000
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"))
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+             F.expr(
+                 "aggregate("
+                 "  array_sort(collect_list(struct(us, event_id))),"
+                 f" struct(CAST(0 AS BIGINT) AS n,"
+                 f"        CAST({_NEG_SENTINEL} AS BIGINT) AS last),"
+                 "  (acc, x) -> struct("
+                 f"   acc.n + (CASE WHEN x.us - acc.last >= {gap_us}"
+                 "            THEN 1 ELSE 0 END) AS n,"
+                 f"   CASE WHEN x.us - acc.last >= {gap_us}"
+                 "        THEN x.us ELSE acc.last END AS last)"
+                 " ).n").cast("long").alias("n_kept"))
+    )
+
+
+# DuckDB 1.0 list_reduce takes no initial accumulator (the first list
+# element seeds it), so the fold state must inhabit the ELEMENT struct
+# type: the accumulator reuses field `us` as the kept-count and field
+# `event_id` as the last-kept timestamp, seeded by a prepended
+# {us: 0, event_id: sentinel} element. Field order (us, event_id)
+# makes the count expression read only the not-yet-updated
+# acc.event_id — correct under DuckDB's sequential-mutation fold AND
+# Spark's snapshot fold (the CUSUM rule).
+EVENTS_THROTTLE_SQL = f"""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(list_reduce(
+         list_prepend(
+           {{'us': CAST(0 AS BIGINT),
+             'event_id': CAST({_NEG_SENTINEL} AS BIGINT)}},
+           list({{'us': us, 'event_id': event_id}}
+                ORDER BY us, event_id)),
+         (acc, x) -> {{
+           'us': acc.us
+             + (CASE WHEN x.us - acc.event_id
+                          >= {THROTTLE_GAP_S * 1_000_000}
+                THEN 1 ELSE 0 END),
+           'event_id': CASE WHEN x.us - acc.event_id
+                                 >= {THROTTLE_GAP_S * 1_000_000}
+                       THEN x.us ELSE acc.event_id END}}
+       ).us AS BIGINT) AS n_kept
+FROM (SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS us
+      FROM events)
+GROUP BY user_id
+"""
+
+
+# ------------------------------------------------- customer_decile_migration
+_SPLIT_DATE = "1995-06-01"
+
+
+def customer_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer revenue-decile migration matrix: rank every customer
+    into spend deciles before and after {_SPLIT_DATE}, then count the
+    (decile_before, decile_after) transitions for customers active in
+    both halves — the churn-vs-upsell movement picture behind
+    customer_rfm's static snapshot.
+
+    Decile boundaries are the exact interpolating percentile over the
+    per-customer revenue (integer ten-thousandths, so the input set
+    is exact); a customer's decile = how many boundaries their
+    revenue strictly exceeds — value-based, deterministic under ties,
+    and NO global rank window (the boundary array is a broadcast
+    1-row aggregate; assignment is a narrow filter-count over a
+    9-element array). Two partial-agg shuffles per half + one equi-
+    join on custkey."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey",
+        (F.col("l_extendedprice").cast("decimal(18,2)")
+         * (F.lit(1).cast("decimal(18,2)")
+            - F.col("l_discount").cast("decimal(18,2)")))
+        .alias("rev"))
+    joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+
+    def half(pred, tag):
+        per_cust = (
+            joined.filter(pred)
+            .groupBy("o_custkey")
+            .agg((F.sum("rev") * 10000).cast("decimal(38,0)")
+                 .cast("long").alias("v"))
+        )
+        bounds = F.broadcast(per_cust.agg(F.expr(
+            "percentile(v, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        ).alias("bs")))
+        return per_cust.crossJoin(bounds).select(
+            F.col("o_custkey").alias("custkey"),
+            F.expr("CAST(size(filter(bs, b -> v > b)) AS BIGINT)")
+            .alias(tag),
+        )
+
+    cut = F.to_date(F.lit(_SPLIT_DATE))
+    a = half(F.col("o_orderdate") < cut, "decile_before")
+    b = half(F.col("o_orderdate") >= cut, "decile_after")
+    return (
+        a.join(b, "custkey")
+        .groupBy("decile_before", "decile_after")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+
+
+CUSTOMER_DECILE_MIGRATION_SQL = f"""
+WITH j AS (
+  SELECT o_custkey, o_orderdate,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2))
+              - CAST(l_discount AS DECIMAL(18,2))) AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+pa AS (
+  SELECT o_custkey,
+         CAST(CAST(SUM(rev) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS v
+  FROM j WHERE o_orderdate < DATE '{_SPLIT_DATE}' GROUP BY o_custkey
+),
+pb AS (
+  SELECT o_custkey,
+         CAST(CAST(SUM(rev) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS v
+  FROM j WHERE o_orderdate >= DATE '{_SPLIT_DATE}' GROUP BY o_custkey
+),
+ba AS (SELECT quantile_cont(v,
+         [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs FROM pa),
+bb AS (SELECT quantile_cont(v,
+         [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs FROM pb),
+da AS (SELECT o_custkey AS custkey,
+              CAST(len(list_filter(ba.bs, b -> v > b)) AS BIGINT)
+                AS decile_before
+       FROM pa CROSS JOIN ba),
+db AS (SELECT o_custkey AS custkey,
+              CAST(len(list_filter(bb.bs, b -> v > b)) AS BIGINT)
+                AS decile_after
+       FROM pb CROSS JOIN bb)
+SELECT decile_before, decile_after,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM da JOIN db USING (custkey)
+GROUP BY decile_before, decile_after
+"""
+
+
 QUERIES = {
     "events_mad_outliers": events_mad_outliers,
     "audience_overlap": audience_overlap,
+    "events_throttle": events_throttle,
+    "customer_decile_migration": customer_decile_migration,
 }
 
 ORACLES = {
     "events_mad_outliers": EVENTS_MAD_OUTLIERS_SQL,
     "audience_overlap": AUDIENCE_OVERLAP_SQL,
+    "events_throttle": EVENTS_THROTTLE_SQL,
+    "customer_decile_migration": CUSTOMER_DECILE_MIGRATION_SQL,
 }
