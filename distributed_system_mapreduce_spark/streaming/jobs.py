@@ -979,3 +979,68 @@ def cdc_stream_to_filestore(events: DataFrame, fs, name: str,
         fs.merge(changes, name, key="user_id", delete_col="is_delete")
 
     return _run_foreach_batch(events, sink, checkpoint_dir)
+
+
+# ------------------------------------------------------- throttle_stream
+THROTTLE_GAP_S = 60
+
+_THROTTLE_OUT = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_events", LongType()),
+    StructField("n_kept", LongType()),
+])
+
+_THROTTLE_STATE = StructType([
+    StructField("last_kept_us", LongType()),
+    StructField("n_kept", LongType()),
+    StructField("n_events", LongType()),
+])
+
+
+def _throttle_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Keep an event iff it lands >= gap after the last KEPT event —
+    the keep decision depends on prior keeps, so the state is exactly
+    one (last_kept_us, counters) triple per user: O(users) state, no
+    event retention (contrast the sessionizer, which must hold the
+    open session). Chunks are concatenated and sorted ONCE by
+    (ts, event_id) before the fold, so a user whose batch spans
+    multiple Arrow chunks still replays in event order (the
+    sessionizer-chunking rule)."""
+    gap_us = THROTTLE_GAP_S * 1_000_000
+    last, n_kept, n_events = (
+        state.get if state.exists else (None, 0, 0))
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        allpdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        allpdf = allpdf.sort_values(["ts", "event_id"])
+        for ts in allpdf["ts"]:
+            us = int(ts.value // 1000)
+            n_events += 1
+            if last is None or us - last >= gap_us:
+                last = us
+                n_kept += 1
+        state.update((last, n_kept, n_events))
+    yield pd.DataFrame({
+        "user_id": [key[0]],
+        "n_events": [n_events],
+        "n_kept": [n_kept],
+    })
+
+
+def throttle_stream(events: DataFrame) -> DataFrame:
+    """Streaming per-user rate-limit ledger — the stateful twin of
+    the batch events_throttle fold (operators/relational_ext15.py):
+    same gap rule, same (ts, event_id) replay order, but the state a
+    continuous run carries is one timestamp + two counters per user."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _throttle_fn,
+            outputStructType=_THROTTLE_OUT,
+            stateStructType=_THROTTLE_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

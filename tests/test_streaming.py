@@ -1013,3 +1013,39 @@ def test_daily_distinct_users_stream_chained_aggs(spark):
         assert finalized.items() <= got.items()
     finally:
         q.stop()
+
+
+def test_throttle_stream_matches_batch_fold(spark):
+    """Streaming per-user rate limiter (applyInPandasWithState, one
+    timestamp + two counters of state per user) drained with
+    availableNow must reproduce the batch events_throttle fold
+    exactly — update mode emits per-batch rows, so take each user's
+    LAST emission."""
+    from pyspark.sql import functions as F
+
+    from distributed_system_mapreduce_spark.registry import QUERIES
+    from distributed_system_mapreduce_spark.streaming import (
+        throttle_stream,
+    )
+
+    stream = read_events_stream(spark, SF_DIR)
+    q = run_stream_to_memory(
+        throttle_stream(stream), "throttle_stream", output_mode="update")
+    try:
+        got = {
+            r["user_id"]: (r["n_events"], r["n_kept"])
+            for r in (
+                spark.table("throttle_stream")
+                .groupBy("user_id")
+                .agg(F.max("n_events").alias("n_events"),
+                     F.max("n_kept").alias("n_kept"))
+                .collect()
+            )
+        }
+        want = {
+            r["user_id"]: (r["n_events"], r["n_kept"])
+            for r in QUERIES["events_throttle"](spark, SF_DIR).collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        q.stop()
