@@ -793,3 +793,87 @@ GROUP BY label
 
 QUERIES["embedding_stats"] = embedding_stats
 ORACLES["embedding_stats"] = EMBEDDING_STATS_SQL
+
+
+# ---------------------------------------------------- embedding_dim_variance
+_QSCALE = 1 << 20          # value quantization: y = floor(v * 2^20)
+_QSCALE2 = 1 << 40         # y*y carries 2^40 of scale
+
+
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION mean/variance census of the embedding column —
+    the dead-dimension / scale-imbalance diagnostic (a dimension with
+    ~zero variance wastes index bits; wildly unequal variances break
+    unwhitened cosine), complementing embedding_stats' per-label norm
+    envelope.
+
+    Exactness for a variance of floats: each value is quantized to an
+    exact integer y = floor(v * 2^20) (power-of-two scale, so the
+    multiply is exact and floor is deterministic — quantization noise
+    ~1e-6 is irrelevant for a diagnostic); per-dim moments n, Σy, Σy²
+    are exact BIGINTs; the variance numerator n·Σy² − (Σy)² is exact
+    DECIMAL(38,0)/HUGEINT, and is brought back to double via the
+    exact quotient-remainder split (q + r/d, each piece < 2^53) —
+    never a single >2^53 DECIMAL→DOUBLE cast, whose rounding differs
+    per engine. n_distinct(y) = 1 flags a constant (dead) dimension.
+    Shape: posexplode (Generate) then ONE partial-agg shuffle to the
+    64-row dim grid."""
+    vecs = spread(load_table(spark, "embeddings", sf_dir))
+    y = F.expr(f"CAST(floor(CAST(v AS DOUBLE) * {_QSCALE}) AS BIGINT)")
+    per = (
+        vecs.select(F.posexplode("embedding").alias("pos", "v"))
+        .select((F.col("pos") + 1).alias("dim"), y.alias("y"))
+        .groupBy("dim")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("y").cast("long").alias("sy"),
+             F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+             F.countDistinct("y").cast("long").alias("n_distinct"))
+    )
+    withnd = per.select(
+        "dim", "n", "sy", "n_distinct",
+        (F.col("n").cast("decimal(38,0)") * F.col("syy")
+         - F.col("sy").cast("decimal(38,0)") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("n")).cast("decimal(38,0)").alias("d"),
+    )
+    return withnd.select(
+        "dim", F.col("n").alias("n_vecs"),
+        (F.col("sy").cast("double") / F.col("n").cast("double")
+         / F.lit(float(_QSCALE))).alias("mean"),
+        ((F.expr("CAST(num DIV d AS DOUBLE)")
+          + F.expr("CAST(num % d AS DOUBLE) / CAST(d AS DOUBLE)"))
+         / F.lit(float(_QSCALE2))).alias("variance"),
+        "n_distinct",
+    )
+
+
+EMBEDDING_DIM_VARIANCE_SQL = f"""
+WITH e AS (
+  SELECT generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_QSCALE})
+              AS BIGINT) AS y
+  FROM embeddings
+),
+per AS (
+  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(COUNT(DISTINCT y) AS BIGINT) AS n_distinct
+  FROM e GROUP BY dim
+),
+nd AS (
+  SELECT dim, n, sy, n_distinct,
+         CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS num,
+         CAST(n AS HUGEINT) * n AS d
+  FROM per
+)
+SELECT dim, n AS n_vecs,
+       CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / {float(_QSCALE)} AS mean,
+       (CAST(num // d AS DOUBLE)
+        + CAST(num % d AS DOUBLE) / CAST(d AS DOUBLE))
+         / {float(_QSCALE2)} AS variance,
+       n_distinct
+FROM nd
+"""
+
+QUERIES["embedding_dim_variance"] = embedding_dim_variance
+ORACLES["embedding_dim_variance"] = EMBEDDING_DIM_VARIANCE_SQL
