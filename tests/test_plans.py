@@ -253,7 +253,9 @@ def test_wave19_plan_shapes(spark):
     self-join on user_id."""
     for name in ("decayed_popularity", "kfold_assign",
                  "revenue_trend_ols", "events_chi2_dow",
-                 "events_mad_outliers", "audience_overlap"):
+                 "events_mad_outliers", "audience_overlap",
+                 "events_throttle", "customer_decile_migration",
+                 "embedding_dim_variance"):
         df = QUERIES[name](spark, SF_DIR)
         assert plan_lacks(df, "CartesianProduct"), name
         assert plan_lacks(df, "BatchEvalPython"), name
