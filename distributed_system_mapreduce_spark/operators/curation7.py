@@ -118,10 +118,81 @@ LSH_PARAM_SWEEP_SQL = "WITH sig AS ({sig}) {blocks}".format(
 assert all(nb * rpb == N_HASHES for nb, rpb in SWEEP_CONFIGS)
 
 
+
+
+# ---------------------------------------------------- source_boilerplate
+def source_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate census per source: explode each
+    doc's DISTINCT word-bigram shingles (in-doc repetition is
+    repetition_score's job), count how many docs carry each
+    (source, shingle), and report the source's duplicate shingle
+    mass 1 - distinct/total plus the single hottest shingle's share
+    — the 'is this source one template stamped N times' signal that
+    decides whether template-stripping must run before dedup (a
+    boilerplate-heavy source floods MinHash-LSH with spurious
+    candidates).
+
+    Shape: Generate (inline shingle explode over materialized
+    tokens, the shingles_from discipline) -> ONE partial-agg shuffle
+    to (source, shingle) counts -> one to the source grid. All
+    counts exact BIGINTs; the two shares are fixed-order double
+    divisions."""
+    from distributed_system_mapreduce_spark.functions import text as X
+    from distributed_system_mapreduce_spark.tables import load_table, spread
+
+    docs = spread(load_table(spark, "documents", sf_dir))
+    toks = docs.select("source", X.tokens().alias("toks"))
+    inc = (
+        toks.select(
+            "source",
+            F.explode(F.array_distinct(F.expr(X.shingles_from("toks"))))
+            .alias("s"))
+        .groupBy("source", "s")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return (
+        inc.groupBy("source")
+        .agg(F.sum("c").cast("long").alias("n_incidences"),
+             F.count(F.lit(1)).cast("long").alias("n_distinct"),
+             F.max("c").cast("long").alias("top_docs"))
+        .select(
+            "source", "n_incidences", "n_distinct",
+            (F.lit(1.0) - F.col("n_distinct").cast("double")
+             / F.col("n_incidences").cast("double")).alias("dup_mass"),
+            (F.col("top_docs").cast("double")
+             / F.col("n_incidences").cast("double")).alias("top_share"),
+        )
+    )
+
+
+from distributed_system_mapreduce_spark.functions import text as X  # noqa: E402
+
+SOURCE_BOILERPLATE_SQL = f"""
+WITH inc AS (
+  SELECT source, s, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (
+    SELECT DISTINCT doc_id, source, unnest({X.SHINGLES_SQL}) AS s
+    FROM documents
+  )
+  GROUP BY source, s
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_incidences,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+         AS dup_mass,
+       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_share
+FROM inc
+GROUP BY source
+"""
+
+
 QUERIES = {
     "lsh_param_sweep": lsh_param_sweep,
+    "source_boilerplate": source_boilerplate,
 }
 
 ORACLES = {
     "lsh_param_sweep": LSH_PARAM_SWEEP_SQL,
+    "source_boilerplate": SOURCE_BOILERPLATE_SQL,
 }

@@ -154,7 +154,7 @@ _PRIORITY = [
     "kfold_assign", "revenue_trend_ols", "events_chi2_dow",
     "events_mad_outliers", "audience_overlap",
     "events_throttle", "customer_decile_migration",
-    "embedding_dim_variance",
+    "embedding_dim_variance", "source_boilerplate",
     # multimodal decode family: stub kernel is deterministic md5
     # arithmetic, so the Arrow stage is oracle-checked end-to-end
     "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
