@@ -223,6 +223,51 @@ FROM (
 )
 """
 
+AUDIO_WIN_MS = 100
+AUDIO_HOP_MS = 50
+
+
+def audio_segment_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio windowing stage: per-clip segmentation ledger for a
+    100ms-window / 50ms-hop feature extractor (frame counts, samples
+    per window from the decoded sample rate, tail padding) — the
+    audio twin of frame_sample (video) and resize_plan (image),
+    completing the per-modality derived-stage family. Pure integer
+    arithmetic off the decoded metadata; the (stubbed) PCM decode is
+    the only Python stage."""
+    decoded = multimodal_decode(spark, sf_dir)
+    aud = decoded.filter(F.col("media_type") == "audio")
+    # integer floor via DIV (duration >= window by the stub's floor)
+    n_win = F.expr(
+        f"(duration_ms - {AUDIO_WIN_MS}) DIV {AUDIO_HOP_MS} + 1")
+    covered = (n_win - 1) * AUDIO_HOP_MS + AUDIO_WIN_MS
+    return aud.select(
+        "doc_id", "sample_rate", "duration_ms",
+        n_win.cast("long").alias("n_windows"),
+        F.expr(f"sample_rate * {AUDIO_WIN_MS} DIV 1000")
+        .cast("long").alias("samples_per_window"),
+        F.greatest(F.lit(0), covered - F.col("duration_ms"))
+        .cast("long").alias("tail_pad_ms"),
+    )
+
+
+AUDIO_SEGMENT_PLAN_SQL = f"""
+SELECT doc_id, sample_rate, duration_ms,
+       CAST((duration_ms - {AUDIO_WIN_MS}) // {AUDIO_HOP_MS} + 1
+            AS BIGINT) AS n_windows,
+       CAST(sample_rate * {AUDIO_WIN_MS} // 1000 AS BIGINT)
+         AS samples_per_window,
+       CAST(greatest(0,
+              ((duration_ms - {AUDIO_WIN_MS}) // {AUDIO_HOP_MS})
+              * {AUDIO_HOP_MS} + {AUDIO_WIN_MS} - duration_ms)
+            AS BIGINT) AS tail_pad_ms
+FROM (
+  SELECT doc_id, (8 + h3 % 40) * 1000 AS sample_rate,
+         500 + (h4 * 256 + h5) % 60000 AS duration_ms
+  FROM ({_DECODE_BASE_SQL}) WHERE media_type = 'audio'
+)
+"""
+
 # pad uses // (floor int div): Spark's double->long cast truncates,
 # DuckDB's CAST rounds — integer division sidesteps the divergence
 MULTIMODAL_RESIZE_SQL = f"""
@@ -247,6 +292,7 @@ QUERIES = {
     "multimodal_decode": multimodal_decode,
     "multimodal_frame_sample": frame_sample,
     "multimodal_resize": resize_plan,
+    "multimodal_audio_segments": audio_segment_plan,
 }
 
 ORACLES = {
@@ -254,6 +300,7 @@ ORACLES = {
     "multimodal_decode": MULTIMODAL_DECODE_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_SQL,
     "multimodal_resize": MULTIMODAL_RESIZE_SQL,
+    "multimodal_audio_segments": AUDIO_SEGMENT_PLAN_SQL,
 }
 
 

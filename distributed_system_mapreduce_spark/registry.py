@@ -158,6 +158,7 @@ _PRIORITY = [
     # multimodal decode family: stub kernel is deterministic md5
     # arithmetic, so the Arrow stage is oracle-checked end-to-end
     "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
+    "multimodal_audio_segments",
     # -- rows-only (no oracle by design; weaker driver check) -----------
     "kmeans_embed", "approx_price_quantiles", "freq_items_sketch",
     "bpe_train_merges", "bpe_vocab_stats", "bpe_token_count",
