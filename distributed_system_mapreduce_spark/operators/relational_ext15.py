@@ -16,7 +16,7 @@ Reference parity: maple+juice compositions in the reference's model
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from distributed_system_mapreduce_spark.tables import load_table
@@ -318,11 +318,116 @@ GROUP BY decile_before, decile_after
 """
 
 
+
+
+# --------------------------------------------------------- late_arrival_census
+_LATE_BUCKET = 1 << 17  # arrival-order bucket width (event ids)
+
+
+def late_arrival_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness census per event type: treating event_id as
+    the arrival sequence, how many events arrive with an event time
+    OLDER than something already seen, and how late the worst one is
+    — THE diagnostic that sizes a streaming watermark (a 2-day
+    watermark is a guess; this measures the actual lateness tail on
+    the same feed the streaming jobs consume).
+
+    The running 'max ts seen so far' is exact and global per type yet
+    never a low-cardinality global window: arrival ids bucket into
+    128k-id blocks, the in-bucket exclusive running max is a
+    (type, bucket)-partitioned window, per-bucket maxima collect to
+    O(types x buckets) driver scalars whose exclusive prefix-max
+    broadcasts back — the orders_backlog prefix-sum stitch with MAX
+    as the monoid. Lateness stays in integer microseconds; one DIV
+    to whole seconds at output."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+        (F.col("event_id") / _LATE_BUCKET).cast("long").alias("b"))
+    btots = {}
+    for r in ev.groupBy("event_type", "b").agg(
+            F.max("us").alias("m")).collect():
+        btots.setdefault(r["event_type"], {})[r["b"]] = r["m"]
+    offs = []
+    for et, bs in btots.items():
+        run = None
+        for b in sorted(bs):
+            offs.append((et, b, run))
+            run = bs[b] if run is None else max(run, bs[b])
+    off_df = spark.createDataFrame(
+        offs, "event_type string, b long, pre long")
+    w = (
+        Window.partitionBy("event_type", "b").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = (
+        ev.withColumn("inb", F.max("us").over(w))
+        .join(F.broadcast(off_df), ["event_type", "b"])
+        .select(
+            "event_type", "us",
+            F.greatest(
+                F.coalesce("inb", F.lit(-(1 << 62))),
+                F.coalesce("pre", F.lit(-(1 << 62)))).alias("seen"),
+        )
+        .select(
+            "event_type",
+            F.when(F.col("us") < F.col("seen"),
+                   F.col("seen") - F.col("us"))
+            .otherwise(F.lit(0)).alias("late_us"),
+        )
+    )
+    return (
+        late.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum((F.col("late_us") > 0).cast("long")).cast("long")
+            .alias("n_late"),
+            F.expr("MAX(late_us) DIV 1000000").cast("long")
+            .alias("max_late_s"),
+        )
+        .select(
+            "event_type", "n_events", "n_late", "max_late_s",
+            (F.col("n_late").cast("double")
+             / F.col("n_events").cast("double")).alias("late_share"),
+        )
+    )
+
+
+LATE_ARRIVAL_CENSUS_SQL = """
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(epoch_us(ts) AS BIGINT) AS us
+  FROM events
+),
+seen AS (
+  SELECT event_type, us,
+         MAX(us) OVER (PARTITION BY event_type ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS seen
+  FROM ev
+),
+late AS (
+  SELECT event_type,
+         CASE WHEN seen IS NOT NULL AND us < seen THEN seen - us
+              ELSE 0 END AS late_us
+  FROM seen
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       CAST(MAX(late_us) // 1000000 AS BIGINT) AS max_late_s,
+       CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS late_share
+FROM late
+GROUP BY event_type
+"""
+
 QUERIES = {
     "events_mad_outliers": events_mad_outliers,
     "audience_overlap": audience_overlap,
     "events_throttle": events_throttle,
     "customer_decile_migration": customer_decile_migration,
+    "late_arrival_census": late_arrival_census,
 }
 
 ORACLES = {
@@ -330,4 +435,5 @@ ORACLES = {
     "audience_overlap": AUDIENCE_OVERLAP_SQL,
     "events_throttle": EVENTS_THROTTLE_SQL,
     "customer_decile_migration": CUSTOMER_DECILE_MIGRATION_SQL,
+    "late_arrival_census": LATE_ARRIVAL_CENSUS_SQL,
 }
