@@ -491,6 +491,37 @@ def dedup_components(spark: SparkSession, sf_dir: str,
 SMALL_GRAPH_EDGES = 100_000
 
 
+def _driver_components(spark: SparkSession, mat: DataFrame) -> DataFrame:
+    """Driver union-find over a materialized (src, dst) edge list —
+    the shared adaptive small-graph path of both CC engines. Output
+    contract matches the distributed loops exactly: (doc_id,
+    component = min node id in the component)."""
+    rows = mat.collect()
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        u, v = r[0], r[1]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp: dict = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    out = [(n, min(ns)) for ns in comp.values() for n in ns]
+    schema = mat.select(
+        F.col(mat.columns[0]).alias("doc_id"),
+        F.col(mat.columns[0]).alias("component")).schema
+    return spark.createDataFrame(out, schema)
+
+
 def min_label_components(pairs: DataFrame, persist: bool = False,
                          small_graph_edges: int = SMALL_GRAPH_EDGES,
                          ) -> DataFrame:
@@ -515,31 +546,7 @@ def min_label_components(pairs: DataFrame, persist: bool = False,
     if small_graph_edges and not persist:
         mat = _cut(fwd, persist)
         if mat.count() <= small_graph_edges:
-            rows = mat.collect()
-            parent: dict = {}
-
-            def find(x):
-                while parent[x] != x:
-                    parent[x] = parent[parent[x]]
-                    x = parent[x]
-                return x
-
-            for r in rows:
-                u, v = r["src"], r["dst"]
-                parent.setdefault(u, u)
-                parent.setdefault(v, v)
-                ru, rv = find(u), find(v)
-                if ru != rv:
-                    parent[ru] = rv
-            comp: dict = {}
-            for n in parent:
-                comp.setdefault(find(n), []).append(n)
-            out = [(n, min(ns)) for ns in comp.values() for n in ns]
-            spark = pairs.sparkSession
-            schema = mat.select(
-                F.col("src").alias("doc_id"),
-                F.col("src").alias("component")).schema
-            return spark.createDataFrame(out, schema)
+            return _driver_components(pairs.sparkSession, mat)
         fwd = mat  # reuse the materialization in the loop below
     edges = _cut(fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -575,7 +582,9 @@ def min_label_components(pairs: DataFrame, persist: bool = False,
 
 
 def two_phase_components(pairs: DataFrame, persist: bool = False,
-                         max_rounds: int = 50) -> DataFrame:
+                         max_rounds: int = 50,
+                         small_graph_edges: int = SMALL_GRAPH_EDGES,
+                         ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond")
     — the canonical MAPREDUCE formulation of CC, and the scale
@@ -608,6 +617,12 @@ def two_phase_components(pairs: DataFrame, persist: bool = False,
         .distinct(),
         persist,
     )
+    # adaptive small-graph path (same rule and engine as
+    # min_label_components; pass 0 to force the star loop — the
+    # algorithm tests do)
+    if (small_graph_edges and not persist
+            and edges.count() <= small_graph_edges):
+        return _driver_components(pairs.sparkSession, edges)
     nodes = _cut(
         edges.select(F.col("u").alias("doc_id"))
         .union(edges.select("v")).distinct(),

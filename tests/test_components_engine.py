@@ -75,11 +75,19 @@ def test_two_phase_components_matches_union_find(spark):
         pairs = spark.createDataFrame(
             [(int(a), int(b)) for a, b in edges], "doc_a long, doc_b long")
         want = _union_find_labels(edges)
-        got = {
+        # force the distributed star loop AND take the adaptive
+        # driver path — both must agree with truth
+        got_loop = {
+            r["doc_id"]: r["component"]
+            for r in two_phase_components(
+                pairs, small_graph_edges=0).collect()
+        }
+        got_fast = {
             r["doc_id"]: r["component"]
             for r in two_phase_components(pairs).collect()
         }
-        assert got == want, (trial, edges)
+        assert got_loop == want, (trial, edges)
+        assert got_fast == want, (trial, edges)
 
 
 def test_min_label_components_persist_posture(spark):
