@@ -422,12 +422,97 @@ FROM late
 GROUP BY event_type
 """
 
+
+
+# ----------------------------------------------------------- order_total_audit
+AUDIT_TOL = "0.01"  # money tolerance, exact decimal literal
+
+
+def order_total_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table financial consistency audit: does each order's
+    stored o_totalprice equal the recomputed charge
+    Σ extprice·(1-disc)·(1+tax) over its lineitems? Per order status:
+    order count, orders with NO lineitems at all, orders off by more
+    than a cent, and the worst absolute discrepancy — the
+    reconciliation pass a warehouse runs before trusting a
+    denormalized column (fk_integrity checks the keys; this checks
+    the VALUES).
+
+    Exactness: the charge accumulates 6-decimal products of exact
+    2-decimal DECIMALs; the discrepancy stays DECIMAL through abs/max
+    and casts to double only at output (magnitudes far below 2^53).
+    Shape: one fact-fact equi-join shuffle on orderkey (AQE skew
+    handling), partial-agg to per-order, bounded status rollup."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("stored"))
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey",
+        (F.col("l_extendedprice").cast("decimal(18,2)")
+         * (F.lit(1).cast("decimal(18,2)")
+            - F.col("l_discount").cast("decimal(18,2)"))
+         * (F.lit(1).cast("decimal(18,2)")
+            + F.col("l_tax").cast("decimal(18,2)"))).alias("charge"))
+    per = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        .groupBy("o_orderkey", "o_orderstatus", "stored")
+        .agg(F.count("charge").cast("long").alias("n_lines"),
+             F.sum("charge").cast("decimal(38,6)").alias("computed"))
+        .select(
+            "o_orderstatus", "n_lines",
+            F.when(F.col("n_lines") > 0,
+                   F.abs(F.col("stored").cast("decimal(38,6)")
+                         - F.col("computed"))).alias("adiff"),
+        )
+    )
+    return (
+        per.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum((F.col("n_lines") == 0).cast("long")).cast("long")
+            .alias("n_no_lines"),
+            F.sum((F.col("adiff") > F.expr(
+                f"CAST({AUDIT_TOL} AS DECIMAL(38,6))")).cast("long"))
+            .cast("long").alias("n_mismatch"),
+            F.max("adiff").cast("double").alias("max_abs_diff"),
+        )
+    )
+
+
+ORDER_TOTAL_AUDIT_SQL = f"""
+WITH per AS (
+  SELECT o.o_orderstatus,
+         COUNT(l.l_orderkey) AS n_lines,
+         CASE WHEN COUNT(l.l_orderkey) > 0 THEN
+           abs(CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+                    AS DECIMAL(38,6))
+               - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(18,2))
+                             - CAST(l_discount AS DECIMAL(18,2)))
+                          * (CAST(1 AS DECIMAL(18,2))
+                             + CAST(l_tax AS DECIMAL(18,2))))
+                      AS DECIMAL(38,6)))
+         END AS adiff
+  FROM orders o LEFT JOIN lineitem l ON l_orderkey = o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderstatus, o.o_totalprice
+)
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN n_lines = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_no_lines,
+       CAST(SUM(CASE WHEN adiff > CAST({AUDIT_TOL} AS DECIMAL(38,6))
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+       CAST(MAX(adiff) AS DOUBLE) AS max_abs_diff
+FROM per
+GROUP BY o_orderstatus
+"""
+
 QUERIES = {
     "events_mad_outliers": events_mad_outliers,
     "audience_overlap": audience_overlap,
     "events_throttle": events_throttle,
     "customer_decile_migration": customer_decile_migration,
     "late_arrival_census": late_arrival_census,
+    "order_total_audit": order_total_audit,
 }
 
 ORACLES = {
@@ -436,4 +521,5 @@ ORACLES = {
     "events_throttle": EVENTS_THROTTLE_SQL,
     "customer_decile_migration": CUSTOMER_DECILE_MIGRATION_SQL,
     "late_arrival_census": LATE_ARRIVAL_CENSUS_SQL,
+    "order_total_audit": ORDER_TOTAL_AUDIT_SQL,
 }
