@@ -251,14 +251,141 @@ GROUP BY event_type
 """
 
 
+
+
+# --------------------------------------------------------------- bootstrap_ci
+N_BOOT = 32
+# Poisson(1) inverse-CDF thresholds on the 16-bit hash grid:
+# floor(65536 * P(X <= k)) for k = 0..4; >= the last -> weight 5.
+_POIS_T = (24109, 48218, 60273, 64291, 65296)
+
+
+def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for each event type's
+    mean daily value-sum — the at-scale bootstrap (each unit gets an
+    independent Poisson(1) resample weight, so resampling is one
+    narrow map instead of a shuffle per resample; the production A/B
+    measurement idiom) made fully deterministic: weights come from
+    the salted 16-bit md5 grid through a fixed Poisson(1)
+    inverse-CDF table, so both engines draw the SAME 32 resamples.
+
+    Exactness: daily sums are integer micro-units; per-resample
+    weighted sums are exact BIGINTs (weights <= 5); each resample
+    mean is one fixed-order double division; the 2.5%/97.5% band is
+    the exact interpolating percentile over the 32 means. Shape: one
+    partial-agg shuffle to the (type, day) grid, a bounded x32
+    explode ON the grid (never on raw events), a second partial agg
+    to (type, resample), then a 32-element percentile per type."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {_DAY_US}")
+        .alias("day"),
+        F.col("value").cast("decimal(18,6)").alias("v"))
+    daily = (
+        ev.groupBy("event_type", "day")
+        .agg((F.sum("v") * 1000000).cast("decimal(38,0)").cast("long")
+             .alias("x"))
+    )
+    w_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN h < {t} THEN {k}" for k, t in enumerate(_POIS_T))
+        + " ELSE 5 END"
+    )
+    boot = (
+        daily.select(
+            "event_type", "day", "x",
+            F.explode(F.expr(
+                f"sequence(0, {N_BOOT - 1})")).alias("b"))
+        .withColumn("h", F.expr(_hex16_expr(
+            "'bs:' || CAST(b AS STRING) || ':' || CAST(day AS STRING)"))
+            .cast("long"))
+        .select("event_type", "b", "x",
+                F.expr(w_case).cast("long").alias("w"))
+        .groupBy("event_type", "b")
+        .agg(F.sum(F.col("w") * F.col("x")).cast("long").alias("swx"),
+             F.sum("w").cast("long").alias("sw"))
+        .filter(F.col("sw") > 0)
+        .select("event_type",
+                (F.col("swx").cast("double") / F.col("sw").cast("double")
+                 / F.lit(1e6)).alias("m"))
+    )
+    full = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (F.sum("x").cast("double") / F.count(F.lit(1)).cast("double")
+         / F.lit(1e6)).alias("mean_daily"))
+    ci = boot.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_resamples"),
+        F.expr("percentile(m, array(0.025, 0.975))").alias("qs"))
+    return (
+        full.join(ci, "event_type")
+        .select("event_type", "n_days", "mean_daily",
+                F.col("qs")[0].alias("ci_lo"),
+                F.col("qs")[1].alias("ci_hi"),
+                "n_resamples")
+    )
+
+
+_W_CASE_SQL = ("CASE "
+               + " ".join(f"WHEN h < {t} THEN {k}"
+                          for k, t in enumerate(_POIS_T))
+               + " ELSE 5 END")
+
+BOOTSTRAP_CI_SQL = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) // {_DAY_US} AS day,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+              * 1000000 AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+boot AS (
+  SELECT event_type, b,
+         CAST(SUM(w * x) AS BIGINT) AS swx,
+         CAST(SUM(w) AS BIGINT) AS sw
+  FROM (
+    SELECT event_type, b, x, {_W_CASE_SQL} AS w
+    FROM (
+      SELECT event_type, day, x, b,
+             CAST({_hex16_expr(
+                 "'bs:' || CAST(b AS VARCHAR) || ':' || CAST(day AS VARCHAR)")}
+                  AS BIGINT) AS h
+      FROM daily, unnest(range(0, {N_BOOT})) AS t(b)
+    )
+  )
+  GROUP BY event_type, b
+),
+means AS (
+  SELECT event_type,
+         CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) / 1e6 AS m
+  FROM boot WHERE sw > 0
+),
+fl AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6
+           AS mean_daily
+  FROM daily GROUP BY event_type
+),
+ci AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_resamples,
+         quantile_cont(m, [0.025, 0.975]) AS qs
+  FROM means GROUP BY event_type
+)
+SELECT f.event_type, f.n_days, f.mean_daily,
+       qs[1] AS ci_lo, qs[2] AS ci_hi, n_resamples
+FROM fl f JOIN ci USING (event_type)
+"""
+
 QUERIES = {
     "kfold_assign": kfold_assign,
     "revenue_trend_ols": revenue_trend_ols,
     "events_chi2_dow": events_chi2_dow,
+    "bootstrap_ci": bootstrap_ci,
 }
 
 ORACLES = {
     "kfold_assign": KFOLD_ASSIGN_SQL,
     "revenue_trend_ols": REVENUE_TREND_OLS_SQL,
     "events_chi2_dow": EVENTS_CHI2_DOW_SQL,
+    "bootstrap_ci": BOOTSTRAP_CI_SQL,
 }
