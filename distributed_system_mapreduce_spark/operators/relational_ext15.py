@@ -506,6 +506,98 @@ FROM per
 GROUP BY o_orderstatus
 """
 
+
+
+# ------------------------------------------------------ lifecycle_conformance
+def lifecycle_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-conformance census: every user funnel is SUPPOSED to
+    run signup -> ... -> purchase; classify each user by whether
+    their event history conforms — purchasers with no signup at all,
+    purchasers whose first purchase precedes their first signup,
+    conformant purchasers, and non-purchasers — plus how many
+    individual purchase events fired before the user's first signup.
+    The process-mining health check that catches broken
+    instrumentation (purchases attributed to pre-account sessions).
+
+    Shape: one partial-agg shuffle to per-user first-times, then the
+    per-user table joins events BY THE SAME user_id key (co-
+    partitioned, no extra exchange pattern at scale) for the
+    event-level violation count. Pure integer microsecond compares;
+    exact counts only."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"))
+    per = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("us")))
+            .alias("first_signup"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("us")))
+            .alias("first_purchase"),
+        )
+    )
+    cls = (
+        F.when(F.col("first_purchase").isNull(), "non_purchaser")
+        .when(F.col("first_signup").isNull(), "no_signup_purchaser")
+        .when(F.col("first_purchase") < F.col("first_signup"),
+              "purchase_before_signup")
+        .otherwise("conformant_purchaser")
+    )
+    early = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(per.select("user_id", "first_signup"), "user_id")
+        .select(
+            "user_id",
+            (F.col("first_signup").isNull()
+             | (F.col("us") < F.col("first_signup")))
+            .cast("long").alias("early"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("early").cast("long").alias("n_early"))
+    )
+    return (
+        per.join(early, "user_id", "left")
+        .select(cls.alias("conformance"),
+                F.coalesce("n_early", F.lit(0)).alias("n_early"))
+        .groupBy("conformance")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+             F.sum("n_early").cast("long").alias("n_early_purchases"))
+    )
+
+
+LIFECYCLE_CONFORMANCE_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us
+  FROM events
+),
+per AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN us END)
+           AS first_signup,
+         MIN(CASE WHEN event_type = 'purchase' THEN us END)
+           AS first_purchase
+  FROM ev GROUP BY user_id
+),
+early AS (
+  SELECT e.user_id,
+         CAST(SUM(CASE WHEN p.first_signup IS NULL
+                         OR e.us < p.first_signup
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_early
+  FROM ev e JOIN per p USING (user_id)
+  WHERE e.event_type = 'purchase'
+  GROUP BY e.user_id
+)
+SELECT CASE WHEN first_purchase IS NULL THEN 'non_purchaser'
+            WHEN first_signup IS NULL THEN 'no_signup_purchaser'
+            WHEN first_purchase < first_signup
+              THEN 'purchase_before_signup'
+            ELSE 'conformant_purchaser' END AS conformance,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(COALESCE(n_early, 0)) AS BIGINT) AS n_early_purchases
+FROM per LEFT JOIN early USING (user_id)
+GROUP BY 1
+"""
+
 QUERIES = {
     "events_mad_outliers": events_mad_outliers,
     "audience_overlap": audience_overlap,
@@ -513,6 +605,7 @@ QUERIES = {
     "customer_decile_migration": customer_decile_migration,
     "late_arrival_census": late_arrival_census,
     "order_total_audit": order_total_audit,
+    "lifecycle_conformance": lifecycle_conformance,
 }
 
 ORACLES = {
@@ -522,4 +615,5 @@ ORACLES = {
     "customer_decile_migration": CUSTOMER_DECILE_MIGRATION_SQL,
     "late_arrival_census": LATE_ARRIVAL_CENSUS_SQL,
     "order_total_audit": ORDER_TOTAL_AUDIT_SQL,
+    "lifecycle_conformance": LIFECYCLE_CONFORMANCE_SQL,
 }
