@@ -264,3 +264,18 @@ def test_wave19_plan_shapes(spark):
     plan = formatted_plan(QUERIES["audience_overlap"](spark, SF_DIR))
     assert "Generate" in plan  # in-array pair explode
     assert "SortMergeJoin" not in plan
+
+
+def test_wave20_plan_shapes(spark):
+    """Audit/bootstrap/conformance wave: no cartesian products; all
+    JVM-only (the multimodal audio op is excluded — its decode stage
+    is the intentional Arrow-Python kernel); the order audit's
+    fact-fact join is a shuffle join, not a broadcast of a fact."""
+    for name in ("late_arrival_census", "order_total_audit",
+                 "bootstrap_ci", "lifecycle_conformance",
+                 "source_boilerplate"):
+        df = QUERIES[name](spark, SF_DIR)
+        assert plan_lacks(df, "CartesianProduct"), name
+        assert plan_lacks(df, "BatchEvalPython"), name
+    plan = formatted_plan(QUERIES["order_total_audit"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
