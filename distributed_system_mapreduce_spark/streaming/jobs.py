@@ -1044,3 +1044,66 @@ def throttle_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------- lateness_stream
+_LATENESS_OUT = StructType([
+    StructField("event_type", StringType()),
+    StructField("n_events", LongType()),
+    StructField("n_late", LongType()),
+    StructField("max_late_s", LongType()),
+])
+
+_LATENESS_STATE = StructType([
+    StructField("max_us", LongType()),
+    StructField("n_events", LongType()),
+    StructField("n_late", LongType()),
+    StructField("max_late_us", LongType()),
+])
+
+
+def _lateness_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Track each type's high-water event time and count arrivals
+    behind it — O(1) state per type (one timestamp + three
+    counters). Chunks concat + sort by event_id so replay order
+    matches the batch census' arrival order exactly."""
+    max_us, n_events, n_late, max_late = (
+        state.get if state.exists else (None, 0, 0, 0))
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        allpdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        allpdf = allpdf.sort_values("event_id")
+        for ts in allpdf["ts"]:
+            us = int(ts.value // 1000)
+            n_events += 1
+            if max_us is not None and us < max_us:
+                n_late += 1
+                max_late = max(max_late, max_us - us)
+            max_us = us if max_us is None else max(max_us, us)
+        state.update((max_us, n_events, n_late, max_late))
+    yield pd.DataFrame({
+        "event_type": [key[0]],
+        "n_events": [n_events],
+        "n_late": [n_late],
+        "max_late_s": [max_late // 1_000_000],
+    })
+
+
+def lateness_stream(events: DataFrame) -> DataFrame:
+    """Streaming out-of-orderness monitor — the live twin of the
+    batch late_arrival_census (operators/relational_ext15.py): the
+    same arrival-order lateness counts, maintained continuously so a
+    pipeline can ALARM on watermark-violating feeds instead of
+    discovering them in a nightly batch audit."""
+    return (
+        events.groupBy("event_type")
+        .applyInPandasWithState(
+            _lateness_fn,
+            outputStructType=_LATENESS_OUT,
+            stateStructType=_LATENESS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1049,3 +1049,38 @@ def test_throttle_stream_matches_batch_fold(spark):
         assert got == want and len(got) > 0
     finally:
         q.stop()
+
+
+def test_lateness_stream_matches_batch_census(spark):
+    """Streaming lateness monitor drained with availableNow must equal
+    the batch late_arrival_census on every column (same event_id
+    arrival order)."""
+    from pyspark.sql import functions as F
+
+    from distributed_system_mapreduce_spark.registry import QUERIES
+    from distributed_system_mapreduce_spark.streaming import (
+        lateness_stream,
+    )
+
+    stream = read_events_stream(spark, SF_DIR)
+    q = run_stream_to_memory(
+        lateness_stream(stream), "lateness_stream", output_mode="update")
+    try:
+        got = {
+            r["event_type"]: (r["n_events"], r["n_late"], r["max_late_s"])
+            for r in (
+                spark.table("lateness_stream")
+                .groupBy("event_type")
+                .agg(F.max("n_events").alias("n_events"),
+                     F.max("n_late").alias("n_late"),
+                     F.max("max_late_s").alias("max_late_s"))
+                .collect()
+            )
+        }
+        want = {
+            r["event_type"]: (r["n_events"], r["n_late"], r["max_late_s"])
+            for r in QUERIES["late_arrival_census"](spark, SF_DIR).collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        q.stop()
