@@ -877,3 +877,102 @@ FROM nd
 
 QUERIES["embedding_dim_variance"] = embedding_dim_variance
 ORACLES["embedding_dim_variance"] = EMBEDDING_DIM_VARIANCE_SQL
+
+
+# ----------------------------------------------------------------- ann_maxsim
+MAXSIM_Q = 4        # queries in the fixed panel
+MAXSIM_TOKS = 4     # token vectors per query / passages per doc
+MAXSIM_TOP = 5
+
+
+def ann_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) retrieval: queries and
+    documents are BAGS of vectors — score(q, d) = Σ_{query token}
+    max_{doc passage} cosine — the multi-vector retrieval model that
+    beats single-vector ANN on fine-grained matching. Mapped onto the
+    flat embeddings table: vec_id DIV 4 groups vectors into
+    4-passage docs; the fixed query panel is the first 4 such groups
+    (the ann_topk_brute constant-panel discipline, so the plan is
+    O(16 x corpus) — linear in the corpus, never corpus x corpus).
+
+    Shape: 16 query vectors broadcast onto one corpus scan; per-token
+    maxes are an order-independent MAX partial agg; the 4-term MaxSim
+    sum folds in token order (exact IEEE sequence both engines);
+    per-query top-5 rides a bounded-panel window. At real scale the
+    passage side would first prune through the banded-LSH index
+    (ann_topk_lsh) and MaxSim only the survivors."""
+    from pyspark.sql import Window
+
+    vecs = _with_norm(spark, sf_dir)
+    qtoks = F.broadcast(
+        vecs.filter(F.col("vec_id") < MAXSIM_Q * MAXSIM_TOKS)
+        .select(F.expr(f"vec_id DIV {MAXSIM_TOKS}").alias("q_id"),
+                (F.col("vec_id") % MAXSIM_TOKS).alias("tok"),
+                F.col("embedding").alias("qe"),
+                F.col("norm").alias("qn"))
+    ).alias("a")
+    passages = (
+        vecs.filter(F.col("vec_id") >= MAXSIM_Q * MAXSIM_TOKS)
+        .select(F.expr(f"vec_id DIV {MAXSIM_TOKS}").alias("doc_id"),
+                F.col("embedding").alias("pe"),
+                F.col("norm").alias("pn"))
+    ).alias("b")
+    dot = V.dot_expr("a.qe", "b.pe")
+    tok_best = (
+        qtoks.join(passages, F.lit(True))
+        .select("q_id", "tok", "doc_id",
+                F.expr(f"{dot} / (a.qn * b.pn)").alias("cos"))
+        .groupBy("q_id", "doc_id", "tok")
+        .agg(F.max("cos").alias("best"))
+    )
+    scored = (
+        tok_best.groupBy("q_id", "doc_id")
+        .agg(F.expr(
+            "aggregate(transform(array_sort(collect_list("
+            "struct(tok, best))), e -> e.best), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").alias("maxsim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("maxsim"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= MAXSIM_TOP)
+    )
+
+
+ANN_MAXSIM_SQL = f"""
+WITH qtoks AS (
+  SELECT vec_id // {MAXSIM_TOKS} AS q_id,
+         vec_id % {MAXSIM_TOKS} AS tok,
+         embedding AS qe, norm AS qn
+  FROM ({_NORM_SQL}) WHERE vec_id < {MAXSIM_Q * MAXSIM_TOKS}
+),
+passages AS (
+  SELECT vec_id // {MAXSIM_TOKS} AS doc_id, embedding AS pe, norm AS pn
+  FROM ({_NORM_SQL}) WHERE vec_id >= {MAXSIM_Q * MAXSIM_TOKS}
+),
+tok_best AS (
+  SELECT q_id, doc_id, tok,
+         MAX({V.dot_sql('qe', 'pe')} / (qn * pn)) AS best
+  FROM qtoks a CROSS JOIN passages b
+  GROUP BY q_id, doc_id, tok
+),
+scored AS (
+  SELECT q_id, doc_id,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+                        list(best ORDER BY tok)),
+           (acc, x) -> acc + x) AS maxsim
+  FROM tok_best GROUP BY q_id, doc_id
+)
+SELECT q_id, doc_id, maxsim, rank FROM (
+  SELECT q_id, doc_id, maxsim,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY maxsim DESC, doc_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {MAXSIM_TOP}
+"""
+
+QUERIES["ann_maxsim"] = ann_maxsim
+ORACLES["ann_maxsim"] = ANN_MAXSIM_SQL
