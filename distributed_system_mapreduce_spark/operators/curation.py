@@ -480,9 +480,134 @@ GROUP BY 1, 2
 """
 
 
+
+
+# ------------------------------------------------- hybrid rank fusion
+RRF_K = 60
+RRF_TOPK = 10
+
+
+def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of two rankers for the
+    anchor query — BM25 (lexical, saturating tf) and a plain TF-IDF
+    scorer (lexical, linear tf) — RRF(d) = Σ_r 1/(RRF_K + rank_r(d)),
+    the standard score-free fusion rule (and exactly the shape that
+    fuses BM25 with an ANN ranker when the corpus carries doc
+    embeddings).
+
+    Exactness: both input rankings are already engine-deterministic
+    (fixed-order float sums, full tie-breaks); RRF itself is a
+    two-term fixed-order sum of exact-rational reciprocals. Shape:
+    both rankers end in TakeOrdered top-20; the fusion is a
+    full-outer join of two 20-row tables — driver-trivial, bounded by
+    the panel, never corpus-sized."""
+    bm = bm25_rank(spark, sf_dir).select(
+        "doc_id",
+        F.row_number().over(
+            Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .cast("long").alias("rank_bm25"))
+    docs = spread(load_table(spark, "documents", sf_dir))
+    tf = (
+        docs.select("doc_id", F.explode(X.tokens()).alias("term"))
+        .filter(F.col("term").isin(*BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    piv = (
+        tf.join(F.broadcast(df_), "term")
+        .groupBy("doc_id")
+        .pivot("term", list(BM25_QUERY))
+        .agg(F.first(F.struct("tf", "df")))
+        .crossJoin(F.broadcast(n))
+    )
+    total = None
+    for t in BM25_QUERY:
+        c = (F.coalesce(F.col(f"{t}.tf"), F.lit(0)).cast("double")
+             * ((F.col("n_docs") + F.lit(1.0))
+                / (F.coalesce(F.col(f"{t}.df"), F.lit(0)) + F.lit(1.0))))
+        total = c if total is None else total + c
+    ti = (
+        piv.select("doc_id", total.alias("tfidf"))
+        .orderBy(F.desc("tfidf"), F.asc("doc_id")).limit(BM25_TOPK)
+        .select(
+            "doc_id",
+            F.row_number().over(
+                Window.orderBy(F.desc("tfidf"), F.asc("doc_id")))
+            .cast("long").alias("rank_tfidf"))
+    )
+    fused = (
+        bm.join(ti, "doc_id", "full_outer")
+        .select(
+            "doc_id", "rank_bm25", "rank_tfidf",
+            (F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_bm25")),
+                F.lit(0.0))
+             + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_tfidf")),
+                F.lit(0.0))).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(RRF_TOPK)
+
+
+HYBRID_RANK_FUSION_SQL = f"""
+WITH bm_top AS (
+  SELECT doc_id, bm25 FROM ({BM25_RANK_SQL})
+),
+bm AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC)
+           AS rank_bm25
+  FROM bm_top
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({X.TOKENS_SQL}) AS term FROM documents)
+  WHERE term IN ({_BM25_TERMS_IN})
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+piv AS (
+  SELECT doc_id,
+         MAX(CASE WHEN term = 'spark' THEN tf END) AS tf_spark,
+         MAX(CASE WHEN term = 'spark' THEN df END) AS df_spark,
+         MAX(CASE WHEN term = 'vector' THEN tf END) AS tf_vector,
+         MAX(CASE WHEN term = 'vector' THEN df END) AS df_vector,
+         MAX(CASE WHEN term = 'stream' THEN tf END) AS tf_stream,
+         MAX(CASE WHEN term = 'stream' THEN df END) AS df_stream
+  FROM tf JOIN df USING (term)
+  GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id,
+CAST(COALESCE(tf_spark, 0) AS DOUBLE) * ((n_docs + 1.0) / (COALESCE(df_spark, 0) + 1.0))
+           + CAST(COALESCE(tf_vector, 0) AS DOUBLE) * ((n_docs + 1.0) / (COALESCE(df_vector, 0) + 1.0))
+           + CAST(COALESCE(tf_stream, 0) AS DOUBLE) * ((n_docs + 1.0) / (COALESCE(df_stream, 0) + 1.0)) AS tfidf
+  FROM piv CROSS JOIN n
+),
+ti AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY tfidf DESC, doc_id ASC)
+           AS rank_tfidf
+  FROM (SELECT doc_id, tfidf FROM scored
+        ORDER BY tfidf DESC, doc_id ASC LIMIT 20)
+)
+SELECT doc_id, rank_bm25, rank_tfidf,
+       COALESCE(1.0 / (60 + rank_bm25), 0.0)
+         + COALESCE(1.0 / (60 + rank_tfidf), 0.0) AS rrf
+FROM bm FULL JOIN ti USING (doc_id)
+ORDER BY rrf DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 QUERIES = {
     "tfidf_topterms": tfidf_topterms,
     "bm25_rank": bm25_rank,
+    "hybrid_rank_fusion": hybrid_rank_fusion,
     "train_val_split": train_val_split,
     "quality_topk_per_group": quality_topk_per_group,
     "pii_scrub": pii_scrub,
@@ -493,6 +618,7 @@ QUERIES = {
 ORACLES = {
     "tfidf_topterms": TFIDF_TOPTERMS_SQL,
     "bm25_rank": BM25_RANK_SQL,
+    "hybrid_rank_fusion": HYBRID_RANK_FUSION_SQL,
     "train_val_split": TRAIN_VAL_SPLIT_SQL,
     "quality_topk_per_group": _quality_topk_sql(),
     "pii_scrub": PII_SCRUB_SQL,
