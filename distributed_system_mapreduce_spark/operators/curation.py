@@ -604,10 +604,88 @@ LIMIT 10
 """
 
 
+# ------------------------------------------- pseudo-relevance feedback
+PRF_DOCS = 10     # feedback set: top-k BM25 docs
+PRF_TERMS = 15    # expanded terms returned
+
+
+def query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback (RM3-lite) query expansion: take the
+    anchor query's top-10 BM25 documents as the feedback set, score
+    every term that occurs in them by feedback-tf x rational idf, and
+    emit the top-15 expansion terms (original query terms excluded) —
+    the classic recall-boosting step between first-pass retrieval and
+    re-ranking, and the lexical mirror of hard_negative_mining's
+    embedding-side loop.
+
+    Shape: the feedback doc ids are a bounded broadcast semi-join
+    onto the SAME (doc, term) count table the rankers use (no second
+    pass over raw text); df comes from that table corpus-wide;
+    scoring is one fixed-order double product; the final 15 rides
+    TakeOrdered. Fully deterministic: exact counts, rational idf,
+    full (score, term) tie-break."""
+    fb = F.broadcast(
+        bm25_rank(spark, sf_dir).select("doc_id").limit(PRF_DOCS))
+    docs = spread(load_table(spark, "documents", sf_dir))
+    tf = (
+        docs.select("doc_id", F.explode(X.tokens()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    fb_tf = (
+        tf.join(fb, "doc_id")
+        .groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("fb_tf"),
+             F.countDistinct("doc_id").cast("long").alias("fb_df"))
+        .filter(~F.col("term").isin(*BM25_QUERY))
+    )
+    return (
+        fb_tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term", "fb_tf", "fb_df", F.col("df").cast("long").alias("df"),
+            (F.col("fb_tf").cast("double")
+             * ((F.col("n_docs") + F.lit(1.0))
+                / (F.col("df") + F.lit(1.0)))).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(PRF_TERMS)
+    )
+
+
+QUERY_EXPANSION_PRF_SQL = f"""
+WITH fb AS (
+  SELECT doc_id FROM ({BM25_RANK_SQL}) LIMIT {PRF_DOCS}
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({X.TOKENS_SQL}) AS term FROM documents)
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+fb_tf AS (
+  SELECT term, CAST(SUM(tf) AS BIGINT) AS fb_tf,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS fb_df
+  FROM tf JOIN fb USING (doc_id)
+  WHERE term NOT IN ({_BM25_TERMS_IN})
+  GROUP BY term
+)
+SELECT term, fb_tf, fb_df, df,
+       CAST(fb_tf AS DOUBLE) * ((n_docs + 1.0) / (df + 1.0)) AS score
+FROM fb_tf JOIN df USING (term) CROSS JOIN n
+ORDER BY score DESC, term ASC
+LIMIT {PRF_TERMS}
+"""
+
+
 QUERIES = {
     "tfidf_topterms": tfidf_topterms,
     "bm25_rank": bm25_rank,
     "hybrid_rank_fusion": hybrid_rank_fusion,
+    "query_expansion_prf": query_expansion_prf,
     "train_val_split": train_val_split,
     "quality_topk_per_group": quality_topk_per_group,
     "pii_scrub": pii_scrub,
@@ -619,6 +697,7 @@ ORACLES = {
     "tfidf_topterms": TFIDF_TOPTERMS_SQL,
     "bm25_rank": BM25_RANK_SQL,
     "hybrid_rank_fusion": HYBRID_RANK_FUSION_SQL,
+    "query_expansion_prf": QUERY_EXPANSION_PRF_SQL,
     "train_val_split": TRAIN_VAL_SPLIT_SQL,
     "quality_topk_per_group": _quality_topk_sql(),
     "pii_scrub": PII_SCRUB_SQL,
