@@ -681,11 +681,89 @@ LIMIT {PRF_TERMS}
 """
 
 
+# ---------------------------------------------------- snippet extraction
+SNIPPET_W = 16   # snippet window width, tokens
+SNIPPET_TOPK = 20
+
+
+def snippet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-result snippet selection: for every document matching
+    the anchor query, the SNIPPET_W-token window holding the most
+    query-term hits (earliest such window on ties) — the last mile of
+    the retrieval stack (bm25 ranks, hybrid fuses, this renders).
+
+    Shape: entirely per-row array algebra over the materialized token
+    array — query-term positions via one indexed transform+filter,
+    per-candidate-window hit counts O(|positions|^2) with positions
+    bounded by per-doc query-term occurrences (a handful), argmax as
+    array_max + a zip_with/array_min tie-break. No explode, no
+    shuffle except the final bounded TakeOrdered. Exact integers
+    throughout."""
+    docs = spread(load_table(spark, "documents", sf_dir))
+    inlist = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    toks = docs.select("doc_id", X.tokens().alias("toks"))
+    pos = F.expr(
+        "filter(transform(toks, (t, i) -> "
+        f"IF(t IN ({inlist}), i, CAST(NULL AS INT))), x -> x IS NOT NULL)")
+    withpos = toks.select("doc_id", pos.alias("pos")).filter(
+        F.expr("size(pos) > 0"))
+    counts = F.expr(
+        "transform(pos, p -> size(filter(pos, q -> q >= p AND q < p + "
+        f"{SNIPPET_W})))")
+    withcounts = withpos.select(
+        "doc_id", "pos", counts.alias("cnts"),
+        F.expr("array_max(transform(pos, p -> size(filter(pos, "
+               f"q -> q >= p AND q < p + {SNIPPET_W}))))").alias("n_hits"))
+    start = F.expr(
+        "array_min(zip_with(pos, cnts, (p, c) -> "
+        "IF(c = n_hits, p, CAST(NULL AS INT))))")
+    return (
+        withcounts.select(
+            "doc_id", F.col("n_hits").cast("long").alias("n_hits"),
+            start.cast("long").alias("window_start"),
+        )
+        .orderBy(F.desc("n_hits"), F.asc("doc_id"))
+        .limit(SNIPPET_TOPK)
+    )
+
+
+SNIPPET_EXTRACT_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform({X.TOKENS_SQL},
+             (t, i) -> CASE WHEN t IN ({_BM25_TERMS_IN})
+                       THEN i - 1 END),
+           x -> x IS NOT NULL) AS pos
+  FROM documents
+),
+withpos AS (SELECT * FROM base WHERE len(pos) > 0),
+withcounts AS (
+  SELECT doc_id, pos,
+         list_transform(pos, p -> len(list_filter(pos,
+           q -> q >= p AND q < p + {SNIPPET_W}))) AS cnts
+  FROM withpos
+),
+hit AS (
+  SELECT doc_id, pos, cnts, list_max(cnts) AS n_hits
+  FROM withcounts
+)
+SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(list_min(list_transform(range(1, len(pos) + 1),
+              i -> CASE WHEN cnts[i] = n_hits THEN pos[i] END))
+            AS BIGINT) AS window_start
+FROM hit
+ORDER BY n_hits DESC, doc_id ASC
+LIMIT {SNIPPET_TOPK}
+"""
+
+
 QUERIES = {
     "tfidf_topterms": tfidf_topterms,
     "bm25_rank": bm25_rank,
     "hybrid_rank_fusion": hybrid_rank_fusion,
     "query_expansion_prf": query_expansion_prf,
+    "snippet_extract": snippet_extract,
     "train_val_split": train_val_split,
     "quality_topk_per_group": quality_topk_per_group,
     "pii_scrub": pii_scrub,
@@ -698,6 +776,7 @@ ORACLES = {
     "bm25_rank": BM25_RANK_SQL,
     "hybrid_rank_fusion": HYBRID_RANK_FUSION_SQL,
     "query_expansion_prf": QUERY_EXPANSION_PRF_SQL,
+    "snippet_extract": SNIPPET_EXTRACT_SQL,
     "train_val_split": TRAIN_VAL_SPLIT_SQL,
     "quality_topk_per_group": _quality_topk_sql(),
     "pii_scrub": PII_SCRUB_SQL,
