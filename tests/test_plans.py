@@ -279,3 +279,20 @@ def test_wave20_plan_shapes(spark):
         assert plan_lacks(df, "BatchEvalPython"), name
     plan = formatted_plan(QUERIES["order_total_audit"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
+
+
+def test_retrieval_wave_plan_shapes(spark):
+    """Retrieval stack: fusion/expansion/snippets stay JVM-only with
+    no cartesian products (maxsim's only nested loop is the broadcast
+    16-vector query panel — the ann_topk_brute posture); snippets
+    must not explode the token stream (no Generate)."""
+    for name in ("hybrid_rank_fusion", "query_expansion_prf",
+                 "snippet_extract"):
+        df = QUERIES[name](spark, SF_DIR)
+        assert plan_lacks(df, "CartesianProduct"), name
+        assert plan_lacks(df, "BatchEvalPython"), name
+    assert plan_lacks(QUERIES["ann_maxsim"](spark, SF_DIR),
+                      "BatchEvalPython")
+    plan = formatted_plan(QUERIES["snippet_extract"](spark, SF_DIR))
+    assert "Generate" not in plan
+    assert "TakeOrderedAndProject" in plan
