@@ -598,6 +598,98 @@ FROM per LEFT JOIN early USING (user_id)
 GROUP BY 1
 """
 
+
+
+# ------------------------------------------------------- weighted_median_price
+_WM_BUCKET = 1 << 20  # price-cent bucket width for the prefix stitch
+
+
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact QUANTITY-WEIGHTED median unit price per return flag —
+    'half the shipped volume moved at or below this price', which the
+    unweighted price_quantiles cannot say and approx_percentile
+    cannot weight at all.
+
+    Exact and global with no global window: prices quantize to
+    integer cents and aggregate to the (flag, price) value grid;
+    cumulative weight = a (flag, price-bucket)-partitioned window
+    PLUS a triangular broadcast prefix over the bounded bucket grid
+    (the events_concurrency stitch); the answer is the MIN price
+    whose cumulative weight reaches the lower-median threshold
+    (W+1) DIV 2 — pure integer compares, deterministic under ties.
+    One double division (cents -> dollars) at output."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag",
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100"
+               " AS BIGINT)").alias("pc"),
+        F.col("l_quantity").cast("long").alias("w"))
+    grid = (
+        li.groupBy("l_returnflag", "pc")
+        .agg(F.sum("w").cast("long").alias("sw"))
+        .withColumn("b", F.expr(f"pc DIV {_WM_BUCKET}"))
+    )
+    bsum = grid.groupBy("l_returnflag", "b").agg(
+        F.sum("sw").cast("long").alias("bw"))
+    pre = (
+        bsum.alias("x")
+        .join(F.broadcast(bsum.alias("y")),
+              (F.col("x.l_returnflag") == F.col("y.l_returnflag"))
+              & (F.col("y.b") < F.col("x.b")), "left")
+        .groupBy(F.col("x.l_returnflag").alias("l_returnflag"),
+                 F.col("x.b").alias("b"))
+        .agg(F.coalesce(F.sum("y.bw"), F.lit(0)).cast("long")
+             .alias("pre"))
+    )
+    wcum = Window.partitionBy("l_returnflag", "b").orderBy("pc") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = F.broadcast(
+        li.groupBy("l_returnflag")
+        .agg(F.sum("w").cast("long").alias("wtot")))
+    cum = (
+        grid.withColumn("inb", F.sum("sw").over(wcum))
+        .join(F.broadcast(pre), ["l_returnflag", "b"])
+        .join(tot, "l_returnflag")
+        .select("l_returnflag", "pc", "wtot",
+                (F.col("pre") + F.col("inb")).alias("cum"))
+    )
+    return (
+        cum.filter(F.col("cum") >= F.expr("(wtot + 1) DIV 2"))
+        .groupBy("l_returnflag")
+        .agg(F.min("wtot").alias("total_weight"),
+             (F.min("pc").cast("double") / F.lit(100.0))
+             .alias("weighted_median_price"))
+    )
+
+
+WEIGHTED_MEDIAN_PRICE_SQL = """
+WITH rows_ AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS pc,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+),
+grid AS (
+  SELECT l_returnflag, pc, CAST(SUM(w) AS BIGINT) AS sw
+  FROM rows_ GROUP BY l_returnflag, pc
+),
+cum AS (
+  SELECT l_returnflag, pc,
+         CAST(SUM(sw) OVER (PARTITION BY l_returnflag ORDER BY pc
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM grid
+),
+tot AS (
+  SELECT l_returnflag, CAST(SUM(w) AS BIGINT) AS wtot
+  FROM rows_ GROUP BY l_returnflag
+)
+SELECT c.l_returnflag, MIN(wtot) AS total_weight,
+       CAST(MIN(pc) AS DOUBLE) / 100.0 AS weighted_median_price
+FROM cum c JOIN tot USING (l_returnflag)
+WHERE cum >= (wtot + 1) // 2
+GROUP BY c.l_returnflag
+"""
+
 QUERIES = {
     "events_mad_outliers": events_mad_outliers,
     "audience_overlap": audience_overlap,
@@ -606,6 +698,7 @@ QUERIES = {
     "late_arrival_census": late_arrival_census,
     "order_total_audit": order_total_audit,
     "lifecycle_conformance": lifecycle_conformance,
+    "weighted_median_price": weighted_median_price,
 }
 
 ORACLES = {
@@ -616,4 +709,5 @@ ORACLES = {
     "late_arrival_census": LATE_ARRIVAL_CENSUS_SQL,
     "order_total_audit": ORDER_TOTAL_AUDIT_SQL,
     "lifecycle_conformance": LIFECYCLE_CONFORMANCE_SQL,
+    "weighted_median_price": WEIGHTED_MEDIAN_PRICE_SQL,
 }
