@@ -933,6 +933,74 @@ GROUP BY doc_id
 """
 
 
+
+
+# ------------------------------------------------------- dedup_agreement
+def dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-family agreement census: which near-dup candidate pairs
+    does MinHash-LSH banding surface vs SimHash bucketing, and how
+    much do they overlap — the QA table that tunes which sketch (or
+    both) a production dedup run should trust, since the two families
+    have different blind spots (LSH misses low-Jaccard rewrites;
+    SimHash misses length-skewed containment).
+
+    Shape: LSH pairs come straight from the banded candidate join;
+    SimHash pairs expand IN-ARRAY per bucket (bounded by bucket size,
+    the graphs.py idiom — never an unbounded bucket self-join); the
+    verdict is a full-outer join of two small pair sets, rolled up to
+    one row per agreement class. Exact counts only."""
+    lsh = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    sim = (
+        dedup_simhash(spark, sf_dir)
+        .groupBy("simhash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .select(F.explode(F.expr(
+            "flatten(transform(ds, (a, i) -> "
+            "transform(slice(ds, i + 2, size(ds)), "
+            "b -> struct(a AS doc_a, b AS doc_b))))")).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"),
+                F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
+    j = (
+        lsh.withColumn("in_lsh", F.lit(1))
+        .join(sim.withColumn("in_sim", F.lit(1)),
+              ["doc_a", "doc_b"], "full_outer")
+    )
+    cls = (
+        F.when(F.col("in_lsh").isNotNull() & F.col("in_sim").isNotNull(),
+               "both")
+        .when(F.col("in_lsh").isNotNull(), "lsh_only")
+        .otherwise("simhash_only")
+    )
+    return (
+        j.select(cls.alias("agreement"))
+        .groupBy("agreement")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+DEDUP_AGREEMENT_SQL = f"""
+WITH lsh AS (
+  SELECT DISTINCT doc_a, doc_b FROM ({DEDUP_MINHASH_SQL})
+),
+sk AS (SELECT doc_id, simhash FROM ({DEDUP_SIMHASH_SQL})),
+sim AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sk a JOIN sk b
+    ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+)
+SELECT CASE WHEN l.doc_a IS NOT NULL AND s.doc_a IS NOT NULL
+              THEN 'both'
+            WHEN l.doc_a IS NOT NULL THEN 'lsh_only'
+            ELSE 'simhash_only' END AS agreement,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM lsh l FULL JOIN sim s
+  ON l.doc_a = s.doc_a AND l.doc_b = s.doc_b
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "dedup_incremental": dedup_incremental,
     "dedup_exact": dedup_exact,
@@ -942,6 +1010,7 @@ QUERIES = {
     "dedup_minhash_estimate": dedup_minhash_estimate,
     "dedup_components": dedup_components,
     "dedup_components_star": dedup_components_star,
+    "dedup_agreement": dedup_agreement,
     "dedup_apply": dedup_apply,
     "cross_source_overlap": cross_source_overlap,
     "dedup_substring": dedup_substring,
@@ -957,6 +1026,7 @@ ORACLES = {
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,
     "dedup_components_star": DEDUP_COMPONENTS_SQL,
+    "dedup_agreement": DEDUP_AGREEMENT_SQL,
     "dedup_apply": DEDUP_APPLY_SQL,
     "cross_source_overlap": CROSS_SOURCE_OVERLAP_SQL,
 }
