@@ -690,6 +690,112 @@ WHERE cum >= (wtot + 1) // 2
 GROUP BY c.l_returnflag
 """
 
+
+
+# ------------------------------------------------------------ bot_rule_census
+BOT_VOLUME_N = 50    # rule 1: raw volume
+BOT_MONO_N = 10      # rule 2: single-type accounts at this volume
+BOT_METRO_N = 10     # rule 3: metronome needs this many gaps
+# rule 3 fires when cv^2 of inter-event gaps <= 1/10, tested as the
+# exact integer cross-multiplication 10*(n*Σd² - (Σd)²) <= (Σd)²
+BOT_CV2_NUM, BOT_CV2_DEN = 1, 10
+
+
+def bot_rule_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral bot-detection rule census: per rule, how many users
+    trip it — raw volume (R1), single-event-type accounts (R2), and
+    metronome regularity (R3: inter-event gap cv² below 1/10 — humans
+    are bursty, schedulers are not) — the behavioral sibling of
+    gopher_rules' content gates.
+
+    Exactness where variance meets floats: the cv² threshold is
+    tested as an integer cross-multiplication over DECIMAL(38,0)
+    gap moments (gaps are microsecond BIGINTs; their squares need
+    the wide accumulator), so the rule decision never touches a
+    double. Shape: one user-partitioned lag window for gaps, one
+    partial-agg shuffle per user, bounded rule rollup."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+        "event_id")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = ev.select(
+        "user_id", "event_type", "us",
+        (F.col("us") - F.lag("us").over(w)).alias("d"))
+    per = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("event_type").cast("long").alias("n_types"),
+            F.count("d").cast("long").alias("nd"),
+            F.sum("d").cast("decimal(38,0)").alias("sd"),
+            F.sum(F.col("d").cast("decimal(38,0)")
+                  * F.col("d").cast("decimal(38,0)")).alias("sdd"),
+        )
+    )
+    r1 = (F.col("n") >= BOT_VOLUME_N).cast("long")
+    r2 = ((F.col("n_types") == 1) & (F.col("n") >= BOT_MONO_N)) \
+        .cast("long")
+    r3 = (
+        (F.col("nd") >= BOT_METRO_N)
+        & (F.col("sd") > 0)
+        & (F.lit(BOT_CV2_DEN)
+           * (F.col("nd") * F.col("sdd") - F.col("sd") * F.col("sd"))
+           <= F.lit(BOT_CV2_NUM) * F.col("sd") * F.col("sd"))
+    ).cast("long")
+    flags = per.select(
+        r1.alias("volume"), r2.alias("single_type"),
+        F.coalesce(r3, F.lit(0)).alias("metronome"))
+    return (
+        flags.select(F.explode(F.expr(
+            "array(struct('volume' AS rule, volume AS hit), "
+            "struct('single_type' AS rule, single_type AS hit), "
+            "struct('metronome' AS rule, metronome AS hit))")).alias("e"))
+        .groupBy(F.col("e.rule").alias("rule"))
+        .agg(F.sum("e.hit").cast("long").alias("n_users"))
+    )
+
+
+BOT_RULE_CENSUS_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us,
+         event_id
+  FROM events
+),
+gaps AS (
+  SELECT user_id, event_type,
+         us - lag(us) OVER (PARTITION BY user_id
+                            ORDER BY us, event_id) AS d
+  FROM ev
+),
+per AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+         CAST(COUNT(d) AS BIGINT) AS nd,
+         CAST(SUM(d) AS HUGEINT) AS sd,
+         CAST(SUM(CAST(d AS HUGEINT) * d) AS HUGEINT) AS sdd
+  FROM gaps GROUP BY user_id
+),
+flags AS (
+  SELECT CASE WHEN n >= {BOT_VOLUME_N} THEN 1 ELSE 0 END AS volume,
+         CASE WHEN n_types = 1 AND n >= {BOT_MONO_N}
+              THEN 1 ELSE 0 END AS single_type,
+         CASE WHEN nd >= {BOT_METRO_N} AND sd > 0
+                   AND {BOT_CV2_DEN} * (nd * sdd - sd * sd)
+                       <= {BOT_CV2_NUM} * sd * sd
+              THEN 1 ELSE 0 END AS metronome
+  FROM per
+)
+SELECT rule, CAST(SUM(hit) AS BIGINT) AS n_users
+FROM (
+  SELECT 'volume' AS rule, volume AS hit FROM flags
+  UNION ALL SELECT 'single_type', single_type FROM flags
+  UNION ALL SELECT 'metronome', metronome FROM flags
+)
+GROUP BY rule
+"""
+
 QUERIES = {
     "events_mad_outliers": events_mad_outliers,
     "audience_overlap": audience_overlap,
@@ -699,6 +805,7 @@ QUERIES = {
     "order_total_audit": order_total_audit,
     "lifecycle_conformance": lifecycle_conformance,
     "weighted_median_price": weighted_median_price,
+    "bot_rule_census": bot_rule_census,
 }
 
 ORACLES = {
@@ -710,4 +817,5 @@ ORACLES = {
     "order_total_audit": ORDER_TOTAL_AUDIT_SQL,
     "lifecycle_conformance": LIFECYCLE_CONFORMANCE_SQL,
     "weighted_median_price": WEIGHTED_MEDIAN_PRICE_SQL,
+    "bot_rule_census": BOT_RULE_CENSUS_SQL,
 }
