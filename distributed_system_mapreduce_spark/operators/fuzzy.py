@@ -83,10 +83,65 @@ WHERE levenshtein(name_a, name_b) <= {MAX_DIST}
 """
 
 
+# ------------------------------------------------- entity_canonicalize
+def entity_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution, closed: transitive clustering of the fuzzy
+    name-match pairs (blocked edit-distance graph) and a canonical
+    representative per cluster — the master-data step after pairwise
+    matching, composing the SAME connected-components engine that
+    backs dedup_components (min-label works on any orderable id;
+    here the label is the lexicographically smallest name). Output:
+    every clustered name with its canonical form and cluster size.
+
+    The DuckDB oracle is the independent recursive-CTE closure over
+    the same pair SQL (the dedup_components formulation on strings).
+    """
+    from distributed_system_mapreduce_spark.operators.dedup import (
+        min_label_components,
+    )
+
+    pairs = fuzzy_name_pairs(spark, sf_dir).select("name_a", "name_b")
+    labels = min_label_components(pairs)
+    from pyspark.sql import Window
+
+    wc = Window.partitionBy("canonical")
+    return (
+        labels.select(F.col("doc_id").alias("name"),
+                      F.col("component").alias("canonical"))
+        .withColumn("cluster_size", F.count("*").over(wc).cast("long"))
+    )
+
+
+ENTITY_CANONICALIZE_SQL = f"""
+WITH RECURSIVE p AS (
+  SELECT name_a, name_b FROM ({FUZZY_NAME_PAIRS_SQL})
+),
+e AS (
+  SELECT name_a AS src, name_b AS dst FROM p
+  UNION
+  SELECT name_b, name_a FROM p
+),
+reach(a, b) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src
+),
+labels AS (
+  SELECT a AS name, MIN(b) AS canonical FROM reach GROUP BY a
+)
+SELECT name, canonical,
+       CAST(COUNT(*) OVER (PARTITION BY canonical) AS BIGINT)
+         AS cluster_size
+FROM labels
+"""
+
+
 QUERIES = {
     "fuzzy_name_pairs": fuzzy_name_pairs,
+    "entity_canonicalize": entity_canonicalize,
 }
 
 ORACLES = {
     "fuzzy_name_pairs": FUZZY_NAME_PAIRS_SQL,
+    "entity_canonicalize": ENTITY_CANONICALIZE_SQL,
 }
