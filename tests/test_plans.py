@@ -296,3 +296,16 @@ def test_retrieval_wave_plan_shapes(spark):
     plan = formatted_plan(QUERIES["snippet_extract"](spark, SF_DIR))
     assert "Generate" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_wave21_plan_shapes(spark):
+    """Weighted-median stitch, bot rules, sketch agreement, entity
+    canonicalization: no cartesian products, no Python eval; the
+    weighted median's only nested loop is the triangular broadcast
+    bucket prefix; the agreement census' pair sources are banded
+    equi-joins and in-array expansion."""
+    for name in ("weighted_median_price", "bot_rule_census",
+                 "dedup_agreement", "entity_canonicalize"):
+        df = QUERIES[name](spark, SF_DIR)
+        assert plan_lacks(df, "CartesianProduct"), name
+        assert plan_lacks(df, "BatchEvalPython"), name
