@@ -187,6 +187,26 @@ SHOWCASE = [
     ("embedding_margin",
      "grid-exact centroids broadcast (bounded fan-out), per-vector "
      "bounded sort for nearest-two, TakeOrdered top-k"),
+    ("decayed_popularity",
+     "dyadic decay weights + ordered fold (exact exponential sum)"),
+    ("revenue_trend_ols",
+     "exact BIGINT normal equations, dims broadcast"),
+    ("events_throttle",
+     "keep-if-gap fold over per-user sorted arrays"),
+    ("late_arrival_census",
+     "bucketed prefix-MAX stitch, broadcast offsets"),
+    ("bootstrap_ci",
+     "x32 resample explode on the bounded day grid, percentile band"),
+    ("weighted_median_price",
+     "value-grid cumsum + triangular broadcast bucket prefix"),
+    ("ann_maxsim",
+     "broadcast query-token panel, per-token max agg, token-ordered fold"),
+    ("hybrid_rank_fusion",
+     "RRF of two TakeOrdered rankers (bounded fusion join)"),
+    ("snippet_extract",
+     "per-row array algebra, no Generate, TakeOrdered finish"),
+    ("dedup_components_star",
+     "alternating large-star/small-star CC rounds"),
 ]
 
 
