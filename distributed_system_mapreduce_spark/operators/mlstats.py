@@ -376,11 +376,104 @@ SELECT f.event_type, f.n_days, f.mean_daily,
 FROM fl f JOIN ci USING (event_type)
 """
 
+
+
+# ---------------------------------------------------------- seasonal_strength
+def seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality strength per event type: eta² = the share of
+    daily-volume variance explained by day-of-week (SS_between /
+    SS_total) — one number that says whether a weekly-seasonal model
+    (events_dow_profile, events_holt_forecast) is worth fitting at
+    all. eta² near 0: no weekly rhythm; near 1: volume is pure
+    calendar.
+
+    Determinism: every moment (daily counts, per-dow sums/counts,
+    corpus sums of squares) is an exact BIGINT < 2^53, so the casts
+    are exact; eta² assembles as ONE fixed-order double expression
+    whose only iteration is a dow-ordered 7-element fold (the
+    user_survival_km discipline). Shape: two bounded partial-agg
+    shuffles (day grid, dow grid)."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {_DAY_US}")
+        .alias("day"))
+    daily = (
+        ev.groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .withColumn("dow", F.col("day") % 7)
+    )
+    per = (
+        daily.groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).cast("long").alias("dw"),
+             F.sum("c").cast("long").alias("sw"))
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("d"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("q"))
+    ssb_part = (
+        "aggregate(transform(array_sort(collect_list(struct(dow, dw, sw)))"
+        ", e -> CAST(e.sw AS DOUBLE) * CAST(e.sw AS DOUBLE)"
+        " / CAST(e.dw AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    return (
+        per.groupBy("event_type")
+        .agg(F.expr(ssb_part).alias("sb"))
+        .join(tot, "event_type")
+        .select(
+            "event_type", F.col("d").alias("n_days"),
+            ((F.col("d").cast("double") * F.col("sb")
+              - F.col("s").cast("double") * F.col("s").cast("double"))
+             / (F.col("d").cast("double") * F.col("q").cast("double")
+                - F.col("s").cast("double") * F.col("s").cast("double")))
+            .alias("eta2"),
+        )
+    )
+
+
+SEASONAL_STRENGTH_SQL = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) // {_DAY_US} AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+withdow AS (SELECT event_type, day % 7 AS dow, c FROM daily),
+per AS (
+  SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS dw,
+         CAST(SUM(c) AS BIGINT) AS sw
+  FROM withdow GROUP BY event_type, dow
+),
+tot AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS d,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS q
+  FROM withdow GROUP BY event_type
+),
+sb AS (
+  SELECT event_type,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                  / CAST(dw AS DOUBLE) ORDER BY dow)),
+           (acc, x) -> acc + x) AS sb
+  FROM per GROUP BY event_type
+)
+SELECT t.event_type, d AS n_days,
+       (CAST(d AS DOUBLE) * sb
+        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+         / (CAST(d AS DOUBLE) * CAST(q AS DOUBLE)
+            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) AS eta2
+FROM tot t JOIN sb USING (event_type)
+"""
+
 QUERIES = {
     "kfold_assign": kfold_assign,
     "revenue_trend_ols": revenue_trend_ols,
     "events_chi2_dow": events_chi2_dow,
     "bootstrap_ci": bootstrap_ci,
+    "seasonal_strength": seasonal_strength,
 }
 
 ORACLES = {
@@ -388,4 +481,5 @@ ORACLES = {
     "revenue_trend_ols": REVENUE_TREND_OLS_SQL,
     "events_chi2_dow": EVENTS_CHI2_DOW_SQL,
     "bootstrap_ci": BOOTSTRAP_CI_SQL,
+    "seasonal_strength": SEASONAL_STRENGTH_SQL,
 }

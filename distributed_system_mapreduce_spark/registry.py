@@ -157,7 +157,7 @@ _PRIORITY = [
     "embedding_dim_variance", "source_boilerplate",
     "late_arrival_census", "order_total_audit", "bootstrap_ci", "lifecycle_conformance",
     "ann_maxsim", "hybrid_rank_fusion", "query_expansion_prf", "snippet_extract",
-    "weighted_median_price", "dedup_agreement", "bot_rule_census", "entity_canonicalize",
+    "weighted_median_price", "dedup_agreement", "bot_rule_census", "entity_canonicalize", "seasonal_strength",
     # multimodal decode family: stub kernel is deterministic md5
     # arithmetic, so the Arrow stage is oracle-checked end-to-end
     "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
