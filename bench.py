@@ -4,18 +4,30 @@ prints ONE JSON line (driver contract).
 Materialization is via the noop sink (full execution, no driver
 collect). Time includes plan + execution per query on a warm session.
 
-Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS   (default all cores).
+Isolation: a single 215-query JVM accumulates codegen-cache and
+block-manager pressure that inflates late queries ~1.3x (measured
+r1->r2: median ratio 1.31 over unchanged queries; fresh re-times
+halved several of them). The parent therefore splits the query list
+into fixed process GROUPS and runs each group in its own JVM child —
+every group pays one warmup, and no query's time depends on how many
+queries ran before it in the round.
+
+Env: SPARK_GRAFT_SF_DIR      (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS        (default all cores),
+     SPARK_GRAFT_BENCH_GROUP (internal: marks a child process).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 HEADLINE = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
@@ -24,11 +36,11 @@ HEADLINE = [
     "events_daily_rollup", "events_sessionize", "top_customers",
 ]
 
+GROUP_SIZE = 48  # queries per child JVM
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    only = sys.argv[1:] or None
 
+def run_group(names: list[str], sf_dir: str, out_path: str) -> None:
+    """Child body: bench `names` in this process's own Spark session."""
     from distributed_system_mapreduce_spark.registry import QUERIES
     from distributed_system_mapreduce_spark.session import get_spark
 
@@ -42,30 +54,23 @@ def main() -> None:
         lambda it: it, "id long").write.format(
         "noop").mode("overwrite").save()
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    times: dict[str, float] = {}
-    names = only or list(QUERIES)
-    # min of 2 runs: absorbs one-time codegen JIT (negligible at real
-    # scale) and host-CPU contention noise on the shared test box
     def _drop_persisted() -> None:
-        # several queries localCheckpoint() intermediates; across 120+
-        # queries in ONE JVM those persisted RDDs accumulate and the
-        # memory pressure inflates later queries (measured: a 1.7s
-        # engine query read 5s late in a full run). Real deployments
-        # run one job per session — drop the leftovers between queries.
+        # several queries localCheckpoint() intermediates; leftover
+        # persisted RDDs inflate later queries. Blocking unpersist so
+        # the blocks are gone before the next timer starts.
         m = spark.sparkContext._jsc.sc().getPersistentRDDs()
         it = m.iterator()
         while it.hasNext():
-            # blocking: with async unpersist the blocks linger while
-            # the next query runs, and across 140+ queries the
-            # executor-memory pressure inflates the tail of the run
             it.next()._2().unpersist(True)
 
+    times: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
         fn = QUERIES[name]
         best = None
         try:
+            # min of 2 runs: absorbs one-time codegen JIT (negligible
+            # at real scale) and host-CPU contention noise
             for _ in range(2):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop") \
@@ -78,6 +83,68 @@ def main() -> None:
             _drop_persisted()     # the whole round's bench artifact
             continue
         times[name] = round(best, 3)
+    with open(out_path, "w") as fh:
+        json.dump({"queries": times, "errors": errors}, fh)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    if os.environ.get("SPARK_GRAFT_BENCH_GROUP"):
+        run_group(sys.argv[1].split(","), sf_dir, sys.argv[2])
+        return
+
+    only = sys.argv[1:] or None
+    from distributed_system_mapreduce_spark.registry import QUERIES
+
+    names = only or list(QUERIES)
+    groups = [names[i:i + GROUP_SIZE]
+              for i in range(0, len(names), GROUP_SIZE)]
+
+    times: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    env = dict(os.environ, SPARK_GRAFT_BENCH_GROUP="1")
+    for grp in groups:
+        with tempfile.NamedTemporaryFile(suffix=".json",
+                                         delete=False) as tf:
+            out_path = tf.name
+        try:
+            # sequential children: each gets the whole machine; a
+            # crashed child voids only its own group
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 ",".join(grp), out_path],
+                env=env, cwd=REPO, timeout=3600,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            if proc.returncode == 0:
+                with open(out_path) as fh:
+                    part = json.load(fh)
+                times.update(part["queries"])
+                errors.update(part["errors"])
+            else:
+                for n in grp:
+                    errors[n] = f"bench child exited {proc.returncode}"
+        finally:
+            if os.path.exists(out_path):
+                os.unlink(out_path)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
+        REPO, "BENCH_DETAIL.json")
+    if only:
+        # ad-hoc subset runs must not clobber the round's full detail
+        # artifact (the next round's ratio baseline)
+        detail_path += ".partial"
+    # round-over-round comparability: ratio vs the previous round's
+    # detail file for every query present in both
+    ratios: dict[str, float] = {}
+    try:
+        with open(detail_path) as fh:
+            prev = json.load(fh).get("queries", {})
+        ratios = {n: round(times[n] / prev[n], 3)
+                  for n in times if prev.get(n)}
+    except (OSError, json.JSONDecodeError):
+        pass
 
     headline_errors = [n for n in HEADLINE if n in errors]
     # a missing HEADLINE member must not make the headline look
@@ -87,10 +154,10 @@ def main() -> None:
     # Full per-query map goes to a file; the final stdout line stays
     # short (headline queries only) so the driver's line capture never
     # truncates mid-JSON (r1's ~2 KB line came back unparsed).
-    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
-        json.dump({"sf": float(sf), "queries": times, "errors": errors},
+        json.dump({"sf": float(sf), "queries": times, "errors": errors,
+                   "ratio_vs_prev_round": ratios,
+                   "group_size": GROUP_SIZE},
                   fh, indent=1, sort_keys=True)
     line = {
         "metric": "headline_queries_total_runtime",

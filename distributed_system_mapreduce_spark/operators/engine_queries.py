@@ -22,13 +22,17 @@ from distributed_system_mapreduce_spark.operators.mapreduce_queries import (
     VOTE_WINNER_SQL,
     WORDCOUNT_SQL,
 )
-from distributed_system_mapreduce_spark.tables import load_table
+from distributed_system_mapreduce_spark.tables import load_table, spread
 
 
 # ASCII whitespace class — the oracle's tokenizer (functions/text.py).
 # NOT str.split(): Python splits on ALL unicode whitespace (NBSP,
 # NEL, U+2028...) which the cross-engine contract excludes.
 _WS_RE = re.compile(r"[ \t\n\r\f\x0b]+")
+
+# translate-to-space + split(" ") == the regex class split, but stays
+# in C string code (measured 2.3x over the compiled regex at sf0.1)
+_WS_TBL = str.maketrans({c: " " for c in "\t\n\r\f\x0b"})
 
 
 def _wc_maple(line: str):
@@ -38,17 +42,40 @@ def _wc_maple(line: str):
             yield tok, "1"
 
 
+def _wc_maple_combining(lines: pd.Series) -> pd.DataFrame:
+    """wc_maple with a map-side COMBINER — the classic MapReduce
+    optimization (Hadoop's combiner; the reference could ship the
+    same logic inside its maple exe). Emits (word, partial_count)
+    per Arrow batch instead of (word, "1") per token, so the engine
+    shuffle carries O(vocab) rows per partition rather than one row
+    per token — the difference between shuffling 270k and ~31 rows
+    per partition at sf0.1, and between TBs and MBs at 100 TB.
+    _wc_juice sums values either way, so results are byte-identical
+    (same oracle)."""
+    toks: list[str] = []
+    for line in lines:
+        if line is not None:
+            toks.extend(line.translate(_WS_TBL).split(" "))
+    counts = pd.Series(toks, dtype="object").value_counts()
+    if "" in counts.index:
+        counts = counts.drop("")
+    return pd.DataFrame({"key": counts.index.astype(str),
+                         "value": counts.to_numpy().astype(str)})
+
+
 def _wc_juice(key: str, grp: pd.DataFrame) -> pd.DataFrame:
     # juice_wordcount.go:24 — wcmap[key] += count
     return pd.DataFrame({"word": [key], "cnt": [grp["value"].astype("int64").sum()]})
 
 
 def mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir).select("text")
+    # spread: the CPU-heavy maple stage must not run on one core when
+    # the local scan is a single row-group (no-op on a real cluster)
+    docs = spread(load_table(spark, "documents", sf_dir).select("text"))
     mj = MapleJuice(spark)
     out = mj.run(
         docs,
-        wrap_line_job(_wc_maple),
+        _wc_maple_combining,
         _wc_juice,
         output_schema="word string, cnt long",
     )
@@ -57,12 +84,16 @@ def mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def mr_wordcount_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same job through the range-partition shuffle path
-    (Shuffle(partition="range"), maple_juice.go:688)."""
-    docs = load_table(spark, "documents", sf_dir).select("text")
+    (Shuffle(partition="range"), maple_juice.go:688). With the
+    combining maple the persisted map output (juice()'s
+    cache_range_input, needed so range-boundary sampling doesn't
+    re-run the map) is O(vocab x partitions) rows — trivial to cache
+    at any scale."""
+    docs = spread(load_table(spark, "documents", sf_dir).select("text"))
     mj = MapleJuice(spark)
     return mj.run(
         docs,
-        wrap_line_job(_wc_maple),
+        _wc_maple_combining,
         _wc_juice,
         partition="range",
         output_schema="word string, cnt long",

@@ -87,94 +87,79 @@ if _extra:
 # budget — then the rows-only entries (their driver check is weaker),
 # then the already-driver-green rest as re-confirmation.
 _PRIORITY = [
-    # -- never driver-checked in r1 (or new this round), oracle-backed --
-    "mr_wordcount_exe",
-    "events_asof_order", "purchase_attribution",
-    "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_minhash_estimate", "dedup_components", "dedup_apply",
-    "ann_topk_brute", "ann_topk_lsh", "ann_topk_ivf", "dedup_embedding",
-    "multimodal_meta",
-    "repetition_score", "ngram_counts", "contamination_check",
-    "domain_mix", "mix_rebalance_sample", "packing_stats",
-    "train_val_split", "quality_topk_per_group", "pii_scrub", "events_cube",
-    # -- output types canonicalized this round (r1 hash-mismatch) -------
-    "vote_round1", "corpus_stats",
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
-    "q10_returned_items", "top_customers", "events_daily_rollup",
-    "events_running_total", "events_sessionize",
-    "q7_nation_volume", "q14_promo_revenue", "q15_top_supplier",
-    "q17_small_qty_revenue", "q18_large_orders", "q19_bracket_revenue",
-    "q22_idle_customers",
-    "events_rollup", "customer_cohort_ltv", "events_funnel",
-    "q8_market_share",
-    "q9_product_profit", "q11_part_value_concentration",
-    "q12_late_shipments",
-    # -- new this round (oracle-backed extras beyond the r1 verdict) ----
-    "kmv_distinct", "bloom_semi_filter", "events_concurrency",
-    "cdc_apply", "skyline_parts", "winsorized_stats", "events_twap",
-    "fuzzy_name_pairs", "ann_incremental", "multimodal_phash_dedup",
-    "source_hhi", "community_lpa", "events_drift",
+    # -- never driver-confirmed (r1+r2 gates covered 76 keys; this
+    # block leads so the r3 50-entry gate prefix confirms the next 50
+    # oracle-backed queries; cumulative driver-confirmed -> ~126) -----
+    "bloom_semi_filter", "events_concurrency", "cdc_apply", "skyline_parts",
+    "winsorized_stats", "events_twap", "fuzzy_name_pairs", "ann_incremental",
+    "multimodal_phash_dedup", "source_hhi", "community_lpa", "events_drift",
     "cross_source_overlap", "dedup_substring", "curation_pipeline",
-    "events_anomaly",
-    "events_props_stats", "events_retention", "events_sliding_window",
-    "events_path_trigrams", "rare_token_rate", "events_skew_rollup",
-    "quality_adaptive_filter", "token_budget_sample",
-    "embedding_components", "basket_pairs", "events_dau_wau",
-    "ann_topk_pq",
+    "events_anomaly", "events_props_stats", "events_retention",
+    "events_sliding_window", "events_path_trigrams", "rare_token_rate",
+    "events_skew_rollup", "quality_adaptive_filter", "token_budget_sample",
+    "embedding_components", "basket_pairs", "events_dau_wau", "ann_topk_pq",
     "events_transition_matrix", "events_inter_arrival", "pagerank_parts",
-    "pack_chunks", "bigram_lift",
-    "dedup_incremental", "triangle_count", "profile_orders",
-    "events_ohlc", "events_gap_fill", "orders_backlog",
+    "pack_chunks", "bigram_lift", "dedup_incremental", "triangle_count",
+    "profile_orders", "events_ohlc", "events_gap_fill", "orders_backlog",
     "training_batches_digest", "events_streaks", "supplier_lead_time",
-    "embedding_dedup_apply",
-    "events_rolling_median", "vocab_growth", "graph_degree_dist",
-    "orders_mom_growth", "text_normalize", "customer_rfm",
-    "revenue_concentration", "events_hour_heatmap",
+    "embedding_dedup_apply", "events_rolling_median", "vocab_growth",
+    "graph_degree_dist", "orders_mom_growth", "text_normalize",
+    "customer_rfm", "revenue_concentration", "events_hour_heatmap",
     "multimodal_dedup", "embedding_stats", "events_skew_join",
     "fk_integrity", "events_ewma", "abandoned_views",
-    "quality_dup_correlation",
-    "tokenizer_fertility", "lang_confusion", "chunk_overlap",
-    "dedup_cluster_stats", "embedding_quantize", "text_integrity",
-    "k_anonymity", "user_growth", "link_prediction",
+    "quality_dup_correlation", "tokenizer_fertility", "lang_confusion",
+    "chunk_overlap", "dedup_cluster_stats", "embedding_quantize",
+    "text_integrity", "k_anonymity", "user_growth", "link_prediction",
     "join_size_estimate", "gopher_rules", "shard_assignment",
     "events_autocorr", "funnel_latency", "customer_repeat_cohort",
     "minhash_containment", "semantic_outliers", "token_rank_curve",
     "nation_share_yoy", "user_behavior_gini", "ngram_novelty",
-    "split_ks_check", "user_churn", "l_diversity",
-    "events_dow_profile", "top_returned_parts",
-    "stratified_reservoir", "dedup_survivorship",
-    "tokenizer_oov_rate", "hard_negative_mining",
-    "embedding_margin", "session_lengths", "returns_mix_shift",
-    "user_survival_km", "events_cusum", "discount_qty_elasticity",
-    "join_key_skew", "revenue_gini", "events_holt_forecast",
-    "events_daily_quantiles", "graph_bfs_reach",
-    "assoc_rules", "ab_test_zstat", "lsh_param_sweep",
+    "split_ks_check", "user_churn", "l_diversity", "events_dow_profile",
+    "top_returned_parts", "stratified_reservoir", "dedup_survivorship",
+    "tokenizer_oov_rate", "hard_negative_mining", "embedding_margin",
+    "session_lengths", "returns_mix_shift", "user_survival_km",
+    "events_cusum", "discount_qty_elasticity", "join_key_skew",
+    "revenue_gini", "events_holt_forecast", "events_daily_quantiles",
+    "graph_bfs_reach", "assoc_rules", "ab_test_zstat", "lsh_param_sweep",
     "events_grouping_sets", "kcore_census", "attribution_credit",
-    "dedup_components_star", "decayed_popularity",
-    "kfold_assign", "revenue_trend_ols", "events_chi2_dow",
-    "events_mad_outliers", "audience_overlap",
-    "events_throttle", "customer_decile_migration",
-    "embedding_dim_variance", "source_boilerplate",
-    "late_arrival_census", "order_total_audit", "bootstrap_ci", "lifecycle_conformance",
-    "ann_maxsim", "hybrid_rank_fusion", "query_expansion_prf", "snippet_extract",
-    "weighted_median_price", "dedup_agreement", "bot_rule_census", "entity_canonicalize", "seasonal_strength",
-    # multimodal decode family: stub kernel is deterministic md5
-    # arithmetic, so the Arrow stage is oracle-checked end-to-end
+    "dedup_components_star", "decayed_popularity", "kfold_assign",
+    "revenue_trend_ols", "events_chi2_dow", "events_mad_outliers",
+    "audience_overlap", "events_throttle", "customer_decile_migration",
+    "embedding_dim_variance", "source_boilerplate", "late_arrival_census",
+    "order_total_audit", "bootstrap_ci", "lifecycle_conformance",
+    "ann_maxsim", "hybrid_rank_fusion", "query_expansion_prf",
+    "snippet_extract", "weighted_median_price", "dedup_agreement",
+    "bot_rule_census", "entity_canonicalize", "seasonal_strength",
     "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
     "multimodal_audio_segments",
-    # -- rows-only (no oracle by design; weaker driver check) -----------
+    # -- rows-only (no oracle by design; weaker driver check) ---------
     "kmeans_embed", "approx_price_quantiles", "freq_items_sketch",
     "bpe_train_merges", "bpe_vocab_stats", "bpe_token_count",
-    # -- r1 driver-green (re-confirmation) ------------------------------
-    "wordcount", "vote_winner", "split_by_key", "range_partition_hist",
-    "mr_wordcount", "mr_wordcount_range", "mr_vote_winner",
-    "q2_best_supplier", "q6_forecast_revenue", "q13_order_count_dist",
-    "q16_supplier_counts", "q20_heavy_shippers", "q21_sole_supplier_returns",
+    # -- driver-confirmed in r1/r2 gates (re-confirmation tail) -------
+    "mr_wordcount_exe", "events_asof_order", "purchase_attribution",
+    "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_minhash_estimate", "dedup_components", "dedup_apply",
+    "ann_topk_brute", "ann_topk_lsh", "ann_topk_ivf", "dedup_embedding",
+    "multimodal_meta", "repetition_score", "ngram_counts",
+    "contamination_check", "domain_mix", "mix_rebalance_sample",
+    "packing_stats", "train_val_split", "quality_topk_per_group",
+    "pii_scrub", "events_cube", "vote_round1", "corpus_stats",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q10_returned_items", "top_customers", "events_daily_rollup",
+    "events_running_total", "events_sessionize", "q7_nation_volume",
+    "q14_promo_revenue", "q15_top_supplier", "q17_small_qty_revenue",
+    "q18_large_orders", "q19_bracket_revenue", "q22_idle_customers",
+    "events_rollup", "customer_cohort_ltv", "events_funnel",
+    "q8_market_share", "q9_product_profit", "q11_part_value_concentration",
+    "q12_late_shipments", "kmv_distinct", "wordcount", "vote_winner",
+    "split_by_key", "range_partition_hist", "mr_wordcount",
+    "mr_wordcount_range", "mr_vote_winner", "q2_best_supplier",
+    "q6_forecast_revenue", "q13_order_count_dist", "q16_supplier_counts",
+    "q20_heavy_shippers", "q21_sole_supplier_returns",
     "order_priority_count", "distinct_users_by_type", "events_pivot",
-    "price_quantiles",
-    "token_count", "lang_id", "quality_score", "quality_filter",
-    "term_doc_freq", "doc_fingerprint", "approx_distinct_users_by_type",
-    "tfidf_topterms", "bm25_rank",
+    "price_quantiles", "token_count", "lang_id", "quality_score",
+    "quality_filter", "term_doc_freq", "doc_fingerprint",
+    "approx_distinct_users_by_type", "tfidf_topterms", "bm25_rank",
 ]
 
 if set(_PRIORITY) != set(_MERGED) or len(_PRIORITY) != len(_MERGED):

