@@ -321,7 +321,7 @@ GROUP BY decile_before, decile_after
 
 
 # --------------------------------------------------------- late_arrival_census
-_LATE_BUCKET = 1 << 17  # arrival-order bucket width (event ids)
+_LATE_N_BUCKETS = 4096  # fixed arrival-order bucket COUNT (not width)
 
 
 def late_arrival_census(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -333,29 +333,30 @@ def late_arrival_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same feed the streaming jobs consume).
 
     The running 'max ts seen so far' is exact and global per type yet
-    never a low-cardinality global window: arrival ids bucket into
-    128k-id blocks, the in-bucket exclusive running max is a
-    (type, bucket)-partitioned window, per-bucket maxima collect to
-    O(types x buckets) driver scalars whose exclusive prefix-max
-    broadcasts back — the orders_backlog prefix-sum stitch with MAX
-    as the monoid. Lateness stays in integer microseconds; one DIV
-    to whole seconds at output."""
-    ev = load_table(spark, "events", sf_dir).select(
+    never a low-cardinality global window: arrival ids bucket into a
+    FIXED 4096-bucket grid (width = max_id/4096 from a 1-row agg, so
+    the grid never grows with the id domain), the in-bucket exclusive
+    running max is a (type, bucket)-partitioned window, and the
+    cross-bucket exclusive prefix-max is itself a window over the
+    O(types x 4096) bucket aggregate — fully distributed; the only
+    driver state is the single max_id scalar. Bucketing is internal:
+    any width yields the same answer (the oracle has no buckets).
+    Lateness stays in integer microseconds; one DIV to whole seconds
+    at output."""
+    ev0 = load_table(spark, "events", sf_dir).select(
         "event_type", "event_id",
-        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
-        (F.col("event_id") / _LATE_BUCKET).cast("long").alias("b"))
-    btots = {}
-    for r in ev.groupBy("event_type", "b").agg(
-            F.max("us").alias("m")).collect():
-        btots.setdefault(r["event_type"], {})[r["b"]] = r["m"]
-    offs = []
-    for et, bs in btots.items():
-        run = None
-        for b in sorted(bs):
-            offs.append((et, b, run))
-            run = bs[b] if run is None else max(run, bs[b])
-    off_df = spark.createDataFrame(
-        offs, "event_type string, b long, pre long")
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"))
+    max_id = ev0.agg(F.max("event_id")).collect()[0][0] or 0
+    width = max(1, (int(max_id) + _LATE_N_BUCKETS) // _LATE_N_BUCKETS)
+    ev = ev0.withColumn("b", F.expr(f"event_id DIV {width}"))
+    wb = (
+        Window.partitionBy("event_type").orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off_df = (
+        ev.groupBy("event_type", "b").agg(F.max("us").alias("m"))
+        .select("event_type", "b", F.max("m").over(wb).alias("pre"))
+    )
     w = (
         Window.partitionBy("event_type", "b").orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, -1)

@@ -61,7 +61,6 @@ def q2_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, "nation", sf_dir)
     region = load_table(spark, "region", sf_dir)
 
-    pairs = li.select("l_partkey", "l_suppkey").distinct()
     p = part.filter((F.col("p_size").between(10, 20))
                     & (F.col("p_type") == "LARGE"))
     s_eur = (
@@ -71,9 +70,18 @@ def q2_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
+    # broadcast-filter lineitem BEFORE the pair dedup: Catalyst won't
+    # push a join below an aggregate, and a .distinct() first would
+    # shuffle every (part, supplier) pair ever shipped instead of the
+    # small filtered slice — the difference between a full-corpus and
+    # a post-selectivity exchange at 100 TB. The carried p_*/s_* cols
+    # are functionally dependent on the dedup keys, so dropDuplicates
+    # on the key pair is deterministic.
     j = (
-        pairs.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(s_eur), F.col("l_suppkey") == F.col("s_suppkey"))
+        .dropDuplicates(["l_partkey", "l_suppkey"])
     )
     w = Window.partitionBy("p_partkey").orderBy(
         F.desc("s_acctbal"), F.asc("s_suppkey"))
@@ -323,16 +331,20 @@ def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, "part", sf_dir)
     supp = load_table(spark, "supplier", sf_dir)
 
-    pairs = li.select("l_partkey", "l_suppkey").distinct()
     p = part.filter(
         (F.col("p_brand") != "Brand#3")
         & (F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
     )
     excl = supp.filter(F.col("s_acctbal") < 1000).select("s_suppkey")
+    # filters (broadcast join + anti join) run BEFORE the pair dedup —
+    # see q2_best_supplier: a leading .distinct() would shuffle the
+    # full unfiltered pair set. p_* carried cols are FDs of l_partkey.
     return (
-        pairs.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(excl), F.col("l_suppkey") == F.col("s_suppkey"),
               "left_anti")
+        .dropDuplicates(["l_partkey", "l_suppkey"])
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )

@@ -64,6 +64,14 @@ class _LocalIO:
             if not f.startswith(("_", "."))
         )
 
+    def ls_dirs(self, p: str) -> list[str]:
+        if not os.path.isdir(p):
+            return []
+        return sorted(
+            os.path.join(p, d) for d in os.listdir(p)
+            if os.path.isdir(os.path.join(p, d))
+        )
+
     def list_names(self) -> list[str]:
         return sorted(
             n for n in os.listdir(self.root) if not n.startswith(".")
@@ -157,6 +165,15 @@ class _HadoopIO:
             if not f.getName().startswith(("_", ".")):
                 out.append(f.toString())
         return sorted(out)
+
+    def ls_dirs(self, p: str) -> list[str]:
+        if not self.exists(p):
+            return []
+        return sorted(
+            s.getPath().toString()
+            for s in self._fs.listStatus(self._Path(p))
+            if s.isDirectory()
+        )
 
     def list_names(self) -> list[str]:
         return sorted(
@@ -652,9 +669,17 @@ class FileStore:
 
     def vacuum_snapshots(self, name: str, keep_last: int = 1) -> int:
         """Expire history: keep the newest `keep_last` manifests,
-        delete older manifests and every data file no kept version
-        references (orphan dirs from pre-publish crashes included).
-        Returns the number of files deleted."""
+        delete older manifests, every data file no kept version
+        references, and every version DIRECTORY holding no referenced
+        file — including _SUCCESS markers and orphan dirs from
+        pre-publish crashes, so expired history reclaims fully.
+        Returns the number of data files deleted.
+
+        Single-writer assumption: vacuum must not run concurrently
+        with a writer — a not-yet-published version's data dir is
+        indistinguishable from a crash orphan and would be removed."""
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
         vs = self._snapshot_versions(name)
         keep = set(vs[-keep_last:]) if vs else set()
         live: set[str] = set()
@@ -663,6 +688,19 @@ class FileStore:
         deleted = 0
         droot = self._path(name) + "/data"
         if self._io.exists(droot):
+            # dir granularity first: a version dir with NO live file
+            # goes entirely (its _SUCCESS marker and the dir itself
+            # included — ls_files hides '_'-prefixed names, so a
+            # file-level sweep alone leaves husk dirs behind)
+            for d in self._io.ls_dirs(droot):
+                prefix = d.rstrip("/") + "/"
+                if any(f.startswith(prefix) for f in live):
+                    continue
+                deleted += sum(
+                    1 for f in self._io.ls_files(d)
+                    if f.endswith(".parquet"))
+                self._io.delete(d)
+            # file-level safety net inside still-live dirs
             for f in self._io.ls_files(droot):
                 if f.endswith(".parquet") and f not in live:
                     self._io.delete(f)

@@ -450,6 +450,18 @@ def test_snapshot_vacuum_reclaims_unreferenced_files(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         fs.read_snapshot("ds", 1)
+    # emptied version DIRS are reclaimed too (not just their parquet
+    # files): only dirs referenced by kept manifests may remain
+    import os
+
+    droot = tmp_path / "vacroot" / "ds" / "data"
+    live_dirs = {os.path.dirname(f)
+                 for v in (2, 3)
+                 for f in fs._read_manifest("ds", v)["files"]}
+    on_disk = {str(droot / d) for d in os.listdir(droot)}
+    assert on_disk == live_dirs
+    with pytest.raises(ValueError):
+        fs.vacuum_snapshots("ds", keep_last=0)
 
 
 def test_snapshot_diff_reports_added_removed_changed(spark, tmp_path):
