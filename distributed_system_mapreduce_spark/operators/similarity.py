@@ -126,8 +126,16 @@ _BUCKET_SQL = f"""
 """
 
 
-N_BANDS = 6  # banded LSH: recall 1-(1-p^ppb)^bands vs single-bucket p^8
-PLANES_PER_BAND = 4  # grow ~log2(corpus/target_bucket) at scale
+# Banded LSH: recall 1-(1-p^ppb)^bands vs single-bucket p^8.
+# Measured vs the brute panel (tests/test_similarity_quality.py):
+# bands 6 -> 0.60-0.62, 8 -> 0.68-0.70, 12 -> 0.82-0.84 at both test
+# SFs, runtime flat (the sketch is linear; candidates dominate).
+# 12x4 keeps per-band bucket selectivity at 1/16 — the knob that
+# bounds candidate volume at scale; grow PLANES_PER_BAND
+# ~log2(corpus/target_bucket) as the corpus grows and add bands to
+# buy recall back.
+N_BANDS = 12
+PLANES_PER_BAND = 4
 
 
 def _bands_union_sql() -> str:
@@ -139,27 +147,12 @@ def _bands_union_sql() -> str:
     )
 
 
-def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded random-hyperplane LSH ANN: a candidate shares the
-    query's bucket in AT LEAST ONE band (same banding trick as
-    minhash-LSH text dedup); exact cosine re-rank over the distinct
-    candidate set. Single-bucket probing (the naive formulation)
-    retrieves ~nothing on a corpus without cluster structure — banding
-    is what makes sign-LSH recall real, measured in
-    tests/test_similarity_quality.py against the brute baseline.
-
-    Scale: sketching is linear (bands x planes dot products, narrow);
-    candidates come from bands bucket equi-joins (shuffle by (band,
-    bucket)); the distinct collapses multi-band hits before the
-    re-rank pays the 64-d cosine; per-band bucket size is corpus/2^ppb
-    — keep it constant by growing planes_per_band with the corpus."""
-    from pyspark.sql import Window
-
-    # Build the index ONCE (norm + all band buckets per vector) and
-    # cut lineage: the band self-join and both sides of the cosine
-    # re-rank reuse the store instead of recomputing 16 interpreted
-    # plane folds per side (measured ~2x at sf0.1). On a cluster this
-    # store is the persisted/bucketed ANN index artifact.
+def _lsh_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded-LSH index store: norm + all band buckets per
+    vector, built ONCE and lineage-cut — the band self-join and both
+    re-rank sides reuse it instead of recomputing the interpreted
+    plane folds per side (measured ~2x at sf0.1). On a cluster this
+    store is the persisted/bucketed ANN index artifact."""
     bb = F.array(*[
         F.struct(
             F.lit(i).alias("band"),
@@ -168,17 +161,25 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i in range(N_BANDS)
     ])
-    store = (
+    return (
         _with_norm(spark, sf_dir).withColumn("bands", bb)
         .localCheckpoint()
     )
+
+
+def _lsh_candidates(spark: SparkSession, sf_dir: str,
+                    store: DataFrame | None = None) -> DataFrame:
+    """Distinct (query_id, neighbor_id) candidate pairs from the band
+    bucket equi-joins — the measured cost unit of the LSH path (the
+    re-rank pays one 64-d cosine per row of this)."""
+    store = _lsh_store(spark, sf_dir) if store is None else store
     bands = store.select(
         "vec_id", F.explode("bands").alias("bb")
     ).select("vec_id", F.col("bb.band").alias("band"),
              F.col("bb.bucket").alias("bucket"))
     q = bands.filter(F.col("vec_id") % QUERY_MOD == 0).alias("a")
     c = bands.alias("b")
-    cand = (
+    return (
         q.join(c, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.vec_id") != F.col("b.vec_id")))
@@ -188,6 +189,27 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded random-hyperplane LSH ANN: a candidate shares the
+    query's bucket in AT LEAST ONE band (same banding trick as
+    minhash-LSH text dedup); exact cosine re-rank over the distinct
+    candidate set. Single-bucket probing (the naive formulation)
+    retrieves ~nothing on a corpus without cluster structure — banding
+    is what makes sign-LSH recall real, measured in
+    tests/test_similarity_quality.py against the brute baseline
+    (0.82-0.84 at the shipped 12x4 config).
+
+    Scale: sketching is linear (bands x planes dot products, narrow);
+    candidates come from bands bucket equi-joins (shuffle by (band,
+    bucket)); the distinct collapses multi-band hits before the
+    re-rank pays the 64-d cosine; per-band bucket size is corpus/2^ppb
+    — keep it constant by growing planes_per_band with the corpus."""
+    from pyspark.sql import Window
+
+    store = _lsh_store(spark, sf_dir)
+    cand = _lsh_candidates(spark, sf_dir, store)
     vecs = store.select("vec_id", "embedding", "norm")
     pairs = (
         cand.join(vecs.alias("a"),
@@ -271,7 +293,13 @@ _CELL_SQL = f"""
 """.format(dist=V.dist2_sql("v.embedding", "s.cemb"))
 
 
-NPROBE = 4  # query probes its 4 nearest cells (corpus vecs stay in 1)
+# Query probes its NPROBE nearest cells (corpus vecs stay in 1).
+# Measured recall vs brute: nprobe 4 -> 0.46-0.51, 6 -> 0.65-0.72,
+# 8 -> 0.77-0.78. On the synthetic corpus (no cluster structure) the
+# recall/probed-fraction curve is near-linear — real embedding
+# corpora concentrate neighbors in few cells, so N_CELLS ~ sqrt(n)
+# with NPROBE fixed keeps probed volume sublinear there.
+NPROBE = 8
 
 
 def _query_probes(spark: SparkSession, sf_dir: str) -> DataFrame:

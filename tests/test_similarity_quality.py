@@ -36,21 +36,58 @@ def _recall_vs_brute(spark, name):
     return hits / (len(truth) * TOP_K)
 
 
-def test_lsh_recall_beats_chance(spark):
-    """Banded sign-LSH must retrieve a large multiple of the chance
-    recall (per-band bucket fraction ~ 1/2^ppb ~ 6%; the pre-banding
-    single-bucket formulation measured 0.0 here; 4 bands 0.34, 6
-    bands 0.52)."""
+def test_lsh_recall_production_floor(spark):
+    """Banded sign-LSH at the shipped config (12 bands x 4 planes)
+    must hold production-grade recall (measured 0.82 at sf0.01 /
+    0.84 at sf0.1; the pre-banding single-bucket formulation
+    measured 0.0 here, 6 bands 0.60)."""
     r = _recall_vs_brute(spark, "ann_topk_lsh")
-    assert r >= 0.40, r
+    assert r >= 0.60, r
 
 
-def test_ivf_recall_beats_chance(spark):
-    """nprobe=4 IVF (16 cells => ~25% probed chance) must beat chance
-    by a wide margin (nprobe=1 measured 0.2, nprobe=2 0.28, nprobe=4
-    0.52 here — recall/cost knob documented in ann_topk_ivf)."""
+def test_ivf_recall_production_floor(spark):
+    """IVF at the shipped config (nprobe=8 of 16 cells) must hold
+    production-grade recall (measured 0.77-0.78; nprobe=4 measured
+    0.46-0.51 — recall/cost knob documented in ann_topk_ivf)."""
     r = _recall_vs_brute(spark, "ann_topk_ivf")
-    assert r >= 0.40, r
+    assert r >= 0.60, r
+
+
+def test_lsh_recall_cost_curve(spark):
+    """Recall must rise monotonically with bands, and the measured
+    candidate-set cost must stay bounded by the banding math: the
+    expected candidate fraction for a random pair is at most
+    1-(1-2^-ppb)^bands (independent-plane collision bound). This
+    records the recall-vs-cost curve the config was chosen from."""
+    import distributed_system_mapreduce_spark.operators.similarity as S
+
+    truth = _topk_sets(
+        QUERIES["ann_topk_brute"](spark, SF_DIR).collect())
+    denom = len(truth) * TOP_K
+    n_vecs = QUERIES["ann_topk_brute"].__globals__["load_table"](
+        spark, "embeddings", SF_DIR).count()
+    shipped = S.N_BANDS
+    curve = []
+    try:
+        for bands in (4, shipped):
+            S.N_BANDS = bands
+            rows = (QUERIES["ann_topk_lsh"](spark, SF_DIR)
+                    .filter(f"query_id < {QUERY_MOD * PANEL_SIZE}")
+                    .collect())
+            approx = _topk_sets(rows)
+            hits = sum(len(truth[q] & approx.get(q, set()))
+                       for q in truth)
+            # candidate cost: distinct candidates actually re-ranked
+            n_cand = S._lsh_candidates(spark, SF_DIR).count()
+            frac_bound = 1 - (1 - 2 ** -S.PLANES_PER_BAND) ** bands
+            frac = n_cand / (len(truth) * max(n_vecs - 1, 1))
+            curve.append((bands, hits / denom, frac))
+            assert frac <= frac_bound * 1.5 + 0.05, (bands, frac,
+                                                     frac_bound)
+    finally:
+        S.N_BANDS = shipped
+    assert curve[-1][1] >= curve[0][1], curve  # more bands, >= recall
+    assert curve[-1][2] >= curve[0][2], curve  # and >= cost (honest)
 
 
 def test_pq_recall_beats_chance(spark):
