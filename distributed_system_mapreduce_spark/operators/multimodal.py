@@ -77,11 +77,120 @@ FROM documents
 """
 
 
-def decode_real(payload: bytes, media_type: str):
-    """The production decode kernel slot (PIL / soundfile / pyav)."""
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> channels
+
+
+def _decode_png(payload: bytes) -> dict:
+    """Pure-stdlib PNG decode (zlib): parse chunks, verify CRCs,
+    inflate IDAT, and UNDO the per-scanline filters — a real pixel
+    decode, not a header peek (8-bit depth, no interlace; the
+    training-data fast path). Returns dims/channels for
+    DECODED_SCHEMA; the defiltered raster is computed (and its
+    correctness is what the round-trip test asserts via mean pixel).
+    """
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, [], None
+    while pos < len(payload):
+        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + ln:pos + 12 + ln])
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width, height, depth, ctype, _, _, interlace = ihdr
+    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG depth={depth} ctype={ctype} interlace={interlace}")
+    nch = _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * nch
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data length mismatch")
+    prev = bytearray(stride)
+    total = 0
+    for y in range(height):
+        flt = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        for x in range(stride):
+            a = line[x - nch] if x >= nch else 0
+            b = prev[x]
+            c = prev[x - nch] if x >= nch else 0
+            if flt == 1:
+                line[x] = (line[x] + a) & 0xFF
+            elif flt == 2:
+                line[x] = (line[x] + b) & 0xFF
+            elif flt == 3:
+                line[x] = (line[x] + (a + b) // 2) & 0xFF
+            elif flt == 4:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+            elif flt != 0:
+                raise ValueError(f"PNG filter {flt}")
+        total += sum(line)
+        prev = line
+    return {"width": width, "height": height, "n_channels": nch,
+            "sample_rate": None,
+            "duration_ms": None, "n_frames": None,
+            "mean_pixel": total / (stride * height)}
+
+
+def _decode_wav(payload: bytes) -> dict:
+    """Pure-stdlib WAV decode (wave module over BytesIO): channel
+    count, sample rate, frame count, duration."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        nch = w.getnchannels()
+        rate = w.getframerate()
+        n_frames = w.getnframes()
+        width = w.getsampwidth()
+        # touch the PCM itself so this is a decode, not a header peek
+        pcm = w.readframes(n_frames)
+    if len(pcm) != n_frames * nch * width:
+        raise ValueError("WAV data length mismatch")
+    return {"width": None, "height": None, "n_channels": nch,
+            "sample_rate": rate,
+            "duration_ms": (n_frames * 1000) // rate if rate else 0,
+            "n_frames": n_frames}
+
+
+def decode_real(payload: bytes, media_type: str) -> dict:
+    """The production decode kernel: REAL pure-stdlib decoders for
+    PNG images (zlib inflate + full scanline defilter, CRC-verified)
+    and WAV audio (PCM frames). Video containers still raise — a
+    container demuxer has no stdlib path; pyav plugs in here.
+
+    The oracle-backed queries keep the deterministic md5 stub
+    (_pseudo_features) because real codecs aren't SQL-expressible;
+    decode_features(kernel=decode_real) runs this kernel through the
+    IDENTICAL Arrow stage (tested round-trip in
+    tests/test_multimodal.py)."""
+    if media_type == "image":
+        return _decode_png(payload)
+    if media_type == "audio":
+        return _decode_wav(payload)
     raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "decode_features provides the deterministic stub")
+        "video demuxing needs a container codec (pyav/ffmpeg), "
+        "not available in this environment")
 
 
 def _pseudo_features(payload: bytes, media_type: str) -> dict:
@@ -101,16 +210,26 @@ def _pseudo_features(payload: bytes, media_type: str) -> dict:
             "n_frames": 24 + h[6] % 240}
 
 
-def decode_features(mm: DataFrame) -> DataFrame:
+_FEATURE_FIELDS = ("width", "height", "n_channels", "sample_rate",
+                   "duration_ms", "n_frames")
+
+
+def decode_features(mm: DataFrame, kernel=None) -> DataFrame:
     """Arrow-batched decode stage: mapInPandas over (payload,
-    media_type) -> typed feature columns. Swap _pseudo_features for
-    decode_real when codecs exist; the plan shape doesn't change."""
+    media_type) -> typed feature columns. `kernel` selects the decode
+    function (default: the deterministic md5 stub, which keeps the
+    stage oracle-checkable; pass decode_real for genuinely encoded
+    PNG/WAV payloads — the plan shape doesn't change). Kernel output
+    is projected onto DECODED_SCHEMA's feature fields, so kernels may
+    compute extras (e.g. _decode_png's mean_pixel)."""
+    kern = kernel or _pseudo_features
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             feats = [
-                _pseudo_features(p, m)
-                for p, m in zip(b["payload"], b["media_type"])
+                {k: f.get(k) for k in _FEATURE_FIELDS}
+                for f in (kern(p, m)
+                          for p, m in zip(b["payload"], b["media_type"]))
             ]
             fdf = pd.DataFrame(feats)
             fdf.insert(0, "doc_id", b["doc_id"].values)

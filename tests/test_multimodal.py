@@ -50,6 +50,113 @@ def test_frame_sample_every_24(spark):
     assert idx == list(range(0, max(idx) + 1, 24))
 
 
-def test_decode_real_is_explicit_stub():
+def _make_png(width, height, ctype, pixel_fn, filters=(0, 1, 2, 3, 4)):
+    """Minimal stdlib PNG encoder: 8-bit, cycling scanline filters so
+    the decoder's defilter paths (None/Sub/Up/Average/Paeth) all run."""
+    import struct
+    import zlib
+
+    nch = M._PNG_CHANNELS[ctype]
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    raster = [[pixel_fn(x, y, c) & 0xFF
+               for x in range(width) for c in range(nch)]
+              for y in range(height)]
+    raw = bytearray()
+    prev = [0] * (width * nch)
+    for y, line in enumerate(raster):
+        flt = filters[y % len(filters)]
+        raw.append(flt)
+        enc = []
+        for x, v in enumerate(line):
+            a = line[x - nch] if x >= nch else 0
+            b = prev[x]
+            c = prev[x - nch] if x >= nch else 0
+            if flt == 0:
+                pred = 0
+            elif flt == 1:
+                pred = a
+            elif flt == 2:
+                pred = b
+            elif flt == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+            enc.append((v - pred) & 0xFF)
+        raw.extend(enc)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    mean = sum(sum(l) for l in raster) / (width * height * nch)
+    return (M._PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")), mean
+
+
+def _make_wav(nch, rate, n_frames):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        for i in range(n_frames):
+            s = int(12000 * math.sin(i / 7.0))
+            w.writeframes(struct.pack("<h", s) * nch)
+    return buf.getvalue()
+
+
+def test_decode_real_png_roundtrip():
+    """decode_real fully decodes a real PNG: dims, channels, and the
+    defiltered pixel values (mean) must match what was encoded, for
+    every color type and all five scanline filters."""
+    for ctype in (0, 2, 4, 6):
+        payload, mean = _make_png(
+            13, 9, ctype, lambda x, y, c: x * 31 + y * 17 + c * 7)
+        out = M.decode_real(payload, "image")
+        assert (out["width"], out["height"]) == (13, 9)
+        assert out["n_channels"] == M._PNG_CHANNELS[ctype]
+        assert abs(out["mean_pixel"] - mean) < 1e-9, ctype
+    with pytest.raises(ValueError):
+        M.decode_real(b"not a png", "image")
+
+
+def test_decode_real_wav_roundtrip():
+    payload = _make_wav(2, 16000, 8000)
+    out = M.decode_real(payload, "audio")
+    assert out["n_channels"] == 2
+    assert out["sample_rate"] == 16000
+    assert out["n_frames"] == 8000
+    assert out["duration_ms"] == 500
+
+
+def test_decode_real_video_is_explicit_stub():
     with pytest.raises(NotImplementedError):
-        M.decode_real(b"bytes", "image")
+        M.decode_real(b"bytes", "video")
+
+
+def test_decode_features_with_real_kernel(spark):
+    """The SAME Arrow decode stage runs the real kernel over genuinely
+    encoded PNG/WAV payloads — proving the plumbing is kernel-agnostic
+    (schema, batching, null handling), not stub-shaped."""
+    png, _ = _make_png(20, 10, 2, lambda x, y, c: x + y + c)
+    wav = _make_wav(1, 8000, 2000)
+    rows = [(1, bytearray(png), "image"), (2, bytearray(wav), "audio")]
+    mm = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string")
+    out = {r["doc_id"]: r for r in
+           M.decode_features(mm, kernel=M.decode_real).collect()}
+    img, aud = out[1], out[2]
+    assert (img["width"], img["height"], img["n_channels"]) == (20, 10, 3)
+    assert img["n_bytes"] == len(png)
+    assert (aud["sample_rate"], aud["n_frames"],
+            aud["duration_ms"]) == (8000, 2000, 250)
