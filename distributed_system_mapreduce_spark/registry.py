@@ -23,6 +23,7 @@ from distributed_system_mapreduce_spark.operators import (
     curation5,
     curation6,
     curation7,
+    curation8,
     dedup,
     engine_queries,
     export,
@@ -58,7 +59,7 @@ _MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
             relational_ext9, relational_ext10, relational_ext11,
             relational_ext12, relational_ext13, relational_ext14,
             engine_queries, text_analysis, curation, curation2, curation3,
-            curation4, curation5, curation6, curation7,
+            curation4, curation5, curation6, curation7, curation8,
             dedup,
             similarity, clustering, sketches, probabilistic, bpe, fuzzy,
             multimodal, asof, export, mlstats, relational_ext15]
@@ -131,7 +132,7 @@ _PRIORITY = [
     "snippet_extract", "weighted_median_price", "dedup_agreement",
     "bot_rule_census", "entity_canonicalize", "seasonal_strength",
     "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
-    "multimodal_audio_segments",
+    "multimodal_audio_segments", "dsir_importance", "doc_lm_typicality",
     # -- rows-only (no oracle by design; weaker driver check) ---------
     "kmeans_embed", "approx_price_quantiles", "freq_items_sketch",
     "bpe_train_merges", "bpe_vocab_stats", "bpe_token_count",

@@ -49,15 +49,22 @@ def test_approx_distinct_within_error_bound(spark):
 def test_registry_prefix_is_oracle_dense():
     """The driver's correctness gate covers a ~50-entry prefix of the
     registry; keep every slot in that prefix oracle-backed so no
-    budget is spent on weaker rows-only checks."""
+    budget is spent on weaker rows-only checks, and spend the whole
+    budget on queries no earlier gate has confirmed (r1+r2 covered 76
+    keys; those re-confirm from the tail)."""
     ks = list(QUERIES)
     assert all(k in ORACLES for k in ks[:50]), [
         k for k in ks[:50] if k not in ORACLES]
-    # the round-1 verdict's flip set must sit inside the prefix
-    for k in ("q8_market_share", "q9_product_profit",
-              "q11_part_value_concentration", "q12_late_shipments",
-              "events_sessionize", "corpus_stats", "vote_round1"):
-        assert ks.index(k) < 50, k
+    # no slot wasted on an already-driver-confirmed query
+    confirmed_r1_r2 = {
+        "mr_wordcount_exe", "events_asof_order", "purchase_attribution",
+        "dedup_exact", "dedup_minhash", "q1_pricing_summary",
+        "q8_market_share", "q9_product_profit", "kmv_distinct",
+        "wordcount", "vote_winner", "mr_wordcount", "q2_best_supplier",
+        "corpus_stats", "vote_round1", "events_sessionize",
+    }
+    overlap = confirmed_r1_r2 & set(ks[:50])
+    assert not overlap, overlap
 
 
 def test_load_table_repins_utc_session_tz(spark):

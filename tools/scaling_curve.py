@@ -1,0 +1,162 @@
+"""Scaling-curve evidence: time the most expensive queries at 1x / 2x
+/ 5x the sf0.1 corpus and record time-vs-volume slopes — the direct
+measurement behind "would this plan survive 100x", and a tripwire for
+any accidental driver-side or pairwise O(n^2) (a superlinear ratio
+shows up immediately).
+
+Corpus construction (DuckDB, no Spark): each table is K offset-shifted
+copies of sf0.1 — every key column gets copy_i * (max_key + 1) added,
+so per-key cardinalities, join fan-outs, and group sizes stay CONSTANT
+while row volume scales by K (the shape a bigger day of the same feed
+would have). documents.text is vowel-rotated per copy so the scaled
+corpus doesn't consist of K exact/near copies of every document —
+cross-copy duplicate cliques would add a real K^2 pair blowup to the
+dedup family that says nothing about plan scaling. nation/region are
+fixed dims and are not scaled.
+
+Usage: python tools/scaling_curve.py [out_json]
+Writes SCALING.json {query: {t1, t2, t5, ratio2, ratio5}} and prints
+one summary line per query. Queries whose absolute 1x time is under
+FLOOR_SEC are dominated by fixed scheduling overhead locally; their
+ratios are reported but the linearity verdict keys off the 5x ratio
+with that floor subtracted.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE = "/root/testdata/sf0.1"
+WORK = "/tmp/spark_graft_scaling"
+MULTIPLIERS = (1, 2, 5)
+FLOOR_SEC = 0.35  # local fixed overhead per query (scheduling, py4j)
+
+# top of BENCH_DETAIL r2 by cost, minus the exe/subprocess path (its
+# cost is subprocess spawn, not data) — the queries where a
+# superlinearity would hurt most at 100 TB
+QUERIES_UNDER_TEST = [
+    "bpe_token_count", "kmeans_embed", "bpe_vocab_stats",
+    "bpe_train_merges", "pagerank_parts", "kcore_census",
+    "dedup_agreement", "graph_bfs_reach", "mr_wordcount",
+    "q2_best_supplier", "dedup_survivorship", "community_lpa",
+    "assoc_rules", "q7_nation_volume", "triangle_count",
+    "dedup_minhash_estimate", "order_total_audit", "graph_degree_dist",
+    "q16_supplier_counts", "freq_items_sketch", "dedup_minhash",
+    "late_arrival_census",
+]
+
+# key columns to offset-shift per table (copy i adds i * (max+1))
+KEYED = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+FIXED_DIMS = ("nation", "region")
+
+_VOWEL_ROT = ["aeiou", "eioua", "iouae", "ouaei", "uaeio"]
+
+
+def build_corpus(k: int) -> str:
+    import duckdb
+
+    out = f"{WORK}/x{k}"
+    if os.path.exists(f"{out}/_DONE"):
+        return out
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for t in FIXED_DIMS:
+        con.execute(f"COPY (SELECT * FROM '{BASE}/{t}.parquet') "
+                    f"TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+    for t, keys in KEYED.items():
+        src = f"'{BASE}/{t}.parquet'"
+        offs = {kc: con.execute(
+            f"SELECT max({kc}) + 1 FROM {src}").fetchone()[0]
+            for kc in keys}
+        cols = [c[0] for c in con.execute(
+            f"DESCRIBE SELECT * FROM {src}").fetchall()]
+        parts = []
+        for i in range(k):
+            sel = []
+            for c in cols:
+                if c in offs:
+                    sel.append(f"({c} + {i} * {offs[c]}) AS {c}")
+                elif t == "documents" and c == "text" and i > 0:
+                    rot = _VOWEL_ROT[i % len(_VOWEL_ROT)]
+                    sel.append(f"translate(text, 'aeiou', '{rot}') AS text")
+                else:
+                    sel.append(c)
+            parts.append(f"SELECT {', '.join(sel)} FROM {src}")
+        con.execute(f"COPY ({' UNION ALL '.join(parts)}) "
+                    f"TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+    open(f"{out}/_DONE", "w").write("ok")
+    return out
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        REPO, "SCALING.json")
+    dirs = {k: build_corpus(k) for k in MULTIPLIERS}
+    print(f"corpora ready: {list(dirs.values())}", flush=True)
+
+    from distributed_system_mapreduce_spark.registry import QUERIES
+    from distributed_system_mapreduce_spark.session import get_spark
+
+    spark = get_spark("scaling")
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long").write.format("noop") \
+        .mode("overwrite").save()
+
+    def drop_persisted() -> None:
+        m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it = m.iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(True)
+
+    results: dict[str, dict] = {}
+    for name in QUERIES_UNDER_TEST:
+        fn = QUERIES[name]
+        row: dict = {}
+        try:
+            for k in MULTIPLIERS:
+                best = None
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    fn(spark, dirs[k]).write.format("noop") \
+                        .mode("overwrite").save()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                    drop_persisted()
+                row[f"t{k}"] = round(best, 3)
+            for k in MULTIPLIERS[1:]:
+                # subtract the fixed local floor so tiny queries don't
+                # report flat "ratios" that just measure overhead
+                num = max(row[f"t{k}"] - FLOOR_SEC, 0.001)
+                den = max(row["t1"] - FLOOR_SEC, 0.001)
+                row[f"ratio{k}"] = round(num / den, 2)
+            row["superlinear"] = row["ratio5"] > 5 * 1.8
+        except Exception as exc:
+            row["error"] = f"{type(exc).__name__}: {exc}"[:200]
+        results[name] = row
+        print(f"{name}: {row}", flush=True)
+
+    with open(out_path, "w") as fh:
+        json.dump({"base": BASE, "multipliers": list(MULTIPLIERS),
+                   "floor_sec": FLOOR_SEC, "queries": results},
+                  fh, indent=1, sort_keys=True)
+    bad = [n for n, r in results.items() if r.get("superlinear")]
+    print(json.dumps({"scaling_ok": not bad, "superlinear": bad}))
+
+
+if __name__ == "__main__":
+    main()
