@@ -309,3 +309,45 @@ def test_wave21_plan_shapes(spark):
         df = QUERIES[name](spark, SF_DIR)
         assert plan_lacks(df, "CartesianProduct"), name
         assert plan_lacks(df, "BatchEvalPython"), name
+
+
+def test_selection_wave_plan_shapes(spark):
+    """dsir_importance / doc_lm_typicality (round 3): fully JVM-side
+    (the deterministic-ln is sqrt chains in codegen, no Python eval),
+    models come back as broadcast joins, per-doc folds are partial
+    aggregates — no cartesian products beyond the broadcast 1-row
+    totals, no windows."""
+    for name in ("dsir_importance", "doc_lm_typicality"):
+        df = QUERIES[name](spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+        assert "partial_" in plan, name  # map-side combine on the aggs
+        assert "Window" not in plan, name
+
+
+def test_q2_q16_filter_below_pair_dedup(spark):
+    """Round-3 plan fix: the selective part/supplier broadcast joins
+    must run BELOW the (l_partkey, l_suppkey) dedup, so the dedup
+    exchange carries the filtered slice, not full lineitem. In the
+    formatted plan the HashAggregate keys must appear ABOVE (after)
+    the BroadcastHashJoin in execution order."""
+    import re
+
+    for name in ("q2_best_supplier", "q16_supplier_counts"):
+        plan = formatted_plan(QUERIES[name](spark, SF_DIR))
+        # formatted-plan node ids number leaves-first, so "consumes
+        # the join output" == the dedup aggregate's node id is larger
+        # than a BroadcastHashJoin's id
+        join_ids = [int(m) for m in re.findall(
+            r"\((\d+)\) BroadcastHashJoin", plan)]
+        dedup_ids = [
+            int(m.group(1))
+            for m in re.finditer(r"\((\d+)\) (?:Hash|Sort|ObjectHash)Aggregate[^(]*?"
+                                 r"Keys \[\d+\]: \[l_partkey", plan,
+                                 re.S)
+        ]
+        assert join_ids and dedup_ids, (name, plan[:500])
+        assert min(dedup_ids) > min(join_ids), (name, dedup_ids,
+                                                join_ids)

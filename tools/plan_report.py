@@ -207,6 +207,20 @@ SHOWCASE = [
      "per-row array algebra, no Generate, TakeOrdered finish"),
     ("dedup_components_star",
      "alternating large-star/small-star CC rounds"),
+    ("dsir_importance",
+     "hashed-unigram importance weights: two partial-agg models "
+     "broadcast back, deterministic-ln sqrt chains in codegen, "
+     "sorted-fold per-doc sums"),
+    ("doc_lm_typicality",
+     "corpus char-bigram LM cross-entropy: one bigram explode, "
+     "broadcast model join, sorted-fold per-doc entropy"),
+    ("q2_best_supplier",
+     "pair dedup ABOVE the selective broadcast filters (r3 fix: the "
+     "dedup exchange carries the filtered slice, not full lineitem)"),
+    ("late_arrival_census",
+     "fixed 4096-bucket arrival grid sized by a 1-row max agg; "
+     "cross-bucket prefix-max as a window over the bucket aggregate "
+     "(r3 fix: no driver-side stitch)"),
 ]
 
 
