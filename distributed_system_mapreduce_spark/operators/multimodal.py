@@ -550,3 +550,173 @@ WHERE hamming <= {PHASH_HAM_MAX}
 
 QUERIES["multimodal_phash_dedup"] = multimodal_phash_dedup
 ORACLES["multimodal_phash_dedup"] = MULTIMODAL_PHASH_DEDUP_SQL
+
+
+# ------------------------------------------ real-codec roundtrip query
+# The one place the REAL decode kernel is oracle-checked at corpus
+# scale: the Arrow stage ENCODES a genuine PNG (image rows) or WAV
+# (audio rows) whose geometry and pixel/PCM content are closed-form
+# functions of doc_id, then decodes it back with decode_real (full
+# zlib inflate + scanline defilter / PCM frame read). The DuckDB twin
+# never sees a codec — it recomputes the same dims and the exact
+# integer pixel sum from the closed form — so a hash match proves the
+# real encoder+decoder roundtrip bit-exactly on every row.
+
+ROUNDTRIP_SCHEMA = (
+    "doc_id long, media_type string, width long, height long, "
+    "n_channels long, sample_rate long, n_frames long, "
+    "duration_ms long, mean_pixel double")
+
+
+def _rt_dims(doc_id: int) -> tuple[int, int]:
+    return 12 + doc_id % 8, 6 + doc_id % 6
+
+
+def _encode_png_gray(doc_id: int) -> bytes:
+    """Deterministic grayscale PNG: pixel[k] = (doc_id*37 + k) % 256
+    row-major; scanline filters cycle 0..4 so decode exercises every
+    defilter path."""
+    import struct
+    import zlib
+
+    w, h = _rt_dims(doc_id)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    raw = bytearray()
+    prev = [0] * w
+    for y in range(h):
+        line = [(doc_id * 37 + y * w + x) % 256 for x in range(w)]
+        flt = y % 5
+        raw.append(flt)
+        for x, v in enumerate(line):
+            a = line[x - 1] if x >= 1 else 0
+            b = prev[x]
+            c = prev[x - 1] if x >= 1 else 0
+            if flt == 0:
+                pred = 0
+            elif flt == 1:
+                pred = a
+            elif flt == 2:
+                pred = b
+            elif flt == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+            raw.append((v - pred) & 0xFF)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def _rt_wav_params(doc_id: int) -> tuple[int, int, int]:
+    return 1 + doc_id % 2, 8000 * (1 + doc_id % 3), 100 + doc_id % 50
+
+
+def _encode_wav_pcm(doc_id: int) -> bytes:
+    import io
+    import struct
+    import wave
+
+    nch, rate, n_frames = _rt_wav_params(doc_id)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(nch)
+        wv.setsampwidth(2)
+        wv.setframerate(rate)
+        frames = b"".join(
+            struct.pack("<h", (doc_id * 13 + i) % 2048 - 1024) * nch
+            for i in range(n_frames))
+        wv.writeframes(frames)
+    return buf.getvalue()
+
+
+def multimodal_codec_roundtrip(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Encode->decode roundtrip through the REAL codecs per document
+    (images: doc_id % 3 == 0; audio: doc_id % 3 == 1; video rows are
+    skipped — no stdlib demuxer). Outputs only DECODED values; the
+    oracle recomputes them from the closed-form content, independent
+    of any codec."""
+    from distributed_system_mapreduce_spark.tables import spread
+
+    docs = spread(
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id").filter(F.col("doc_id") % 3 < 2))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for did in b["doc_id"]:
+                did = int(did)
+                if did % 3 == 0:
+                    out = decode_real(_encode_png_gray(did), "image")
+                    w, h = out["width"], out["height"]
+                    rows.append({
+                        "doc_id": did, "media_type": "image",
+                        "width": w, "height": h,
+                        "n_channels": out["n_channels"],
+                        "sample_rate": None, "n_frames": None,
+                        "duration_ms": None,
+                        # recompute the mean from DECODED pixels:
+                        # decode_real already folded the raster sum
+                        "mean_pixel": out["mean_pixel"],
+                    })
+                else:
+                    out = decode_real(_encode_wav_pcm(did), "audio")
+                    rows.append({
+                        "doc_id": did, "media_type": "audio",
+                        "width": None, "height": None,
+                        "n_channels": out["n_channels"],
+                        "sample_rate": out["sample_rate"],
+                        "n_frames": out["n_frames"],
+                        "duration_ms": out["duration_ms"],
+                        "mean_pixel": None,
+                    })
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(run, schema=ROUNDTRIP_SCHEMA)
+
+
+MULTIMODAL_CODEC_ROUNDTRIP_SQL = """
+WITH img AS (
+  SELECT doc_id, 12 + doc_id % 8 AS w, 6 + doc_id % 6 AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+px AS (
+  SELECT doc_id, w, h, unnest(range(0, w * h)) AS k FROM img
+),
+img_out AS (
+  SELECT doc_id, 'image' AS media_type,
+         CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         CAST(1 AS BIGINT) AS n_channels,
+         CAST(NULL AS BIGINT) AS sample_rate,
+         CAST(NULL AS BIGINT) AS n_frames,
+         CAST(NULL AS BIGINT) AS duration_ms,
+         CAST(SUM((doc_id * 37 + k) % 256) AS DOUBLE)
+           / (w * h) AS mean_pixel
+  FROM px GROUP BY doc_id, w, h
+),
+aud_out AS (
+  SELECT doc_id, 'audio' AS media_type,
+         CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+         CAST(1 + doc_id % 2 AS BIGINT) AS n_channels,
+         CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
+         CAST(100 + doc_id % 50 AS BIGINT) AS n_frames,
+         CAST((100 + doc_id % 50) * 1000
+              // (8000 * (1 + doc_id % 3)) AS BIGINT) AS duration_ms,
+         CAST(NULL AS DOUBLE) AS mean_pixel
+  FROM documents WHERE doc_id % 3 = 1
+)
+SELECT * FROM img_out UNION ALL SELECT * FROM aud_out
+"""
+
+QUERIES["multimodal_codec_roundtrip"] = multimodal_codec_roundtrip
+ORACLES["multimodal_codec_roundtrip"] = MULTIMODAL_CODEC_ROUNDTRIP_SQL
