@@ -134,29 +134,37 @@ GROUP BY doc_id
 
 
 # ---------------------------------------------------- doc_lm_typicality
-def doc_lm_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document cross-entropy under the corpus's own character-
-    bigram LM: H(x) = -(1/N_x) * sum_bg c_x[bg] * ln p_corpus(bg).
-    The perplexity-bucket quality signal (CCNet's KenLM filter with
-    the corpus as its own LM): fluent in-distribution text scores
-    low, character soup and foreign-script outliers score high.
-
-    Only docs with >= 2 characters have a bigram (shorter docs drop,
-    same as the oracle's range() producing no rows)."""
-    docs = spread(load_table(spark, "documents", sf_dir)).filter(
-        F.length("text") >= 2)
-    bg = docs.select(
+def _char_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, bg) character-bigram stream; docs under 2 chars drop
+    (no bigram), matching the oracle's range() producing no rows."""
+    return docs.filter(F.length("text") >= 2).select(
         "doc_id",
         F.explode(F.expr(
             "transform(sequence(1, length(text) - 1), "
             "i -> substring(text, i, 2))")).alias("bg"),
     )
+
+
+def lm_model(docs: DataFrame) -> DataFrame:
+    """The corpus char-bigram LM: (bg, nb, tot) — one bounded table
+    (|charset|^2 rows), broadcastable; the static side a streaming
+    ingest gate scores against."""
+    bg = _char_bigrams(docs)
     model = bg.groupBy("bg").agg(F.count("*").alias("nb"))
     tot = bg.groupBy().agg(F.count("*").alias("tot"))
-    cx = bg.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    return model.crossJoin(F.broadcast(tot))
+
+
+def lm_score(docs: DataFrame, model: DataFrame) -> DataFrame:
+    """Per-document cross-entropy under `model` (from lm_model):
+    H(x) = -(1/N_x) * sum_bg c_x[bg] * ln p_model(bg). Bigrams absent
+    from the model drop (inner join) — the streaming caller scores new
+    docs against a FROZEN corpus model, where unseen bigrams carry no
+    in-model evidence."""
+    cx = _char_bigrams(docs).groupBy("doc_id", "bg").agg(
+        F.count("*").alias("c"))
     return (
         cx.join(F.broadcast(model), "bg")
-        .crossJoin(F.broadcast(tot))
         .withColumn(
             "term",
             F.col("c").cast("double") * F.expr(ln_det("nb / tot")))
@@ -168,6 +176,17 @@ def doc_lm_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
              / F.sum("c").cast("double")).alias("cross_entropy"),
         )
     )
+
+
+def doc_lm_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own character-
+    bigram LM. The perplexity-bucket quality signal (CCNet's KenLM
+    filter with the corpus as its own LM): fluent in-distribution
+    text scores low, character soup and foreign-script outliers
+    score high. Streaming twin: streaming/jobs.lm_quality_stream
+    scores an ingest feed against this same frozen model."""
+    docs = spread(load_table(spark, "documents", sf_dir))
+    return lm_score(docs, lm_model(docs))
 
 
 DOC_LM_TYPICALITY_SQL = f"""

@@ -1107,3 +1107,40 @@ def lateness_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def lm_quality_stream(docs: DataFrame, model: DataFrame, fs,
+                      out_name: str, checkpoint_dir: str,
+                      max_entropy: float | None = None) -> Any:
+    """Streaming ingest QUALITY GATE: each micro-batch of incoming
+    (doc_id, text) documents is scored with the char-bigram LM
+    cross-entropy against a FROZEN corpus model (the batch
+    doc_lm_typicality model, broadcast as the static side) —
+    the continuous-crawl posture for CCNet-style perplexity
+    filtering: the model comes from the standing corpus, the stream
+    pays only per-batch explode+agg cost, and scores agree EXACTLY
+    with the batch twin because the math is identical
+    (operators/curation8.lm_score).
+
+    Verdicts land as per-batch partition overwrites (idempotent under
+    replay) with the shared exactly-once runner. Pass max_entropy to
+    add a keep/drop verdict column; None emits scores only."""
+    from distributed_system_mapreduce_spark.operators.curation8 import (
+        lm_score,
+    )
+
+    mdl = model.localCheckpoint()
+
+    import os
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        scored = lm_score(batch_df, mdl)
+        if max_entropy is not None:
+            scored = scored.withColumn(
+                "keep", F.col("cross_entropy") <= F.lit(max_entropy))
+        # idempotent per-batch partition overwrite + checkpoint = the
+        # exactly-once pairing stream_to_filestore proves under crash
+        scored.write.mode("overwrite").parquet(
+            os.path.join(fs._path(out_name), f"batch_id={batch_id}"))
+
+    return _run_foreach_batch(docs, sink, checkpoint_dir)

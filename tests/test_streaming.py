@@ -1084,3 +1084,49 @@ def test_lateness_stream_matches_batch_census(spark):
         assert got == want and len(got) > 0
     finally:
         q.stop()
+
+
+def test_lm_quality_stream_matches_batch_twin(spark, tmp_path):
+    """Streaming ingest quality gate: micro-batched docs scored
+    against the FROZEN corpus char-bigram model must reproduce the
+    batch lm_score EXACTLY (same deterministic-ln math), every doc
+    gets exactly one verdict, and the keep flag honors the entropy
+    cutoff."""
+    from pyspark.sql import functions as F
+
+    from distributed_system_mapreduce_spark.operators.curation8 import (
+        lm_model,
+        lm_score,
+    )
+    from distributed_system_mapreduce_spark.sources.filestore import (
+        FileStore,
+    )
+    from distributed_system_mapreduce_spark.streaming import (
+        lm_quality_stream,
+    )
+    from distributed_system_mapreduce_spark.tables import load_table
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    incoming = docs.where(F.col("doc_id") % 10 == 0)
+    incoming.repartition(3).write.mode("overwrite").parquet(
+        str(tmp_path / "in"))
+    model = lm_model(corpus)
+    fs = FileStore(spark, str(tmp_path / "store"))
+
+    stream = (spark.readStream.schema(incoming.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(tmp_path / "in")))
+    cutoff = 4.5
+    lm_quality_stream(stream, model, fs, "verdicts",
+                      str(tmp_path / "ckpt"), max_entropy=cutoff)
+
+    got = {r["doc_id"]: r for r in fs.read("verdicts").collect()}
+    want = {r["doc_id"]: r
+            for r in lm_score(incoming, model).collect()}
+    assert set(got) == set(want)          # one verdict per doc
+    for did, w in want.items():
+        g = got[did]
+        assert g["n_bigrams"] == w["n_bigrams"], did
+        assert g["cross_entropy"] == w["cross_entropy"], did  # EXACT
+        assert g["keep"] == (w["cross_entropy"] <= cutoff), did
