@@ -1004,3 +1004,71 @@ WHERE rank <= {MAXSIM_TOP}
 
 QUERIES["ann_maxsim"] = ann_maxsim
 ORACLES["ann_maxsim"] = ANN_MAXSIM_SQL
+
+
+# --------------------------------------------------------- semdedup_prune
+SEMDEDUP_TAU = 0.3  # cosine threshold; the synthetic corpus has no
+# planted semantic dups, so 0.3 exercises the prune with real output
+
+
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication"): cluster
+    the embeddings with a coarse codebook, then WITHIN each cluster
+    mark every vector that has a semantically near-identical
+    neighbor (cosine >= tau) with a LOWER vec_id — the kept
+    representative is the lowest id of each near-dup neighborhood,
+    the paper's keep-one-per-group rule with a deterministic order.
+
+    Shape: the IVF cell assignment (broadcast codebook, one partial
+    agg) scopes the pair search — the self-join is per-cell, never
+    corpus x corpus; N_CELLS grows ~sqrt(n) at scale to bound cell
+    population. Output: one row per vector with its cell, how many
+    close in-cell neighbors it has, and the prune verdict."""
+    vecs = _with_cell(spark, sf_dir)
+    a, b = vecs.alias("a"), vecs.alias("b")
+    close = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell"))
+               & (F.col("a.vec_id") != F.col("b.vec_id")))
+        .filter(_cos_spark() >= F.lit(SEMDEDUP_TAU))
+        .groupBy(F.col("a.vec_id").alias("vec_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_close"),
+            F.max((F.col("b.vec_id") < F.col("a.vec_id")).cast("int"))
+            .alias("has_lower"),
+        )
+    )
+    return (
+        vecs.select("vec_id", "cell")
+        .join(close, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            F.coalesce("n_close", F.lit(0)).cast("long")
+            .alias("n_close"),
+            (F.coalesce("has_lower", F.lit(0)) == 1).alias("pruned"),
+        )
+    )
+
+
+SEMDEDUP_PRUNE_SQL = f"""
+WITH cells AS ({_CELL_SQL}),
+close AS (
+  SELECT a.vec_id,
+         CAST(COUNT(*) AS BIGINT) AS n_close,
+         MAX(CASE WHEN b.vec_id < a.vec_id THEN 1 ELSE 0 END)
+           AS has_lower
+  FROM cells a
+  JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+  WHERE {_COS_SQL} >= {SEMDEDUP_TAU}
+  GROUP BY a.vec_id
+)
+SELECT v.vec_id,
+       CAST(v.cell AS BIGINT) AS cell,
+       CAST(coalesce(close.n_close, 0) AS BIGINT) AS n_close,
+       coalesce(close.has_lower, 0) = 1 AS pruned
+FROM cells v LEFT JOIN close USING (vec_id)
+"""
+
+QUERIES["semdedup_prune"] = semdedup_prune
+ORACLES["semdedup_prune"] = SEMDEDUP_PRUNE_SQL

@@ -49,6 +49,9 @@ QUERIES_UNDER_TEST = [
     "dedup_minhash_estimate", "order_total_audit", "graph_degree_dist",
     "q16_supplier_counts", "freq_items_sketch", "dedup_minhash",
     "late_arrival_census",
+    # round-3 additions: per-doc sorted-fold scorers + the real-codec
+    # roundtrip (Python kernel — linear per doc by construction)
+    "dsir_importance", "doc_lm_typicality", "multimodal_codec_roundtrip",
 ]
 
 # key columns to offset-shift per table (copy i adds i * (max+1))
