@@ -218,3 +218,51 @@ ORACLES = {
     "dsir_importance": DSIR_IMPORTANCE_SQL,
     "doc_lm_typicality": DOC_LM_TYPICALITY_SQL,
 }
+
+
+# ----------------------------------------------------- lang_source_pmi
+def lang_source_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition bias detector: pointwise mutual information
+    between language and source per (lang, source) cell —
+    PMI = ln( p(l,s) / (p(l) p(s)) ). Cells with strongly positive
+    PMI mean a source is a language silo (scraper bias / template
+    farm); near-zero everywhere means language is independent of
+    source and the mix is balanced. The summary statistic behind
+    "is our crawl's language coverage coming from everywhere or from
+    three domains?".
+
+    Exact-oracle discipline: counts are integers; the PMI is ONE
+    per-row deterministic-ln of an exact rational — no sums of
+    doubles anywhere, so no fold is needed."""
+    docs = load_table(spark, "documents", sf_dir)
+    cell = docs.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    nl = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    ns = docs.groupBy("source").agg(F.count("*").alias("n_src"))
+    tot = docs.groupBy().agg(F.count("*").alias("n_tot"))
+    return (
+        cell.join(F.broadcast(nl), "lang")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang", "source",
+            F.col("n").cast("long").alias("n"),
+            F.expr(ln_det(
+                "(n * n_tot) / (CAST(n_lang AS DOUBLE) * n_src)"))
+            .alias("pmi"),
+        )
+    )
+
+
+LANG_SOURCE_PMI_SQL = f"""
+WITH cell AS (SELECT lang, source, COUNT(*) AS n
+              FROM documents GROUP BY lang, source),
+nl AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+ns AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),
+tot AS (SELECT COUNT(*) AS n_tot FROM documents)
+SELECT lang, source, CAST(n AS BIGINT) AS n,
+       {ln_det("(n * n_tot) / (CAST(n_lang AS DOUBLE) * n_src)")} AS pmi
+FROM cell JOIN nl USING (lang) JOIN ns USING (source) CROSS JOIN tot
+"""
+
+QUERIES["lang_source_pmi"] = lang_source_pmi
+ORACLES["lang_source_pmi"] = LANG_SOURCE_PMI_SQL

@@ -133,7 +133,7 @@ _PRIORITY = [
     "bot_rule_census", "entity_canonicalize", "seasonal_strength",
     "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
     "multimodal_audio_segments", "dsir_importance", "doc_lm_typicality",
-    "multimodal_codec_roundtrip", "semdedup_prune",
+    "multimodal_codec_roundtrip", "semdedup_prune", "lang_source_pmi",
     # -- rows-only (no oracle by design; weaker driver check) ---------
     "kmeans_embed", "approx_price_quantiles", "freq_items_sketch",
     "bpe_train_merges", "bpe_vocab_stats", "bpe_token_count",
