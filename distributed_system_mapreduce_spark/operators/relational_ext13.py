@@ -235,3 +235,136 @@ KCORE_CENSUS_SQL = _kcore_sql()
 
 QUERIES["kcore_census"] = kcore_census
 ORACLES["kcore_census"] = KCORE_CENSUS_SQL
+
+
+# ------------------------------------------------------- user_traj_topk
+TRAJ_PANEL_MOD = 50     # query panel: user_id % 50 == 0 ...
+TRAJ_PANEL_CAP = 32     # ... and user_id < 50 * 32 (bounded, like ANN)
+TRAJ_TOPK = 5
+
+
+def user_traj_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k behavioral-trajectory similarity (the distributed top-k
+    trajectory search problem, REPOSE ICDE'21 / top-k similarity
+    sessions EDBT'20, on event paths): each query-panel user's
+    arrival-ordered event-type sequence becomes a distinct
+    path-trigram set; candidate users must SHARE at least one trigram
+    (equi-join on trigram — the pruning tries' role); exact Jaccard
+    over the two trigram sets ranks the top 5 with a deterministic
+    tie-break.
+
+    Shape: one events shuffle to per-user ordered sequences
+    (sort_array over (us, event_id) — exact arrival order, no window),
+    trigram explode only for the candidate join, set algebra
+    (array_intersect sizes) for the exact verify — candidates->verify,
+    never user x user. The panel is a constant 32 users, so the plan
+    is linear in users at any scale."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+        "event_id", "event_type")
+    seq = (
+        ev.groupBy("user_id")
+        .agg(F.expr(
+            "transform(sort_array(collect_list(struct(us, event_id, "
+            "event_type))), s -> s.event_type)").alias("types"))
+        .filter(F.size("types") >= 3)
+        .select(
+            "user_id",
+            F.expr(
+                "array_distinct(transform(sequence(1, size(types) - 2), "
+                "i -> concat(element_at(types, i), '>', "
+                "element_at(types, i+1), '>', "
+                "element_at(types, i+2))))").alias("trig"),
+        )
+    )
+    qpanel = seq.filter(
+        (F.col("user_id") % TRAJ_PANEL_MOD == 0)
+        & (F.col("user_id") < TRAJ_PANEL_MOD * TRAJ_PANEL_CAP))
+    qx = qpanel.select(F.col("user_id").alias("qu"),
+                       F.explode("trig").alias("t"))
+    cx = seq.select(F.col("user_id").alias("cu"),
+                    F.explode("trig").alias("t"))
+    cand = (
+        qx.join(cx, "t")
+        .filter(F.col("qu") != F.col("cu"))
+        .select("qu", "cu").distinct()
+    )
+    a = qpanel.select(F.col("user_id").alias("qu"),
+                      F.col("trig").alias("ta"))
+    b = seq.select(F.col("user_id").alias("cu"),
+                   F.col("trig").alias("tb"))
+    pairs = (
+        cand.join(a, "qu").join(b, "cu")
+        .select(
+            "qu", "cu",
+            F.size(F.array_intersect("ta", "tb")).cast("long")
+            .alias("inter"),
+            (F.size("ta") + F.size("tb")
+             - F.size(F.array_intersect("ta", "tb"))).cast("long")
+            .alias("uni"),
+        )
+        .withColumn("jaccard", F.col("inter").cast("double")
+                    / F.col("uni").cast("double"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qu").orderBy(
+        F.desc("jaccard"), F.asc("cu"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TRAJ_TOPK)
+        .select(F.col("qu").alias("query_user"),
+                F.col("cu").alias("neighbor_user"),
+                "inter", "uni", "jaccard", "rank")
+    )
+
+
+USER_TRAJ_TOPK_SQL = f"""
+WITH seq0 AS (
+  SELECT user_id,
+         list_transform(list_sort(list({{'us': CAST(epoch_us(ts) AS
+           BIGINT), 'event_id': event_id, 'event_type': event_type}})),
+           s -> s.event_type) AS types
+  FROM events GROUP BY user_id
+),
+seq AS (
+  SELECT user_id,
+         list_distinct(list_transform(range(1, len(types) - 1),
+           i -> types[i] || '>' || types[i+1] || '>' || types[i+2]))
+           AS trig
+  FROM seq0 WHERE len(types) >= 3
+),
+qpanel AS (
+  SELECT * FROM seq
+  WHERE user_id % {TRAJ_PANEL_MOD} = 0
+    AND user_id < {TRAJ_PANEL_MOD} * {TRAJ_PANEL_CAP}
+),
+cand AS (
+  SELECT DISTINCT q.user_id AS qu, c.user_id AS cu
+  FROM (SELECT user_id, unnest(trig) AS t FROM qpanel) q
+  JOIN (SELECT user_id, unnest(trig) AS t FROM seq) c USING (t)
+  WHERE q.user_id <> c.user_id
+),
+pairs AS (
+  SELECT qu, cu,
+         CAST(len(list_intersect(a.trig, b.trig)) AS BIGINT) AS inter,
+         CAST(len(a.trig) + len(b.trig)
+              - len(list_intersect(a.trig, b.trig)) AS BIGINT) AS uni
+  FROM cand
+  JOIN qpanel a ON cand.qu = a.user_id
+  JOIN seq b ON cand.cu = b.user_id
+)
+SELECT query_user, neighbor_user, inter, uni, jaccard, rank FROM (
+  SELECT qu AS query_user, cu AS neighbor_user, inter, uni,
+         CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard,
+         ROW_NUMBER() OVER (PARTITION BY qu
+           ORDER BY CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) DESC,
+                    cu ASC) AS rank
+  FROM pairs
+)
+WHERE rank <= {TRAJ_TOPK}
+"""
+
+QUERIES["user_traj_topk"] = user_traj_topk
+ORACLES["user_traj_topk"] = USER_TRAJ_TOPK_SQL

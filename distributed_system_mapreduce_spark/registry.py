@@ -134,6 +134,7 @@ _PRIORITY = [
     "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
     "multimodal_audio_segments", "dsir_importance", "doc_lm_typicality",
     "multimodal_codec_roundtrip", "semdedup_prune", "lang_source_pmi",
+    "user_traj_topk",
     # -- rows-only (no oracle by design; weaker driver check) ---------
     "kmeans_embed", "approx_price_quantiles", "freq_items_sketch",
     "bpe_train_merges", "bpe_vocab_stats", "bpe_token_count",
