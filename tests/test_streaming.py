@@ -1130,3 +1130,67 @@ def test_lm_quality_stream_matches_batch_twin(spark, tmp_path):
         assert g["n_bigrams"] == w["n_bigrams"], did
         assert g["cross_entropy"] == w["cross_entropy"], did  # EXACT
         assert g["keep"] == (w["cross_entropy"] <= cutoff), did
+
+
+def test_lm_quality_stream_exactly_once_across_crash(spark, tmp_path):
+    """A crash after a batch's verdict write but before its commit
+    must not duplicate or corrupt verdicts on replay: the per-batch
+    partition overwrite + checkpoint pairing gives one verdict per
+    doc, bitwise identical to an uncrashed run."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from pyspark.sql import functions as F
+
+    import distributed_system_mapreduce_spark.streaming.jobs as J
+    from distributed_system_mapreduce_spark.operators.curation8 import (
+        lm_model,
+        lm_score,
+    )
+    from distributed_system_mapreduce_spark.sources.filestore import (
+        FileStore,
+    )
+    from distributed_system_mapreduce_spark.streaming import (
+        lm_quality_stream,
+    )
+    from distributed_system_mapreduce_spark.tables import load_table
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    incoming = docs.where(F.col("doc_id") % 10 == 0)
+    incoming.repartition(3).write.mode("overwrite").parquet(
+        str(tmp_path / "in"))
+    model = lm_model(corpus)
+    fs = FileStore(spark, str(tmp_path / "store"))
+
+    def stream():
+        return (spark.readStream.schema(incoming.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(str(tmp_path / "in")))
+
+    orig_runner = J._run_foreach_batch
+    crashed = {"n": 0}
+
+    def crash_runner(df, sink, ckpt):
+        def wrapped(batch_df, batch_id):
+            sink(batch_df, batch_id)  # verdicts land...
+            if batch_id == 1 and crashed["n"] == 0:
+                crashed["n"] = 1      # ...then the commit is lost
+                raise RuntimeError("injected sink crash")
+        return orig_runner(df, wrapped, ckpt)
+
+    J._run_foreach_batch = crash_runner
+    try:
+        with _pytest.raises(StreamingQueryException, match="injected"):
+            lm_quality_stream(stream(), model, fs, "verdicts",
+                              str(tmp_path / "ckpt"), max_entropy=4.5)
+    finally:
+        J._run_foreach_batch = orig_runner
+
+    lm_quality_stream(stream(), model, fs, "verdicts",
+                      str(tmp_path / "ckpt"), max_entropy=4.5)
+
+    out = {r["doc_id"]: r for r in fs.read("verdicts").collect()}
+    want = {r["doc_id"]: r for r in lm_score(incoming, model).collect()}
+    assert set(out) == set(want)  # one verdict per doc, none doubled
+    for did, w in want.items():
+        assert out[did]["cross_entropy"] == w["cross_entropy"], did
