@@ -351,3 +351,30 @@ def test_q2_q16_filter_below_pair_dedup(spark):
         assert join_ids and dedup_ids, (name, plan[:500])
         assert min(dedup_ids) > min(join_ids), (name, dedup_ids,
                                                 join_ids)
+
+
+def test_entropy_wave_plan_shapes(spark):
+    """doc_token_entropy / token_js_divergence / user_markov_entropy /
+    zipf_exponent (round 3): fully JVM-side (ln is sqrt chains inside
+    codegen), every agg has a map-side partial, no cartesian products;
+    the only windows are partitioned by user (markov) or run over the
+    per-source vocab (zipf rank) — never a global single partition."""
+    for name in ("doc_token_entropy", "token_js_divergence",
+                 "user_markov_entropy", "zipf_exponent"):
+        df = QUERIES[name](spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "partial_" in plan, name
+    # the JS divergence broadcasts its bounded per-source totals
+    js = formatted_plan(QUERIES["token_js_divergence"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in js
+    assert "Window" not in js
+    # windowed ops: partition spec is user/source, never empty
+    for name, key in (("user_markov_entropy", "user_id"),
+                      ("zipf_exponent", "source")):
+        plan = formatted_plan(QUERIES[name](spark, SF_DIR))
+        import re
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert specs, name
+        assert all(key in s for s in specs), (name, specs)
