@@ -50,6 +50,7 @@ from distributed_system_mapreduce_spark.operators import (
     relational_ext13,
     relational_ext14,
     relational_ext15,
+    relational_ext16,
     similarity,
     text_analysis,
 )
@@ -63,7 +64,7 @@ _MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
             curation4, curation5, curation6, curation7, curation8,
             curation9, dedup,
             similarity, clustering, sketches, probabilistic, bpe, fuzzy,
-            multimodal, asof, export, mlstats, relational_ext15]
+            multimodal, asof, export, mlstats, relational_ext15, relational_ext16]
 
 _MERGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -136,7 +137,8 @@ _PRIORITY = [
     "multimodal_audio_segments", "dsir_importance", "doc_lm_typicality",
     "multimodal_codec_roundtrip", "semdedup_prune", "lang_source_pmi",
     "user_traj_topk", "doc_token_entropy", "token_js_divergence",
-    "user_markov_entropy", "zipf_exponent",
+    "user_markov_entropy", "zipf_exponent", "t_closeness",
+    "events_changepoint", "benford_audit",
     # -- rows-only (no oracle by design; weaker driver check) ---------
     "kmeans_embed", "approx_price_quantiles", "freq_items_sketch",
     "bpe_train_merges", "bpe_vocab_stats", "bpe_token_count",

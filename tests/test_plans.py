@@ -378,3 +378,23 @@ def test_entropy_wave_plan_shapes(spark):
         specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
         assert specs, name
         assert all(key in s for s in specs), (name, specs)
+
+
+def test_wave16_plan_shapes(spark):
+    """t_closeness / events_changepoint / benford_audit: bounded-grid
+    aggregations with broadcast margins — no cartesian products, no
+    Python eval, partial aggs everywhere; the changepoint prefix
+    window partitions by event_type over the calendar grid, never
+    globally."""
+    import re
+
+    for name in ("t_closeness", "events_changepoint", "benford_audit"):
+        df = QUERIES[name](spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "partial_" in plan, name
+        assert "BroadcastHashJoin" in plan, name
+    cp = formatted_plan(QUERIES["events_changepoint"](spark, SF_DIR))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", cp)
+    assert specs and all("event_type" in s for s in specs), specs
