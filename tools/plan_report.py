@@ -221,6 +221,20 @@ SHOWCASE = [
      "fixed 4096-bucket arrival grid sized by a 1-row max agg; "
      "cross-bucket prefix-max as a window over the bucket aggregate "
      "(r3 fix: no driver-side stitch)"),
+    ("token_js_divergence",
+     "hashed-vocab split divergence: bounded 256-bucket grid, "
+     "broadcast per-source totals, sorted-fold JS sum"),
+    ("user_markov_entropy",
+     "per-user transition cells via user-partitioned lead window, "
+     "entropy fold over the bounded cell list"),
+    ("zipf_exponent",
+     "per-source rank window over the Heaps-sublinear vocab, four "
+     "sorted folds over the constant 64-row head"),
+    ("events_changepoint",
+     "calendar-bounded prefix window + broadcast totals, min(struct) "
+     "argmax — binary-segmentation split with no transcendentals"),
+    ("t_closeness",
+     "cell x bucket grid with broadcast margins, sorted-fold TVD"),
 ]
 
 
