@@ -25,6 +25,7 @@ from distributed_system_mapreduce_spark.operators import (
     curation7,
     curation8,
     curation9,
+    curation10,
     dedup,
     engine_queries,
     export,
@@ -62,7 +63,7 @@ _MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
             relational_ext12, relational_ext13, relational_ext14,
             engine_queries, text_analysis, curation, curation2, curation3,
             curation4, curation5, curation6, curation7, curation8,
-            curation9, dedup,
+            curation9, curation10, dedup,
             similarity, clustering, sketches, probabilistic, bpe, fuzzy,
             multimodal, asof, export, mlstats, relational_ext15, relational_ext16]
 
@@ -138,7 +139,8 @@ _PRIORITY = [
     "multimodal_codec_roundtrip", "semdedup_prune", "lang_source_pmi",
     "user_traj_topk", "doc_token_entropy", "token_js_divergence",
     "user_markov_entropy", "zipf_exponent", "t_closeness",
-    "events_changepoint", "benford_audit",
+    "events_changepoint", "benford_audit", "weighted_sample",
+    "ndcg_eval",
     # -- rows-only (no oracle by design; weaker driver check) ---------
     "kmeans_embed", "approx_price_quantiles", "freq_items_sketch",
     "bpe_train_merges", "bpe_vocab_stats", "bpe_token_count",

@@ -398,3 +398,18 @@ def test_wave16_plan_shapes(spark):
     cp = formatted_plan(QUERIES["events_changepoint"](spark, SF_DIR))
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", cp)
     assert specs and all("event_type" in s for s in specs), specs
+
+
+def test_sampling_retrieval_wave_plan_shapes(spark):
+    """weighted_sample: narrow key expression + TakeOrderedAndProject
+    — the entire corpus-scale plan is scan -> project -> top-k, no
+    shuffle, no window. ndcg_eval: rank windows only over the
+    bounded (<= 20 row) TakeOrdered heads, folds over constant-size
+    lists, no Python eval."""
+    ws = formatted_plan(QUERIES["weighted_sample"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in ws
+    assert "Window" not in ws
+    assert "Exchange hashpartitioning" not in ws
+    nd = formatted_plan(QUERIES["ndcg_eval"](spark, SF_DIR))
+    assert "BatchEvalPython" not in nd
+    assert "CartesianProduct" not in nd
