@@ -382,3 +382,50 @@ ORACLES = {
     "user_markov_entropy": USER_MARKOV_ENTROPY_SQL,
     "zipf_exponent": ZIPF_EXPONENT_SQL,
 }
+
+
+# ---------------------------------------- reusable JS-divergence pieces
+# (the streaming drift monitor scores each micro-batch against the
+# FROZEN corpus bucket distribution with exactly this math, so stream
+# and batch verdicts agree bit-for-bit)
+def token_bucket_counts(docs: DataFrame) -> DataFrame:
+    """Global hashed-vocabulary bucket counts (b, n) for a document
+    frame — the bounded (B_JS rows) distribution summary either side
+    of a JS comparison reduces to."""
+    return (docs.select(F.explode(X.tokens()).alias("tok"))
+            .select(F.expr(_JS_BUCKET_EXPR).alias("b"))
+            .groupBy("b").agg(F.count("*").alias("n")))
+
+
+def js_between(p_counts: DataFrame, q_counts: DataFrame) -> DataFrame:
+    """ONE-row Jensen-Shannon divergence between two bucket-count
+    frames from token_bucket_counts: (p_tokens, q_tokens,
+    js_divergence). Full-outer on the bounded bucket grid, totals as
+    broadcast 1-row aggregates, deterministic-ln terms folded in
+    sorted order — identical math to token_js_divergence's per-source
+    cells, so a DuckDB twin hash-matches."""
+    p = p_counts.select("b", F.col("n").alias("ct"))
+    q = q_counts.select("b", F.col("n").alias("ch"))
+    cell = (p.join(q, "b", "full")
+            .select("b", F.coalesce("ct", F.lit(0)).alias("ct"),
+                    F.coalesce("ch", F.lit(0)).alias("ch")))
+    tot = cell.groupBy().agg(F.sum("ct").alias("tt"),
+                             F.sum("ch").alias("th"))
+    pr, qr = "(CAST(ct AS DOUBLE) / tt)", "(CAST(ch AS DOUBLE) / th)"
+    m2 = f"({pr} + {qr})"
+    term = (
+        f"CASE WHEN ct > 0 THEN 0.5 * {pr} * "
+        f"({ln_det(f'2.0 * {pr} / {m2}')}) ELSE CAST(0 AS DOUBLE) END + "
+        f"CASE WHEN ch > 0 THEN 0.5 * {qr} * "
+        f"({ln_det(f'2.0 * {qr} / {m2}')}) ELSE CAST(0 AS DOUBLE) END"
+    )
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .withColumn("term", F.expr(term))
+        .groupBy()
+        .agg(
+            F.first("tt").cast("long").alias("p_tokens"),
+            F.first("th").cast("long").alias("q_tokens"),
+            F.expr(_fold("term")).alias("js_divergence"),
+        )
+    )

@@ -1144,3 +1144,39 @@ def lm_quality_stream(docs: DataFrame, model: DataFrame, fs,
             os.path.join(fs._path(out_name), f"batch_id={batch_id}"))
 
     return _run_foreach_batch(docs, sink, checkpoint_dir)
+
+
+# ------------------------------------------------ drift_monitor_stream
+def drift_monitor_stream(docs: DataFrame, model: DataFrame, fs,
+                         out_name: str, checkpoint_dir: str) -> Any:
+    """Streaming DISTRIBUTION-DRIFT monitor: each micro-batch of
+    incoming (doc_id, text) documents is reduced to its hashed-
+    vocabulary bucket distribution and scored with the Jensen-Shannon
+    divergence against a FROZEN corpus distribution (a
+    curation9.token_bucket_counts frame, checkpointed as the static
+    side) — the continuous-crawl answer to "is today's feed still the
+    distribution we trained the filters on?". A JS step-change is the
+    upstream-source-broke alarm that per-doc quality gates
+    (lm_quality_stream) miss, because every individual document can
+    look fine while the MIX shifts.
+
+    Per batch ONE summary row (batch p_tokens, frozen q_tokens, js)
+    lands as an idempotent per-batch partition overwrite — the same
+    exactly-once pairing stream_to_filestore proves under crash.
+    Stream scores agree exactly with the batch twin
+    (curation9.js_between) because the math is shared."""
+    from distributed_system_mapreduce_spark.operators.curation9 import (
+        js_between,
+        token_bucket_counts,
+    )
+
+    mdl = model.localCheckpoint()
+
+    import os
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        row = js_between(token_bucket_counts(batch_df), mdl)
+        row.write.mode("overwrite").parquet(
+            os.path.join(fs._path(out_name), f"batch_id={batch_id}"))
+
+    return _run_foreach_batch(docs, sink, checkpoint_dir)

@@ -1194,3 +1194,60 @@ def test_lm_quality_stream_exactly_once_across_crash(spark, tmp_path):
     assert set(out) == set(want)  # one verdict per doc, none doubled
     for did, w in want.items():
         assert out[did]["cross_entropy"] == w["cross_entropy"], did
+
+
+def test_drift_monitor_stream_matches_batch_twin(spark, tmp_path):
+    """Streaming distribution-drift monitor: each micro-batch's JS
+    divergence against the frozen corpus bucket distribution must
+    equal the batch js_between EXACTLY (shared deterministic-ln +
+    sorted-fold math), one summary row per batch."""
+    from pyspark.sql import functions as F
+
+    from distributed_system_mapreduce_spark.operators.curation9 import (
+        js_between,
+        token_bucket_counts,
+    )
+    from distributed_system_mapreduce_spark.sources.filestore import (
+        FileStore,
+    )
+    from distributed_system_mapreduce_spark.streaming import (
+        drift_monitor_stream,
+    )
+    from distributed_system_mapreduce_spark.tables import load_table
+
+    docs = load_table(spark, "documents", SF_DIR).select(
+        "doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    incoming = docs.where(F.col("doc_id") % 10 == 0)
+    incoming.repartition(3).write.mode("overwrite").parquet(
+        str(tmp_path / "in"))
+    model = token_bucket_counts(corpus)
+    fs = FileStore(spark, str(tmp_path / "store"))
+
+    stream = (spark.readStream.schema(incoming.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(tmp_path / "in")))
+    drift_monitor_stream(stream, model, fs, "drift",
+                         str(tmp_path / "ckpt"))
+
+    rows = fs.read("drift").collect()
+    assert len(rows) == 3                      # one row per batch
+    # frozen side identical in every batch row
+    assert len({r["q_tokens"] for r in rows}) == 1
+    # whole-feed sanity: batch sizes sum to the incoming token count
+    batch_total = sum(r["p_tokens"] for r in rows)
+    twin_all = js_between(token_bucket_counts(incoming), model).collect()[0]
+    assert batch_total == twin_all["p_tokens"]
+    # EXACT per-batch agreement: recompute each batch's twin from the
+    # same file split the stream consumed
+    import glob
+
+    files = sorted(glob.glob(str(tmp_path / "in" / "part-*")))
+    assert len(files) == 3
+    twin_js = set()
+    for f in files:
+        b = spark.read.parquet(f)
+        twin_js.add(
+            js_between(token_bucket_counts(b), model)
+            .collect()[0]["js_divergence"])
+    assert twin_js == {r["js_divergence"] for r in rows}
