@@ -611,3 +611,64 @@ def test_copair_counts_equals_self_join_form(spark, baskets):
         ).collect()
     }
     assert got == want
+
+
+def test_entropy_wave_semantic_invariants(spark):
+    """Meaning checks beyond the oracle's exactness: entropies live in
+    their information-theoretic ranges, the JS divergence respects its
+    ln(2) bound, Zipf slopes are negative (frequency decreases with
+    rank), and the deterministic-ln approximation error stays below
+    the documented envelope on these ranges."""
+    import math
+
+    from distributed_system_mapreduce_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    ent = QUERIES["doc_token_entropy"](spark, SF_DIR).collect()
+    assert ent
+    for r in ent:
+        # 0 <= H <= ln(n_distinct) (+ ln_det envelope)
+        assert r["entropy"] >= -1e-3, r
+        assert r["entropy"] <= math.log(r["n_distinct"]) + 1e-3, r
+        assert 0 < r["ttr"] <= 1.0, r
+
+    js = QUERIES["token_js_divergence"](spark, SF_DIR).collect()
+    assert js
+    for r in js:
+        assert -1e-3 <= r["js_divergence"] <= math.log(2) + 1e-3, r
+
+    mk = QUERIES["user_markov_entropy"](spark, SF_DIR).collect()
+    assert mk
+    for r in mk:
+        # entropy rate bounded by ln(#cells) over the user's own cells
+        assert -1e-3 <= r["entropy_rate"], r
+        assert r["entropy_rate"] <= math.log(max(r["n_cells"], 2)) + 1e-3, r
+
+    zipf = QUERIES["zipf_exponent"](spark, SF_DIR).collect()
+    assert zipf
+    for r in zipf:
+        assert r["zipf_slope"] < 0, r  # frequency falls with rank
+
+
+def test_sampling_and_ndcg_semantic_invariants(spark):
+    """weighted_sample must over-represent heavy docs (sample mean
+    weight above the corpus mean — deterministic given the hash), and
+    NDCG must be a valid normalized ranking score, non-increasing in
+    stricter-is-harder fashion only if gains allow (just range-check
+    each cutoff)."""
+    from distributed_system_mapreduce_spark.registry import QUERIES
+    from distributed_system_mapreduce_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    sample = QUERIES["weighted_sample"](spark, SF_DIR).collect()
+    assert len(sample) == 100
+    mean_s = sum(r["weight"] for r in sample) / len(sample)
+    docs = load_table(spark, "documents", SF_DIR).collect()
+    mean_c = sum(r["n_chars"] for r in docs) / len(docs)
+    assert mean_s > mean_c  # length-weighted sampling favors long docs
+
+    nd = {r["k"]: r for r in QUERIES["ndcg_eval"](spark, SF_DIR).collect()}
+    assert set(nd) == {5, 10, 20}
+    for k, r in nd.items():
+        assert 0.0 < r["ndcg"] <= 1.0 + 1e-9, (k, r)
+        assert r["dcg"] <= r["idcg"] + 1e-9, (k, r)
