@@ -308,3 +308,143 @@ ORACLES = {
     "kmv_distinct": KMV_DISTINCT_SQL,
     "bloom_semi_filter": BLOOM_SEMI_FILTER_SQL,
 }
+
+
+
+
+# --------------------------------------------------------- kmv_set_ops
+def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA over event-type audiences: for every type
+    pair (a < b), union / intersection / Jaccard ESTIMATES from the
+    two types' K-minimum-values user sketches — the theta-sketch
+    workflow (merge bottom-Ks, count shared members in the merged
+    head) that answers cross-audience questions from kilobyte
+    summaries instead of re-scanning either audience. The sketch
+    twin of the exact audience_overlap.
+
+    Math per pair: X = bottom-K of S_a union S_b (same user -> same
+    hash; dedup by h with membership flags); |AuB| ~
+    (K-1)/(max(X)/2^52), exact |X| when under K; J ~ |{h in X in
+    BOTH sketches}| / |X|; |AnB| = J * |AuB|. Every step is a pure
+    function of md5, so both engines build the identical sketches
+    and identical estimates — hash-checkable despite approximate.
+
+    Scale shape: corpus-scale work is ONE distinct (type, user) pass
+    + the salted two-phase bottom-K (kmv_distinct's discipline);
+    everything downstream runs on the bounded |types| x K sketch
+    table (the partner-type inequality join is a broadcast nested
+    loop over that tiny table — the triangular-broadcast idiom, not
+    a data-scale cartesian). Accuracy vs the exact audience_overlap
+    is bounded in tests/test_sketches.py."""
+    ev = spread(load_table(spark, "events", sf_dir))
+    hashed = (
+        ev.select("event_type", "user_id").distinct()
+        .select("event_type",
+                F.expr(_hex_conv("md5(CAST(user_id AS STRING))", 13))
+                .alias("h"))
+    )
+    w1 = Window.partitionBy(
+        "event_type", F.pmod(F.col("h"), F.lit(KMV_SALTS))
+    ).orderBy("h")
+    phase1 = (hashed.withColumn("rn", F.row_number().over(w1))
+              .filter(F.col("rn") <= KMV_K).drop("rn"))
+    w2 = Window.partitionBy("event_type").orderBy("h")
+    sk = (phase1.withColumn("rn", F.row_number().over(w2))
+          .filter(F.col("rn") <= KMV_K).drop("rn")
+          .localCheckpoint())  # bounded |types| x K rows; read 3x below
+    types = sk.select("event_type").distinct()
+    a_side = (
+        sk.select(F.col("event_type").alias("ta"), "h")
+        .join(F.broadcast(types.select(F.col("event_type").alias("tb"))),
+              F.col("tb") > F.col("ta"))
+        .select("ta", "tb", "h", F.lit(1).alias("ia"), F.lit(0).alias("ib"))
+    )
+    b_side = (
+        sk.select(F.col("event_type").alias("tb"), "h")
+        .join(F.broadcast(types.select(F.col("event_type").alias("ta"))),
+              F.col("tb") > F.col("ta"))
+        .select("ta", "tb", "h", F.lit(0).alias("ia"), F.lit(1).alias("ib"))
+    )
+    mem = (a_side.unionByName(b_side)
+           .groupBy("ta", "tb", "h")
+           .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib")))
+    wp = Window.partitionBy("ta", "tb").orderBy("h")
+    x = (mem.withColumn("rn", F.row_number().over(wp))
+         .filter(F.col("rn") <= KMV_K))
+    agg = x.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).alias("n_x"),
+        F.max("h").alias("kth"),
+        F.sum((F.col("ia") * F.col("ib"))).alias("n_both"),
+    )
+    est_union = F.when(
+        F.col("n_x") < KMV_K, F.col("n_x").cast("double")
+    ).otherwise(
+        F.lit(float(KMV_K - 1)) / (F.col("kth").cast("double")
+                                   / F.lit(_POW52)))
+    return agg.select(
+        F.col("ta").alias("type_a"), F.col("tb").alias("type_b"),
+        F.col("n_x").cast("long").alias("n_merged"),
+        F.col("n_both").cast("long").alias("n_shared"),
+        est_union.alias("est_union"),
+        (F.col("n_both").cast("double") / F.col("n_x").cast("double"))
+        .alias("est_jaccard"),
+        ((F.col("n_both").cast("double") / F.col("n_x").cast("double"))
+         * est_union).alias("est_intersection"),
+    )
+
+
+KMV_SET_OPS_SQL = f"""
+WITH hashed AS (
+  SELECT event_type, {_hex_long("hx", 13)} AS h
+  FROM (SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+        FROM events)
+),
+sk AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM hashed
+  ) WHERE rn <= {KMV_K}
+),
+types AS (SELECT DISTINCT event_type FROM sk),
+mem AS (
+  SELECT ta, tb, h, MAX(ia) AS ia, MAX(ib) AS ib FROM (
+    SELECT a.event_type AS ta, t.event_type AS tb, a.h,
+           1 AS ia, 0 AS ib
+    FROM sk a JOIN types t ON t.event_type > a.event_type
+    UNION ALL
+    SELECT t.event_type AS ta, b.event_type AS tb, b.h,
+           0 AS ia, 1 AS ib
+    FROM sk b JOIN types t ON t.event_type < b.event_type
+  ) GROUP BY ta, tb, h
+),
+x AS (
+  SELECT * FROM (
+    SELECT ta, tb, h, ia, ib,
+           ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+    FROM mem
+  ) WHERE rn <= {KMV_K}
+),
+agg AS (
+  SELECT ta, tb, COUNT(*) AS n_x, MAX(h) AS kth,
+         SUM(ia * ib) AS n_both
+  FROM x GROUP BY ta, tb
+)
+SELECT ta AS type_a, tb AS type_b,
+       CAST(n_x AS BIGINT) AS n_merged,
+       CAST(n_both AS BIGINT) AS n_shared,
+       CASE WHEN n_x < {KMV_K} THEN CAST(n_x AS DOUBLE)
+            ELSE CAST({KMV_K - 1} AS DOUBLE)
+                 / (CAST(kth AS DOUBLE) / {_POW52!r})
+       END AS est_union,
+       CAST(n_both AS DOUBLE) / CAST(n_x AS DOUBLE) AS est_jaccard,
+       (CAST(n_both AS DOUBLE) / CAST(n_x AS DOUBLE))
+         * (CASE WHEN n_x < {KMV_K} THEN CAST(n_x AS DOUBLE)
+                 ELSE CAST({KMV_K - 1} AS DOUBLE)
+                      / (CAST(kth AS DOUBLE) / {_POW52!r})
+            END) AS est_intersection
+FROM agg
+"""
+
+QUERIES["kmv_set_ops"] = kmv_set_ops
+ORACLES["kmv_set_ops"] = KMV_SET_OPS_SQL

@@ -77,3 +77,30 @@ def test_hll_sketch_store_merge(spark, tmp_path):
     true = ev.select("user_id").distinct().count()
     assert merged == direct  # merge-of-parts == single pass, exactly
     assert abs(merged - true) <= max(2, 0.05 * true)
+
+
+def test_kmv_set_ops_within_error_bound(spark):
+    """The KMV pair estimates must land near the exact
+    audience_overlap values: with K=64 the union RSE is ~13%, so a
+    35% relative envelope (3 sigma-ish) on union and intersection,
+    and an absolute 0.25 envelope on Jaccard, catches a broken
+    estimator without flaking on sketch variance."""
+    from distributed_system_mapreduce_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    est = {(r["type_a"], r["type_b"]): r
+           for r in QUERIES["kmv_set_ops"](spark, SF_DIR).collect()}
+    exact = {(r["type_a"], r["type_b"]): r
+             for r in QUERIES["audience_overlap"](spark, SF_DIR).collect()}
+    # every exact pair with shared users must appear in the sketch view
+    assert set(exact) <= set(est)
+    for key, ex in exact.items():
+        e = est[key]
+        union = ex["n_a"] + ex["n_b"] - ex["n_both"]
+        assert abs(e["est_union"] - union) <= max(5, 0.35 * union), (
+            key, e["est_union"], union)
+        assert abs(e["est_jaccard"] - ex["jaccard"]) <= 0.25, (
+            key, e["est_jaccard"], ex["jaccard"])
+        assert abs(e["est_intersection"] - ex["n_both"]) <= max(
+            5, 0.35 * max(ex["n_both"], 1)), (
+            key, e["est_intersection"], ex["n_both"])
