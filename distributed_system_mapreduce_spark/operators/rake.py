@@ -1,0 +1,158 @@
+"""RAKE keyphrase extraction (Rose et al. 2010, "Automatic Keyword
+Extraction from Individual Documents"), corpus-scale:
+
+candidate phrases are maximal stopword-free token runs; each word
+scores deg(w)/freq(w) where freq counts occurrences inside candidates
+and deg additionally credits co-occurrence (the length of every
+candidate the occurrence sits in); a phrase scores the sum of its
+member word scores. The corpus's top phrases are its keyphrase
+vocabulary — the unsupervised "what is this corpus about" readout
+used before topic labeling or facet design.
+
+Exactness: phrase segmentation is pure integer positional logic
+(1-based token positions in BOTH engines — Spark element_at vs
+DuckDB's native 1-based list index, because Spark's [] is 0-based);
+word scores are single divisions of exact integers; phrase scores
+fold over the SORTED bounded member-score list; the final head is a
+deterministic top-k with a full tie-break.
+
+Scale shape (100 TB): positions explode is narrow; the run-id prefix
+count is a window PARTITIONED BY doc (bounded by doc length, never
+global); phrase and word stats are map-side-combined partial aggs;
+the word-score table joins back by word (vocab-sized, Heaps-
+sublinear); the head is TakeOrderedAndProject. Driver state zero.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from distributed_system_mapreduce_spark.functions import text as X
+from distributed_system_mapreduce_spark.tables import load_table, spread
+
+RAKE_TOPK = 20
+_STOP_IN = ", ".join(f"'{w}'" for w in X.STOPWORDS)
+
+_FOLD = ("aggregate(sort_array(collect_list({t})), "
+         "CAST(0 AS DOUBLE), (acc, t) -> acc + t)")
+_FOLD_SQL = "list_reduce(list_sort(list({t})), (acc, t) -> acc + t)"
+
+
+def keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-RAKE_TOPK corpus keyphrases: (phrase, n_occurrences,
+    n_words, rake_score). See module docstring for the algorithm and
+    determinism contract."""
+    docs = spread(load_table(spark, "documents", sf_dir))
+    toks = docs.select("doc_id", X.tokens().alias("toks"))
+    pos = toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, size(toks)), "
+            "i -> struct(i AS pos, element_at(toks, i) AS tok))"
+        )).alias("u"),
+    ).select("doc_id", F.col("u.pos").alias("pos"),
+             F.col("u.tok").alias("tok"))
+    pos = pos.withColumn(
+        "is_stop", F.expr(f"tok IN ({_STOP_IN})"))
+    w = (Window.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    runs = (pos.withColumn(
+        "run_id", F.sum(F.col("is_stop").cast("int")).over(w))
+        .where(~F.col("is_stop")))
+    phrases = (
+        runs.groupBy("doc_id", "run_id")
+        .agg(
+            F.expr("concat_ws(' ', transform(sort_array("
+                   "collect_list(struct(pos, tok))), s -> s.tok))")
+            .alias("phrase"),
+            F.count("*").alias("plen"),
+        )
+    )
+    # word stats over candidate occurrences: freq = occurrences,
+    # deg = sum of the hosting candidate's length (self-inclusive)
+    words = (
+        phrases.select("plen",
+                       F.explode(F.split("phrase", " ")).alias("wrd"))
+        .groupBy("wrd")
+        .agg(F.count("*").alias("freq"), F.sum("plen").alias("deg"))
+        .withColumn("wscore",
+                    F.col("deg").cast("double") / F.col("freq"))
+    )
+    agg_phrases = phrases.groupBy("phrase").agg(
+        F.count("*").alias("n_occurrences"),
+        F.first("plen").alias("n_words"),
+    )
+    scored = (
+        agg_phrases.select(
+            "phrase", "n_occurrences", "n_words",
+            F.explode(F.split("phrase", " ")).alias("wrd"))
+        .join(words.select("wrd", "wscore"), "wrd")
+        .groupBy("phrase")
+        .agg(
+            F.first("n_occurrences").cast("long").alias("n_occurrences"),
+            F.first("n_words").cast("long").alias("n_words"),
+            F.expr(_FOLD.format(t="wscore")).alias("rake_score"),
+        )
+    )
+    return (scored
+            .orderBy(F.desc("rake_score"), F.desc("n_occurrences"),
+                     F.asc("phrase"))
+            .limit(RAKE_TOPK))
+
+
+KEYPHRASE_RAKE_SQL = f"""
+WITH pos AS (
+  SELECT doc_id, u.pos AS pos, u.tok AS tok,
+         u.tok IN ({_STOP_IN}) AS is_stop
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) + 1),
+                  i -> struct_pack(pos := i, tok := toks[i]))) AS u
+    FROM (SELECT doc_id, {X.TOKENS_SQL} AS toks FROM documents)
+  )
+),
+runs AS (
+  SELECT doc_id, pos, tok,
+         SUM(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER
+           (PARTITION BY doc_id ORDER BY pos
+            ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM pos QUALIFY NOT is_stop
+),
+phrases AS (
+  SELECT doc_id, run_id,
+         string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         COUNT(*) AS plen
+  FROM runs GROUP BY doc_id, run_id
+),
+words AS (
+  SELECT wrd, COUNT(*) AS freq, SUM(plen) AS deg,
+         CAST(SUM(plen) AS DOUBLE) / COUNT(*) AS wscore
+  FROM (SELECT plen, unnest(string_split(phrase, ' ')) AS wrd
+        FROM phrases)
+  GROUP BY wrd
+),
+agg_phrases AS (
+  SELECT phrase, COUNT(*) AS n_occurrences,
+         ANY_VALUE(plen) AS n_words
+  FROM phrases GROUP BY phrase
+),
+scored AS (
+  SELECT p.phrase,
+         CAST(ANY_VALUE(p.n_occurrences) AS BIGINT) AS n_occurrences,
+         CAST(ANY_VALUE(p.n_words) AS BIGINT) AS n_words,
+         {_FOLD_SQL.format(t="w.wscore")} AS rake_score
+  FROM (SELECT phrase, n_occurrences, n_words,
+               unnest(string_split(phrase, ' ')) AS wrd
+        FROM agg_phrases) p
+  JOIN words w ON p.wrd = w.wrd
+  GROUP BY p.phrase
+)
+SELECT phrase, n_occurrences, n_words, rake_score
+FROM scored
+ORDER BY rake_score DESC, n_occurrences DESC, phrase ASC
+LIMIT {RAKE_TOPK}
+"""
+
+QUERIES = {"keyphrase_rake": keyphrase_rake}
+ORACLES = {"keyphrase_rake": KEYPHRASE_RAKE_SQL}

@@ -34,6 +34,7 @@ from distributed_system_mapreduce_spark.operators import (
     mlstats,
     multimodal,
     probabilistic,
+    rake,
     relational,
     sketches,
     relational_ext,
@@ -64,7 +65,7 @@ _MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
             engine_queries, text_analysis, curation, curation2, curation3,
             curation4, curation5, curation6, curation7, curation8,
             curation9, curation10, dedup,
-            similarity, clustering, sketches, probabilistic, bpe, fuzzy,
+            similarity, clustering, sketches, probabilistic, rake, bpe, fuzzy,
             multimodal, asof, export, mlstats, relational_ext15, relational_ext16]
 
 _MERGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -140,7 +141,7 @@ _PRIORITY = [
     "user_traj_topk", "doc_token_entropy", "token_js_divergence",
     "user_markov_entropy", "zipf_exponent", "t_closeness",
     "events_changepoint", "benford_audit", "weighted_sample",
-    "ndcg_eval", "kmv_set_ops",
+    "ndcg_eval", "kmv_set_ops", "keyphrase_rake",
     # -- rows-only (no oracle by design; weaker driver check) ---------
     "kmeans_embed", "approx_price_quantiles", "freq_items_sketch",
     "bpe_train_merges", "bpe_vocab_stats", "bpe_token_count",

@@ -413,3 +413,21 @@ def test_sampling_retrieval_wave_plan_shapes(spark):
     nd = formatted_plan(QUERIES["ndcg_eval"](spark, SF_DIR))
     assert "BatchEvalPython" not in nd
     assert "CartesianProduct" not in nd
+
+
+def test_rake_and_kmv_plan_shapes(spark):
+    """keyphrase_rake: doc-partitioned run-id window (never global),
+    partial aggs, TakeOrdered head. kmv_set_ops: the only nested
+    loop is the broadcast partner-type join over the bounded sketch
+    table."""
+    import re
+
+    rk = formatted_plan(QUERIES["keyphrase_rake"](spark, SF_DIR))
+    assert "BatchEvalPython" not in rk
+    assert "CartesianProduct" not in rk
+    assert "TakeOrderedAndProject" in rk
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", rk)
+    assert specs and all("doc_id" in s for s in specs), specs
+    kv = formatted_plan(QUERIES["kmv_set_ops"](spark, SF_DIR))
+    assert "BatchEvalPython" not in kv
+    assert "CartesianProduct" not in kv
