@@ -156,3 +156,111 @@ LIMIT {RAKE_TOPK}
 
 QUERIES = {"keyphrase_rake": keyphrase_rake}
 ORACLES = {"keyphrase_rake": KEYPHRASE_RAKE_SQL}
+
+
+# ------------------------------------------------- clustering_coeff
+# (placed with RAKE for module economy; graph family, reuses the
+# strong co-purchase graph of triangle_count / relational_ext4)
+def clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node LOCAL clustering coefficient over the strong
+    co-purchase part graph (triangle_count's edge rule): cc(n) =
+    2 * T_n / (d_n * (d_n - 1)) — how tightly each part's co-purchase
+    neighborhood closes into cliques. The node-resolved refinement of
+    triangle_count's global census; parts with high degree but near-
+    zero cc are hub/bridge SKUs, high-cc parts live in bundles.
+
+    Shape: same canonical u < v edge table (one checkpoint feeds the
+    wedge join, the closure probe, and the degree count); each
+    closed triangle (u < v < w) credits its three corners via a
+    3-way union + partial-agg count; cc is one exact integer
+    rational per node. Wedge fan-out and the degree-orientation
+    upgrade note are as in triangle_count (relational_ext4.py:226).
+    """
+    from distributed_system_mapreduce_spark.functions.graphs import (
+        strong_undirected,
+    )
+    from distributed_system_mapreduce_spark.operators.relational_ext4 import (
+        _TRI_SUPPORT,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = (strong_undirected(li, _TRI_SUPPORT)
+             .select("u", "v").localCheckpoint())
+    ab, bc, ac = edges.alias("ab"), edges.alias("bc"), edges.alias("ac")
+    tris = (
+        ab.join(bc, F.col("ab.v") == F.col("bc.u"))
+        .join(ac, (F.col("ab.u") == F.col("ac.u"))
+              & (F.col("bc.v") == F.col("ac.v")))
+        .select(F.col("ab.u").alias("a"), F.col("ab.v").alias("b"),
+                F.col("bc.v").alias("c"))
+    )
+    tri_nodes = (
+        tris.select(F.col("a").alias("n"))
+        .unionAll(tris.select(F.col("b").alias("n")))
+        .unionAll(tris.select(F.col("c").alias("n")))
+        .groupBy("n").agg(F.count("*").alias("t"))
+    )
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n").agg(F.count("*").alias("d"))
+    )
+    return (
+        deg.join(tri_nodes, "n", "left")
+        .select(
+            F.col("n").alias("part"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("long").alias("n_triangles"),
+            F.when(
+                F.col("d") >= 2,
+                2.0 * F.coalesce("t", F.lit(0)).cast("double")
+                / (F.col("d").cast("double") * (F.col("d") - 1)),
+            ).otherwise(F.lit(0.0)).alias("clustering_coeff"),
+        )
+    )
+
+
+def _cc_sql() -> str:
+    from distributed_system_mapreduce_spark.operators.relational_ext4 import (
+        _TRI_SUPPORT,
+    )
+    return f"""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_TRI_SUPPORT}
+),
+tris AS (
+  SELECT ab.u AS a, ab.v AS b, bc.v AS c
+  FROM edges ab
+  JOIN edges bc ON ab.v = bc.u
+  JOIN edges ac ON ab.u = ac.u AND bc.v = ac.v
+),
+tri_nodes AS (
+  SELECT n, COUNT(*) AS t FROM (
+    SELECT a AS n FROM tris
+    UNION ALL SELECT b FROM tris
+    UNION ALL SELECT c FROM tris
+  ) GROUP BY n
+),
+deg AS (
+  SELECT n, COUNT(*) AS d FROM (
+    SELECT u AS n FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY n
+)
+SELECT deg.n AS part,
+       CAST(d AS BIGINT) AS degree,
+       CAST(coalesce(t, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d >= 2
+            THEN 2.0 * CAST(coalesce(t, 0) AS DOUBLE)
+                 / (CAST(d AS DOUBLE) * (d - 1))
+            ELSE 0.0 END AS clustering_coeff
+FROM deg LEFT JOIN tri_nodes ON deg.n = tri_nodes.n
+"""
+
+
+QUERIES["clustering_coeff"] = clustering_coeff
+ORACLES["clustering_coeff"] = _cc_sql()

@@ -141,7 +141,7 @@ _PRIORITY = [
     "user_traj_topk", "doc_token_entropy", "token_js_divergence",
     "user_markov_entropy", "zipf_exponent", "t_closeness",
     "events_changepoint", "benford_audit", "weighted_sample",
-    "ndcg_eval", "kmv_set_ops", "keyphrase_rake",
+    "ndcg_eval", "kmv_set_ops", "keyphrase_rake", "clustering_coeff",
     # -- rows-only (no oracle by design; weaker driver check) ---------
     "kmeans_embed", "approx_price_quantiles", "freq_items_sketch",
     "bpe_train_merges", "bpe_vocab_stats", "bpe_token_count",
