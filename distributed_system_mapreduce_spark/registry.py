@@ -32,6 +32,7 @@ from distributed_system_mapreduce_spark.operators import (
     fuzzy,
     mapreduce_queries,
     mlstats,
+    mlstats2,
     multimodal,
     probabilistic,
     rake,
@@ -66,7 +67,8 @@ _MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
             curation4, curation5, curation6, curation7, curation8,
             curation9, curation10, dedup,
             similarity, clustering, sketches, probabilistic, rake, bpe, fuzzy,
-            multimodal, asof, export, mlstats, relational_ext15, relational_ext16]
+            multimodal, asof, export, mlstats, mlstats2,
+            relational_ext15, relational_ext16]
 
 _MERGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -142,6 +144,7 @@ _PRIORITY = [
     "user_markov_entropy", "zipf_exponent", "t_closeness",
     "events_changepoint", "benford_audit", "weighted_sample",
     "ndcg_eval", "kmv_set_ops", "keyphrase_rake", "clustering_coeff",
+    "mannwhitney_qty", "theil_sen_trend", "wilson_ci_rates", "hits_scores",
     # -- rows-only (no oracle by design; weaker driver check) ---------
     "kmeans_embed", "approx_price_quantiles", "freq_items_sketch",
     "bpe_train_merges", "bpe_vocab_stats", "bpe_token_count",

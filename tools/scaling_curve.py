@@ -52,6 +52,11 @@ QUERIES_UNDER_TEST = [
     # round-3 additions: per-doc sorted-fold scorers + the real-codec
     # roundtrip (Python kernel — linear per doc by construction)
     "dsir_importance", "doc_lm_typicality", "multimodal_codec_roundtrip",
+    # entropy/graph/retrieval waves: the wedge join (clustering_coeff)
+    # and the positional RAKE segmentation are the two new shapes where
+    # a superlinearity could hide
+    "clustering_coeff", "keyphrase_rake", "kmv_set_ops",
+    "doc_token_entropy", "ndcg_eval",
 ]
 
 # key columns to offset-shift per table (copy i adds i * (max+1))
