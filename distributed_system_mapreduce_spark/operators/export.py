@@ -132,13 +132,17 @@ tok AS (
          substring(md5(unnest(toks)), 1, 4) AS id
   FROM off
 )
-SELECT source, shard, gpos // {SEQ_LEN} AS seq_idx,
+SELECT source, shard,
+       CAST(gpos // {SEQ_LEN} AS BIGINT) AS seq_idx,
        COUNT(*) AS n_real,
        {SEQ_LEN} - COUNT(*) AS n_pad,
        md5(string_agg(id, ',' ORDER BY gpos)) AS digest
 FROM tok
 GROUP BY source, shard, gpos // {SEQ_LEN}
 """
+# seq_idx is CAST explicitly: gpos carries a windowed SUM upstream, so
+# DuckDB types it HUGEINT and the division inherits that; the driver's
+# normalizer floats HUGEINT columns before hashing (r3 gate red).
 
 
 QUERIES = {

@@ -292,9 +292,10 @@ days AS (
 tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM per_user),
 atrisk AS (
   SELECT t, d, c,
-         n_users
+         CAST(n_users
            - COALESCE(SUM(d + c) OVER (ORDER BY t
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT)
            AS n_risk
   FROM days CROSS JOIN tot
 ),

@@ -187,9 +187,12 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pr_round_sql(prev: str) -> str:
     return (
+        # CAST the whole round expression: SUM(BIGINT) widens to HUGEINT
+        # in DuckDB and would otherwise leak a HUGEINT output column that
+        # the driver's normalizer floats before hashing.
         f"SELECT e.dst AS part, "
-        f"CAST({_PR_SCALE * 15} AS BIGINT) // (100 * n.n) "
-        f"+ (85 * SUM(r.rank // d.deg)) // 100 AS rank "
+        f"CAST(CAST({_PR_SCALE * 15} AS BIGINT) // (100 * n.n) "
+        f"+ (85 * SUM(r.rank // d.deg)) // 100 AS BIGINT) AS rank "
         f"FROM edges e JOIN {prev} r ON e.src = r.part "
         f"JOIN deg d ON e.src = d.src CROSS JOIN n "
         f"GROUP BY e.dst, n.n"

@@ -94,26 +94,14 @@ if _extra:
 # budget — then the rows-only entries (their driver check is weaker),
 # then the already-driver-green rest as re-confirmation.
 _PRIORITY = [
-    # -- never driver-confirmed (r1+r2 gates covered 76 keys; this
-    # block leads so the r3 50-entry gate prefix confirms the next 50
-    # oracle-backed queries; cumulative driver-confirmed -> ~126) -----
-    "bloom_semi_filter", "events_concurrency", "cdc_apply", "skyline_parts",
-    "winsorized_stats", "events_twap", "fuzzy_name_pairs", "ann_incremental",
-    "multimodal_phash_dedup", "source_hhi", "community_lpa", "events_drift",
-    "cross_source_overlap", "dedup_substring", "curation_pipeline",
-    "events_anomaly", "events_props_stats", "events_retention",
-    "events_sliding_window", "events_path_trigrams", "rare_token_rate",
-    "events_skew_rollup", "quality_adaptive_filter", "token_budget_sample",
-    "embedding_components", "basket_pairs", "events_dau_wau", "ann_topk_pq",
-    "events_transition_matrix", "events_inter_arrival", "pagerank_parts",
-    "pack_chunks", "bigram_lift", "dedup_incremental", "triangle_count",
-    "profile_orders", "events_ohlc", "events_gap_fill", "orders_backlog",
-    "training_batches_digest", "events_streaks", "supplier_lead_time",
-    "embedding_dedup_apply", "events_rolling_median", "vocab_growth",
-    "graph_degree_dist", "orders_mom_growth", "text_normalize",
-    "customer_rfm", "revenue_concentration", "events_hour_heatmap",
-    "multimodal_dedup", "embedding_stats", "events_skew_join",
-    "fk_integrity", "events_ewma", "abandoned_views",
+    # -- r4 gate head: the two r3 hash-reds plus the third HUGEINT
+    # landmine, all with freshly CAST oracles -- re-confirmation ----
+    "pagerank_parts", "training_batches_digest", "user_survival_km",
+    # -- never driver-confirmed oracle-backed (r1+r2+r3 gates have
+    # covered 126 keys; this block leads so the r4 50-entry prefix
+    # confirms the next 47 -> cumulative ~176) ----------------------
+    "events_hour_heatmap", "multimodal_dedup", "embedding_stats",
+    "events_skew_join", "fk_integrity", "events_ewma", "abandoned_views",
     "quality_dup_correlation", "tokenizer_fertility", "lang_confusion",
     "chunk_overlap", "dedup_cluster_stats", "embedding_quantize",
     "text_integrity", "k_anonymity", "user_growth", "link_prediction",
@@ -124,10 +112,10 @@ _PRIORITY = [
     "split_ks_check", "user_churn", "l_diversity", "events_dow_profile",
     "top_returned_parts", "stratified_reservoir", "dedup_survivorship",
     "tokenizer_oov_rate", "hard_negative_mining", "embedding_margin",
-    "session_lengths", "returns_mix_shift", "user_survival_km",
-    "events_cusum", "discount_qty_elasticity", "join_key_skew",
-    "revenue_gini", "events_holt_forecast", "events_daily_quantiles",
-    "graph_bfs_reach", "assoc_rules", "ab_test_zstat", "lsh_param_sweep",
+    "session_lengths", "returns_mix_shift", "events_cusum",
+    "discount_qty_elasticity", "join_key_skew", "revenue_gini",
+    "events_holt_forecast", "events_daily_quantiles", "graph_bfs_reach",
+    "assoc_rules", "ab_test_zstat", "lsh_param_sweep",
     "events_grouping_sets", "kcore_census", "attribution_credit",
     "dedup_components_star", "decayed_popularity", "kfold_assign",
     "revenue_trend_ols", "events_chi2_dow", "events_mad_outliers",
@@ -142,13 +130,28 @@ _PRIORITY = [
     "multimodal_codec_roundtrip", "semdedup_prune", "lang_source_pmi",
     "user_traj_topk", "doc_token_entropy", "token_js_divergence",
     "user_markov_entropy", "zipf_exponent", "t_closeness",
-    "events_changepoint", "benford_audit", "weighted_sample",
-    "ndcg_eval", "kmv_set_ops", "keyphrase_rake", "clustering_coeff",
-    "mannwhitney_qty", "theil_sen_trend", "wilson_ci_rates", "hits_scores",
-    # -- rows-only (no oracle by design; weaker driver check) ---------
+    "events_changepoint", "benford_audit", "weighted_sample", "ndcg_eval",
+    "kmv_set_ops", "keyphrase_rake", "clustering_coeff", "mannwhitney_qty",
+    "theil_sen_trend", "wilson_ci_rates", "hits_scores",
+    # -- rows-only (no oracle by design; weaker driver check) -------
     "kmeans_embed", "approx_price_quantiles", "freq_items_sketch",
     "bpe_train_merges", "bpe_vocab_stats", "bpe_token_count",
-    # -- driver-confirmed in r1/r2 gates (re-confirmation tail) -------
+    "approx_distinct_users_by_type",
+    # -- driver-confirmed in r1/r2/r3 gates (re-confirmation tail) --
+    "bloom_semi_filter", "events_concurrency", "cdc_apply", "skyline_parts",
+    "winsorized_stats", "events_twap", "fuzzy_name_pairs", "ann_incremental",
+    "multimodal_phash_dedup", "source_hhi", "community_lpa", "events_drift",
+    "cross_source_overlap", "dedup_substring", "curation_pipeline",
+    "events_anomaly", "events_props_stats", "events_retention",
+    "events_sliding_window", "events_path_trigrams", "rare_token_rate",
+    "events_skew_rollup", "quality_adaptive_filter", "token_budget_sample",
+    "embedding_components", "basket_pairs", "events_dau_wau", "ann_topk_pq",
+    "events_transition_matrix", "events_inter_arrival", "pack_chunks",
+    "bigram_lift", "dedup_incremental", "triangle_count", "profile_orders",
+    "events_ohlc", "events_gap_fill", "orders_backlog", "events_streaks",
+    "supplier_lead_time", "embedding_dedup_apply", "events_rolling_median",
+    "vocab_growth", "graph_degree_dist", "orders_mom_growth",
+    "text_normalize", "customer_rfm", "revenue_concentration",
     "mr_wordcount_exe", "events_asof_order", "purchase_attribution",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_minhash_estimate", "dedup_components", "dedup_apply",
@@ -171,8 +174,8 @@ _PRIORITY = [
     "q20_heavy_shippers", "q21_sole_supplier_returns",
     "order_priority_count", "distinct_users_by_type", "events_pivot",
     "price_quantiles", "token_count", "lang_id", "quality_score",
-    "quality_filter", "term_doc_freq", "doc_fingerprint",
-    "approx_distinct_users_by_type", "tfidf_topterms", "bm25_rank",
+    "quality_filter", "term_doc_freq", "doc_fingerprint", "tfidf_topterms",
+    "bm25_rank",
 ]
 
 if set(_PRIORITY) != set(_MERGED) or len(_PRIORITY) != len(_MERGED):
