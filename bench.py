@@ -98,8 +98,19 @@ def main() -> None:
     from distributed_system_mapreduce_spark.registry import QUERIES
 
     names = only or list(QUERIES)
-    groups = [names[i:i + GROUP_SIZE]
-              for i in range(0, len(names), GROUP_SIZE)]
+    # The HEADLINE 12 always run as their OWN FIRST group in a fixed
+    # order: the headline metric must not depend on registry ordering
+    # (gate-prefix rotations reshuffle group membership every round —
+    # r3's apparent top_customers 2.33x "regression" was exactly this:
+    # queries moving between groups with different co-resident load).
+    if not only:
+        head = [n for n in HEADLINE if n in QUERIES]
+        rest = [n for n in names if n not in set(head)]
+        groups = [head] + [rest[i:i + GROUP_SIZE]
+                           for i in range(0, len(rest), GROUP_SIZE)]
+    else:
+        groups = [names[i:i + GROUP_SIZE]
+                  for i in range(0, len(names), GROUP_SIZE)]
 
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -108,25 +119,40 @@ def main() -> None:
         with tempfile.NamedTemporaryFile(suffix=".json",
                                          delete=False) as tf:
             out_path = tf.name
+        err_path = out_path + ".stderr"
         try:
             # sequential children: each gets the whole machine; a
-            # crashed child voids only its own group
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 ",".join(grp), out_path],
-                env=env, cwd=REPO, timeout=3600,
-                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-            if proc.returncode == 0:
+            # crashed child voids only its own group. stderr goes to a
+            # temp file so a crashed/hung child leaves diagnostics.
+            with open(err_path, "w") as ef:
+                try:
+                    proc = subprocess.run(
+                        [sys.executable, os.path.abspath(__file__),
+                         ",".join(grp), out_path],
+                        env=env, cwd=REPO, timeout=3600,
+                        stdout=subprocess.DEVNULL, stderr=ef)
+                    rc: int | str = proc.returncode
+                except subprocess.TimeoutExpired:
+                    # one hung group must not void the whole bench run
+                    rc = "timeout after 3600s"
+            if rc == 0:
                 with open(out_path) as fh:
                     part = json.load(fh)
                 times.update(part["queries"])
                 errors.update(part["errors"])
             else:
+                tail = ""
+                try:
+                    with open(err_path) as ef:
+                        tail = ef.read()[-300:].replace("\n", " | ")
+                except OSError:
+                    pass
                 for n in grp:
-                    errors[n] = f"bench child exited {proc.returncode}"
+                    errors[n] = f"bench child: {rc}; stderr: {tail}"[:400]
         finally:
-            if os.path.exists(out_path):
-                os.unlink(out_path)
+            for p in (out_path, err_path):
+                if os.path.exists(p):
+                    os.unlink(p)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(

@@ -127,18 +127,26 @@ def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     a ratio of two bit-identical doubles."""
     terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
     docs = spread(load_table(spark, "documents", sf_dir))
+    rel_expr = (f"size(array_intersect(array_distinct({X.TOKENS_EXPR}), "
+                f"array({terms})))")
     rel = docs.select(
-        "doc_id",
-        F.expr(f"size(array_intersect(array_distinct({X.TOKENS_EXPR}), "
-               f"array({terms})))").cast("long").alias("rel"),
-    )
+        "doc_id", F.expr(rel_expr).cast("long").alias("rel"))
     # the ranking and ideal sides are both BOUNDED (<= 20 rows), so
-    # the un-partitioned rank windows run over constant-size inputs
+    # the un-partitioned rank windows run over constant-size inputs.
+    # Join the 20-row ranking against RAW docs and tokenize AFTER the
+    # broadcast join: the gold label is then computed for 20 documents
+    # instead of re-tokenizing the whole corpus a second time (the
+    # ideal side below pays the one full rel pass that is genuinely
+    # needed for the corpus-wide ideal ordering).
     ranked = (
-        bm25_rank(spark, sf_dir)
-        .select("doc_id", F.row_number().over(
-            Window.orderBy(F.desc("bm25"), F.asc("doc_id"))).alias("pos"))
-        .join(rel, "doc_id")
+        F.broadcast(
+            bm25_rank(spark, sf_dir)
+            .select("doc_id", F.row_number().over(
+                Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+                .alias("pos")))
+        .join(docs, "doc_id")
+        .select("doc_id", "pos",
+                F.expr(rel_expr).cast("long").alias("rel"))
     )
     ideal = (
         rel.orderBy(F.desc("rel"), F.asc("doc_id"))
@@ -147,20 +155,32 @@ def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.orderBy(F.desc("rel"), F.asc("doc_id"))).alias("pos"))
     )
 
-    def dcg(df: DataFrame, k: int, out: str) -> DataFrame:
-        return (df.where(F.col("pos") <= k)
-                .groupBy()
-                .agg(F.expr(_FOLD.format(t=_NDCG_TERM)).alias(out)))
+    # ALL cutoffs in ONE conditional aggregation per side (collect_list
+    # drops the NULLs the CASE emits past each cutoff), then stack()
+    # unpivots the single joined row — the whole query is ONE plan with
+    # ONE bm25 subtree and ONE ideal subtree. The previous per-cutoff
+    # loop built 6 separate scalar aggregations over uncached
+    # DataFrames, re-executing the bm25 corpus pass and the rel scan
+    # per cutoff (6 corpus passes where 2 suffice — 5.5s at sf0.1, the
+    # round-3 bench's slowest query).
+    def dcgs(df: DataFrame, out: str) -> DataFrame:
+        cond = ("CASE WHEN pos <= {k} THEN (" + _NDCG_TERM
+                + ") END")
+        return df.groupBy().agg(*[
+            F.expr(_FOLD.format(t=cond.format(k=k)))
+            .alias(f"{out}{k}")
+            for k in NDCG_CUTS
+        ])
 
-    rows = None
-    for k in NDCG_CUTS:
-        d = dcg(ranked, k, "dcg").crossJoin(dcg(ideal, k, "idcg"))
-        d = d.select(
-            F.lit(k).cast("long").alias("k"), "dcg", "idcg",
-            (F.col("dcg") / F.col("idcg")).alias("ndcg"),
-        )
-        rows = d if rows is None else rows.unionByName(d)
-    return rows
+    wide = dcgs(ranked, "dcg").crossJoin(dcgs(ideal, "idcg"))
+    stack_args = ", ".join(
+        f"CAST({k} AS BIGINT), dcg{k}, idcg{k}" for k in NDCG_CUTS)
+    return (
+        wide.select(F.expr(
+            f"stack({len(NDCG_CUTS)}, {stack_args}) AS (k, dcg, idcg)"))
+        .select("k", "dcg", "idcg",
+                (F.col("dcg") / F.col("idcg")).alias("ndcg"))
+    )
 
 
 # exact (2^rel - 1) gains as literal doubles (rel in 0..3): pow() is

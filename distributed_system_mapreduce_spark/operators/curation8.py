@@ -246,8 +246,14 @@ def lang_source_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "lang", "source",
             F.col("n").cast("long").alias("n"),
+            # CAST n to DOUBLE *before* the multiply: at 100 TB
+            # n * n_tot as BIGINT*BIGINT overflows int64, where Spark
+            # (ANSI off) wraps silently and DuckDB errors — the double
+            # product is exact for realistic counts (< 2^53 each side
+            # of the ratio) and identical cross-engine.
             F.expr(ln_det(
-                "(n * n_tot) / (CAST(n_lang AS DOUBLE) * n_src)"))
+                "(CAST(n AS DOUBLE) * n_tot) / "
+                "(CAST(n_lang AS DOUBLE) * n_src)"))
             .alias("pmi"),
         )
     )
@@ -260,7 +266,8 @@ nl AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
 ns AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),
 tot AS (SELECT COUNT(*) AS n_tot FROM documents)
 SELECT lang, source, CAST(n AS BIGINT) AS n,
-       {ln_det("(n * n_tot) / (CAST(n_lang AS DOUBLE) * n_src)")} AS pmi
+       {ln_det("(CAST(n AS DOUBLE) * n_tot) / "
+               "(CAST(n_lang AS DOUBLE) * n_src)")} AS pmi
 FROM cell JOIN nl USING (lang) JOIN ns USING (source) CROSS JOIN tot
 """
 

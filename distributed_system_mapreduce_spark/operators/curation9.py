@@ -160,6 +160,11 @@ def token_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_train"), 1).otherwise(0)).alias("tt"),
         F.sum(F.when(F.col("is_train"), 0).otherwise(1)).alias("th"),
     )
+    # A source whose docs fall ENTIRELY on one side of the hash wall
+    # gives tt or th = 0: Spark (ANSI off) would yield NULL where
+    # DuckDB double division yields inf/NaN — drop those sources
+    # identically in both engines (no distribution pair to compare).
+    tot = tot.filter("tt > 0 AND th > 0")
     # p = ct/tt, q = ch/th; m = (p+q)/2; sources are a bounded set ->
     # totals broadcast onto the (source, bucket) grid.
     p, q = "(CAST(ct AS DOUBLE) / tt)", "(CAST(ch AS DOUBLE) / th)"
@@ -208,6 +213,8 @@ tot AS (
          SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS tt,
          SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS th
   FROM tok GROUP BY source
+  HAVING SUM(CASE WHEN is_train THEN 1 ELSE 0 END) > 0
+     AND SUM(CASE WHEN is_train THEN 0 ELSE 1 END) > 0
 )
 SELECT source,
        CAST(ANY_VALUE(tt) AS BIGINT) AS train_tokens,

@@ -688,13 +688,25 @@ class FileStore:
         deleted = 0
         droot = self._path(name) + "/data"
         if self._io.exists(droot):
+            # Match by BASENAME, never by full-path prefix: manifests
+            # store paths in the IO backend's spelling at WRITE time
+            # ('/data' vs 'file:///data', Hadoop Path.toString
+            # normalization...), so reopening the store under a
+            # differently-spelled root would make zero live files
+            # prefix-match and a prefix sweep would delete LIVE data.
+            # The v%06d-uuid dir component and Spark's
+            # part-*-<job-uuid> file names are unique per version /
+            # write job, so basenames identify them unambiguously.
+            live_dirs = {
+                os.path.basename(os.path.dirname(f.rstrip("/")))
+                for f in live}
+            live_names = {os.path.basename(f) for f in live}
             # dir granularity first: a version dir with NO live file
             # goes entirely (its _SUCCESS marker and the dir itself
             # included — ls_files hides '_'-prefixed names, so a
             # file-level sweep alone leaves husk dirs behind)
             for d in self._io.ls_dirs(droot):
-                prefix = d.rstrip("/") + "/"
-                if any(f.startswith(prefix) for f in live):
+                if os.path.basename(d.rstrip("/")) in live_dirs:
                     continue
                 deleted += sum(
                     1 for f in self._io.ls_files(d)
@@ -702,7 +714,8 @@ class FileStore:
                 self._io.delete(d)
             # file-level safety net inside still-live dirs
             for f in self._io.ls_files(droot):
-                if f.endswith(".parquet") and f not in live:
+                if (f.endswith(".parquet")
+                        and os.path.basename(f) not in live_names):
                     self._io.delete(f)
                     deleted += 1
         for v in vs:

@@ -68,14 +68,37 @@ def spread(df: DataFrame) -> DataFrame:
     # df.rdd.getNumPartitions(): the plan->RDD conversion costs
     # 50-170 ms per fresh DataFrame (plus ~1 s on a session's first
     # call) — a measurable tax on every spread() query, for a number
-    # Spark derives from bytes/maxPartitionBytes anyway.
+    # Spark derives from bytes/maxPartitionBytes anyway. Replicate
+    # FilePartition.maxSplitBytes: Spark BIN-PACKS small files (each
+    # padded by openCostInBytes) into partitions of
+    # min(maxPartitionBytes, max(openCost, totalPadded/parallelism))
+    # bytes — a naive per-file ceil(size/maxPartitionBytes) equals the
+    # file COUNT for many-small-files inputs and overshoots, skipping
+    # the repartition in exactly the under-parallelized case spread()
+    # exists to fix. The packed estimate is a lower bound on Spark's
+    # actual partition count, so it errs toward repartitioning (safe).
     try:
         files = [u[7:] for u in df.inputFiles() if u.startswith("file:")]
         if files:
-            max_bytes = int(df.sparkSession.conf.get(
-                "spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
-            splits = sum(-(-os.path.getsize(f) // max_bytes) for f in files)
-            return df.repartition(target) if splits < target else df
+            conf = df.sparkSession.conf
+            max_bytes = int(str(conf.get(
+                "spark.sql.files.maxPartitionBytes",
+                "134217728")).rstrip("b"))
+            open_cost = int(str(conf.get(
+                "spark.sql.files.openCostInBytes",
+                "4194304")).rstrip("b"))
+            padded = sum(os.path.getsize(f) + open_cost for f in files)
+            max_split = min(max_bytes,
+                            max(open_cost, padded // max(target, 1)))
+            est = -(-padded // max(max_split, 1))
+            if est < target:
+                return df.repartition(target)
+            if est >= 2 * target:
+                # comfortably over-split: trust the estimate
+                return df
+            # borderline: the packed estimate can differ from Spark's
+            # exact bin-packing by a few partitions — pay the exact
+            # check only in this narrow band
     except Exception:
         pass  # non-local or opaque source: fall through to the exact check
     if df.rdd.getNumPartitions() < target:

@@ -464,6 +464,35 @@ def test_snapshot_vacuum_reclaims_unreferenced_files(spark, tmp_path):
         fs.vacuum_snapshots("ds", keep_last=0)
 
 
+def test_snapshot_vacuum_survives_respelled_root(spark, tmp_path):
+    """Manifests record file paths in the WRITER's backend spelling;
+    vacuum must match live files by basename, not full-path prefix,
+    or reopening the store under a differently-spelled root (bare
+    path vs file:// URI — Hadoop Path.toString normalization) would
+    see ZERO live matches and delete the live version's data."""
+    from distributed_system_mapreduce_spark.sources.filestore import (
+        FileStore,
+    )
+
+    root = str(tmp_path / "respellroot")
+    fs = FileStore(spark, root)  # bare path -> _LocalIO spelling
+    fs.write_snapshot(spark.range(0, 5).withColumnRenamed("id", "k"),
+                      "ds")
+    fs.write_snapshot(spark.range(5, 9).withColumnRenamed("id", "k"),
+                      "ds")
+    # reopen the SAME store through the Hadoop backend: every live
+    # path in the manifest now spells differently than ls output
+    fs2 = FileStore(spark, "file://" + root)
+    deleted = fs2.vacuum_snapshots("ds", keep_last=1)
+    assert deleted > 0  # v1 reclaimed
+    assert fs2.versions("ds") == [2]
+    # the LIVE version must still be fully readable
+    assert sorted(r["k"] for r in fs2.read_snapshot("ds").collect()) \
+        == list(range(5, 9))
+    assert sorted(r["k"] for r in fs.read_snapshot("ds").collect()) \
+        == list(range(5, 9))
+
+
 def test_snapshot_diff_reports_added_removed_changed(spark, tmp_path):
     from pyspark.sql import functions as F
 
