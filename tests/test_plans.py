@@ -8,6 +8,7 @@ paths. A regression here is a cluster incident caught at CI time.
 
 from distributed_system_mapreduce_spark.plans import (
     formatted_plan,
+    global_ordered_windows,
     plan_has,
     plan_lacks,
 )
@@ -89,16 +90,53 @@ def test_q16_anti_join_and_q20_semi_join_shapes(spark):
                     "LeftSemi")
 
 
+# Queries whose ONLY empty-partition ordered windows run over inputs
+# already bounded to a constant row count (documented at the def site):
+_BOUNDED_GLOBAL_WINDOWS = {
+    # rank over the <= BM25_TOPK-row TakeOrdered heads (curation10.py /
+    # curation.py) — 20 rows regardless of corpus size
+    "ndcg_eval", "hybrid_rank_fusion",
+    # rank-sum over the <= 50-row (group x quantile) grid
+    # (mlstats2.py:112)
+    "mannwhitney_qty",
+}
+
+
 def test_no_global_single_partition_windows(spark):
-    """A Window with an empty partition spec funnels every row to one
-    task — banned in every registered query plan. (SinglePartition
-    exchanges feeding final aggregates of already-reduced data are
-    fine; unpartitioned running windows over raw rows are not.)"""
+    """A Window with an empty partition spec AND an order spec funnels
+    every row to one task — banned in every registered query plan
+    unless the window's input is bounded to a constant row count
+    (allowlisted above). Parses the windowspecdefinition argument
+    list: partition columns come before the ASC/DESC order entries,
+    so no-arg-before-the-first-order-entry == global ordered window.
+    (The old literal grep for 'windowspecdefinition()' could never
+    fire: an ORDERED global window prints its order spec inside the
+    parens — exactly the dangerous case.)"""
     for name, fn in QUERIES.items():
-        plan = formatted_plan(fn(spark, SF_DIR))
-        for line in plan.splitlines():
-            if "Window" in line and "windowspecdefinition()" in line:
-                raise AssertionError(f"{name}: global window: {line}")
+        if name in _BOUNDED_GLOBAL_WINDOWS:
+            continue
+        bad = global_ordered_windows(formatted_plan(fn(spark, SF_DIR)))
+        assert not bad, f"{name}: global ordered window(s): {bad}"
+
+
+def test_global_window_audit_fires_on_canary(spark):
+    """Prove the detector actually detects: a deliberately global
+    running-total window over raw events must be flagged."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from distributed_system_mapreduce_spark.tables import load_table
+
+    canary = load_table(spark, "events", SF_DIR).withColumn(
+        "rt", F.sum("value").over(
+            Window.orderBy("ts").rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow)))
+    assert global_ordered_windows(formatted_plan(canary))
+    # and a properly partitioned twin must NOT be flagged
+    ok = load_table(spark, "events", SF_DIR).withColumn(
+        "rt", F.sum("value").over(
+            Window.partitionBy("user_id").orderBy("ts")))
+    assert not global_ordered_windows(formatted_plan(ok))
 
 
 def test_q15_top1_is_take_ordered_not_window(spark):
@@ -413,6 +451,29 @@ def test_sampling_retrieval_wave_plan_shapes(spark):
     nd = formatted_plan(QUERIES["ndcg_eval"](spark, SF_DIR))
     assert "BatchEvalPython" not in nd
     assert "CartesianProduct" not in nd
+
+
+def test_mlstats2_plan_shapes(spark):
+    """Wave-12 stats/link-analysis ops: no Python eval anywhere; the
+    HITS edge build is a real equi join feeding a distinct partial
+    agg, with both top-k sides TakeOrderedAndProject (never a global
+    sort/window); mannwhitney's only window is the allowlisted
+    <= 50-row quantity grid; theil_sen's pair join runs over the
+    bounded calendar grid (months^2/2 rows — its nested loop is over
+    a constant-size broadcast side, not data volume); wilson is one
+    partial agg."""
+    for name in ("mannwhitney_qty", "theil_sen_trend",
+                 "wilson_ci_rates", "hits_scores"):
+        df = QUERIES[name](spark, SF_DIR)
+        assert plan_lacks(df, "BatchEvalPython"), name
+        assert plan_lacks(df, "CartesianProduct"), name
+    hits = formatted_plan(QUERIES["hits_scores"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in hits
+    assert hits.count("HashAggregate") >= 2  # distinct + per-node aggs
+    assert "partial_" in hits  # map-side combine on the degree sums
+    assert not global_ordered_windows(hits)
+    assert plan_has(QUERIES["wilson_ci_rates"](spark, SF_DIR),
+                    "partial_count")
 
 
 def test_rake_and_kmv_plan_shapes(spark):
