@@ -139,24 +139,64 @@ def test_decode_real_wav_roundtrip():
     assert out["duration_ms"] == 500
 
 
-def test_decode_real_video_is_explicit_stub():
+def test_decode_real_avi_demux_roundtrip():
+    """decode_real demuxes a real AVI container: dims/frame count/
+    duration come from the parsed headers, and the mean pixel from
+    the DECODED bottom-up DIB rasters (alignment padding excluded)
+    matches the closed form the encoder wrote."""
+    for did in (2, 5, 11, 20):
+        w, h, nf = M._rt_vid_params(did)
+        out = M.decode_real(M._encode_avi_rgb(did), "video")
+        assert (out["width"], out["height"]) == (w, h)
+        assert out["n_channels"] == 3
+        assert out["n_frames"] == nf
+        assert out["duration_ms"] == nf * 100
+        n = w * h * 3
+        want = sum((did * 37 + f * 31 + k) % 256
+                   for f in range(nf) for k in range(n)) / (nf * n)
+        assert abs(out["mean_pixel"] - want) < 1e-9, did
+    with pytest.raises(ValueError):
+        M.decode_real(b"not an avi", "video")
+
+
+def test_decode_real_avi_rejects_corruption_and_compression():
+    import struct
+
+    payload = M._encode_avi_rgb(8)
+    # truncated container: a chunk overruns
+    with pytest.raises(ValueError):
+        M.decode_real(payload[:-10], "video")
+    # frame-count mismatch: lie in avih's dwTotalFrames
+    idx = payload.find(b"avih") + 8 + 16
+    bad = payload[:idx] + struct.pack("<I", 99) + payload[idx + 4:]
+    with pytest.raises(ValueError):
+        M.decode_real(bad, "video")
+    # compressed stream (MJPG fourcc in strf biCompression) is the
+    # explicit plug-in point, not silently wrong output
+    idx = payload.find(b"strf") + 8 + 16
+    mjpg = payload[:idx] + b"MJPG" + payload[idx + 4:]
     with pytest.raises(NotImplementedError):
-        M.decode_real(b"bytes", "video")
+        M.decode_real(mjpg, "video")
 
 
 def test_decode_features_with_real_kernel(spark):
     """The SAME Arrow decode stage runs the real kernel over genuinely
-    encoded PNG/WAV payloads — proving the plumbing is kernel-agnostic
-    (schema, batching, null handling), not stub-shaped."""
+    encoded PNG/WAV/AVI payloads — proving the plumbing is
+    kernel-agnostic (schema, batching, null handling), not
+    stub-shaped."""
     png, _ = _make_png(20, 10, 2, lambda x, y, c: x + y + c)
     wav = _make_wav(1, 8000, 2000)
-    rows = [(1, bytearray(png), "image"), (2, bytearray(wav), "audio")]
+    avi = M._encode_avi_rgb(7)
+    rows = [(1, bytearray(png), "image"), (2, bytearray(wav), "audio"),
+            (3, bytearray(avi), "video")]
     mm = spark.createDataFrame(
         rows, "doc_id long, payload binary, media_type string")
     out = {r["doc_id"]: r for r in
            M.decode_features(mm, kernel=M.decode_real).collect()}
-    img, aud = out[1], out[2]
+    img, aud, vid = out[1], out[2], out[3]
     assert (img["width"], img["height"], img["n_channels"]) == (20, 10, 3)
     assert img["n_bytes"] == len(png)
     assert (aud["sample_rate"], aud["n_frames"],
             aud["duration_ms"]) == (8000, 2000, 250)
+    w7, h7, nf7 = M._rt_vid_params(7)
+    assert (vid["width"], vid["height"], vid["n_frames"]) == (w7, h7, nf7)
