@@ -131,11 +131,35 @@ _BUCKET_SQL = f"""
 # bands 6 -> 0.60-0.62, 8 -> 0.68-0.70, 12 -> 0.82-0.84 at both test
 # SFs, runtime flat (the sketch is linear; candidates dominate).
 # 12x4 keeps per-band bucket selectivity at 1/16 — the knob that
-# bounds candidate volume at scale; grow PLANES_PER_BAND
-# ~log2(corpus/target_bucket) as the corpus grows and add bands to
-# buy recall back.
+# bounds candidate volume at scale. The growth rules are CODE now,
+# not comments: lsh_params(n) / ivf_cells(n) below are applied at
+# index-build time from the corpus count.
 N_BANDS = 12
 PLANES_PER_BAND = 4
+LSH_TARGET_BUCKET = 4096  # expected per-band bucket occupancy target
+MAX_BANDS = 32
+
+
+def lsh_params(n: int) -> tuple[int, int]:
+    """(bands, planes_per_band) for a corpus of n vectors — the
+    documented growth rules computed instead of hand-retuned:
+    planes_per_band grows ~ceil(log2(n / LSH_TARGET_BUCKET)) so the
+    expected per-band bucket occupancy n/2^ppb stays ~constant (the
+    candidate-volume bound); each extra plane multiplies the per-band
+    hit rate of a true neighbor by p, so bands grow 4 per extra plane
+    to buy the recall back (1-(1-p^ppb)^bands), capped at MAX_BANDS
+    to bound sketch width. At every test corpus size (<= 2^ppb *
+    LSH_TARGET_BUCKET = 64k) the rule returns the shipped 12x4
+    config, which keeps the static SQL oracles exact; past the knee
+    the index auto-scales."""
+    import math
+
+    ppb = PLANES_PER_BAND
+    if n > LSH_TARGET_BUCKET:
+        ppb = max(PLANES_PER_BAND,
+                  math.ceil(math.log2(n / LSH_TARGET_BUCKET)))
+    bands = min(MAX_BANDS, N_BANDS + 4 * (ppb - PLANES_PER_BAND))
+    return bands, ppb
 
 
 def _bands_union_sql() -> str:
@@ -152,14 +176,19 @@ def _lsh_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector, built ONCE and lineage-cut — the band self-join and both
     re-rank sides reuse it instead of recomputing the interpreted
     plane folds per side (measured ~2x at sf0.1). On a cluster this
-    store is the persisted/bucketed ANN index artifact."""
+    store is the persisted/bucketed ANN index artifact. Band count
+    and planes per band come from lsh_params(corpus count) at build
+    time (a parquet-metadata count — no data scan), so the index
+    auto-scales past the 64k knee without hand-retuning."""
+    n = load_table(spark, "embeddings", sf_dir).count()
+    bands, ppb = lsh_params(n)
     bb = F.array(*[
         F.struct(
             F.lit(i).alias("band"),
             F.expr(V.lsh_band_bucket_expr(
-                "embedding", i, PLANES_PER_BAND)).alias("bucket"),
+                "embedding", i, ppb)).alias("bucket"),
         )
-        for i in range(N_BANDS)
+        for i in range(bands)
     ])
     return (
         _with_norm(spark, sf_dir).withColumn("bands", bb)
@@ -251,19 +280,43 @@ WHERE rank <= {TOP_K}
 ANN_TOPK_LSH_SQL = ANN_TOPK_LSH_SQL.format(bands=_bands_union_sql())
 
 
-N_CELLS = 16  # IVF codebook size; scale as ~sqrt(n) on a real corpus
+N_CELLS = 16  # IVF codebook floor; ivf_cells(n) grows it ~sqrt(n)
+IVF_TARGET_CELL = 256  # target average cell occupancy
+
+
+def ivf_cells(n: int) -> int:
+    """IVF codebook size for a corpus of n vectors: the next power of
+    two >= sqrt(n / IVF_TARGET_CELL), floored at N_CELLS — cells ~
+    sqrt(n) keeps (cells scanned for assignment) x (vectors per
+    probed cell) balanced, the standard IVF sizing. At every test
+    corpus size (n <= N_CELLS^2 * IVF_TARGET_CELL = 64k) the rule
+    returns the shipped 16, keeping the static SQL oracles exact;
+    past the knee the index auto-scales with NPROBE fixed."""
+    import math
+
+    c = math.isqrt(max(n, 1) // IVF_TARGET_CELL)
+    p = 1
+    while p < c:
+        p <<= 1
+    return max(N_CELLS, p)
+
+
+def _ivf_n_cells(spark: SparkSession, sf_dir: str) -> int:
+    # parquet-metadata count — no data scan
+    return ivf_cells(load_table(spark, "embeddings", sf_dir).count())
 
 
 def _with_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse quantizer: cell = argmin squared-L2 to a
-    deterministic sample codebook (the first N_CELLS vectors by
+    deterministic sample codebook (the first ivf_cells(n) vectors by
     vec_id — sample-based codebooks are a standard IVF flavor and
     need no float-mean training step, which keeps the arithmetic
     bit-identical to the oracle). Assignment = broadcast the K
-    codewords, narrow x16 distance map, min(struct(dist, cid)) —
+    codewords, narrow xK distance map, min(struct(dist, cid)) —
     no window, one partial-aggregating shuffle."""
+    n_cells = _ivf_n_cells(spark, sf_dir)
     vecs = _with_norm(spark, sf_dir)
-    seeds = vecs.filter(F.col("vec_id") < N_CELLS).select(
+    seeds = vecs.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
     d2 = F.expr(V.dist2_expr("embedding", "cemb"))
     asg = (
@@ -308,10 +361,11 @@ def _query_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id, never global)."""
     from pyspark.sql import Window
 
+    n_cells = _ivf_n_cells(spark, sf_dir)
     vecs = _with_norm(spark, sf_dir).filter(
         F.col("vec_id") % QUERY_MOD == 0)
     seeds = _with_norm(spark, sf_dir).filter(
-        F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
     d2 = F.expr(V.dist2_expr("embedding", "cemb"))
     w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))

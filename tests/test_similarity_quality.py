@@ -117,3 +117,74 @@ def test_retention_cohort_invariants(spark):
         .select("user_id").distinct().count()
     )
     assert sum(size0.values()) == n_users
+
+
+def test_ann_scaling_rules_shape():
+    """lsh_params / ivf_cells ARE the documented growth rules: they
+    return the shipped constants at every test corpus size (keeping
+    the static SQL oracles exact), grow log2/sqrt past the knee, and
+    are monotone."""
+    import distributed_system_mapreduce_spark.operators.similarity as S
+
+    # shipped config everywhere the driver/test corpora live
+    for n in (500, 2000, 4096, 65536):
+        assert S.lsh_params(n) == (S.N_BANDS, S.PLANES_PER_BAND), n
+    for n in (500, 2000, 65536):
+        assert S.ivf_cells(n) == S.N_CELLS, n
+    # log2 growth: ppb = ceil(log2(n / 4096)), bands +4 per plane
+    assert S.lsh_params(1 << 17) == (S.N_BANDS + 4,
+                                     S.PLANES_PER_BAND + 1)
+    assert S.lsh_params(1 << 20)[1] == 8
+    assert S.lsh_params(1 << 30)[0] == S.MAX_BANDS  # cap holds
+    # sqrt growth: cells = next pow2 >= sqrt(n / 256)
+    assert S.ivf_cells(1 << 24) == 256
+    assert S.ivf_cells(10 ** 9) == 2048
+    # monotone in n
+    seq = [S.lsh_params(1 << k)[1] for k in range(10, 31)]
+    assert seq == sorted(seq)
+    seq = [S.ivf_cells(1 << k) for k in range(10, 31)]
+    assert seq == sorted(seq)
+
+
+def _scaled_embeddings_dir(tmp_path, k: int) -> str:
+    """K offset-shifted, component-rotated copies of the sf0.001
+    embeddings — volume grows K-fold while per-copy geometry stays
+    identical (the scaling_curve.py construction)."""
+    import duckdb
+
+    d = tmp_path / f"vol{k}x"
+    d.mkdir()
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    parts = []
+    for i in range(k):
+        rot = (f"list_concat(embedding[{i + 1}:64], "
+               f"embedding[1:{i}])" if i else "embedding")
+        parts.append(
+            f"SELECT vec_id + {i * 500} AS vec_id, "
+            f"CAST({rot} AS FLOAT[]) AS embedding, label "
+            f"FROM '{src}'")
+    duckdb.sql(f"COPY ({' UNION ALL '.join(parts)}) TO "
+               f"'{d}/embeddings.parquet' (FORMAT PARQUET)")
+    return str(d)
+
+
+def test_ann_recall_floors_hold_at_1x_2x_5x(spark, tmp_path):
+    """The auto-scaling rules keep LSH and IVF recall above the
+    production floor at 1x/2x/5x corpus volume (rule active at each
+    build — at these sizes it resolves to the shipped config, and the
+    floor is measured against the exact brute baseline on the SAME
+    scaled corpus)."""
+    for k in (1, 2, 5):
+        d = _scaled_embeddings_dir(tmp_path, k)
+        truth = _topk_sets(QUERIES["ann_topk_brute"](spark, d).collect())
+        assert truth
+        for name, floor in (("ann_topk_lsh", 0.60),
+                            ("ann_topk_ivf", 0.55)):
+            approx = _topk_sets(
+                QUERIES[name](spark, d)
+                .filter(f"query_id < {QUERY_MOD * PANEL_SIZE}")
+                .collect())
+            hits = sum(len(truth[q] & approx.get(q, set()))
+                       for q in truth)
+            r = hits / (len(truth) * TOP_K)
+            assert r >= floor, (name, k, r)
