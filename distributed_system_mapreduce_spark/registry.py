@@ -26,6 +26,7 @@ from distributed_system_mapreduce_spark.operators import (
     curation8,
     curation9,
     curation10,
+    curation11,
     dedup,
     engine_queries,
     export,
@@ -65,7 +66,7 @@ _MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
             relational_ext12, relational_ext13, relational_ext14,
             engine_queries, text_analysis, curation, curation2, curation3,
             curation4, curation5, curation6, curation7, curation8,
-            curation9, curation10, dedup,
+            curation9, curation10, curation11, dedup,
             similarity, clustering, sketches, probabilistic, rake, bpe, fuzzy,
             multimodal, asof, export, mlstats, mlstats2,
             relational_ext15, relational_ext16]
@@ -133,6 +134,9 @@ _PRIORITY = [
     "events_changepoint", "benford_audit", "weighted_sample", "ndcg_eval",
     "kmv_set_ops", "keyphrase_rake", "clustering_coeff", "mannwhitney_qty",
     "theil_sen_trend", "wilson_ci_rates", "hits_scores",
+    # -- wave 13 (round 4): corpus QA + retrieval eval ---------------
+    "retrieval_pr_eval", "skipgram_lift", "source_length_moments",
+    "dataset_card",
     # -- rows-only (no oracle by design; weaker driver check) -------
     "kmeans_embed", "approx_price_quantiles", "freq_items_sketch",
     "bpe_train_merges", "bpe_vocab_stats", "bpe_token_count",

@@ -94,8 +94,8 @@ def test_q16_anti_join_and_q20_semi_join_shapes(spark):
 # already bounded to a constant row count (documented at the def site):
 _BOUNDED_GLOBAL_WINDOWS = {
     # rank over the <= BM25_TOPK-row TakeOrdered heads (curation10.py /
-    # curation.py) — 20 rows regardless of corpus size
-    "ndcg_eval", "hybrid_rank_fusion",
+    # curation11.py / curation.py) — 20 rows regardless of corpus size
+    "ndcg_eval", "hybrid_rank_fusion", "retrieval_pr_eval",
     # rank-sum over the <= 50-row (group x quantile) grid
     # (mlstats2.py:112)
     "mannwhitney_qty",
@@ -474,6 +474,30 @@ def test_mlstats2_plan_shapes(spark):
     assert not global_ordered_windows(hits)
     assert plan_has(QUERIES["wilson_ci_rates"](spark, SF_DIR),
                     "partial_count")
+
+
+def test_wave13_plan_shapes(spark):
+    """Corpus-QA wave: skipgram pairs come from the in-array
+    transform (Generate), never a positional self-join; the top-30 is
+    TakeOrderedAndProject with broadcast unigram joins; the moments
+    and card are partial-agg only (no windows, no cartesian products,
+    no Python eval anywhere); retrieval_pr_eval's only global window
+    is the allowlisted 20-row bm25 head."""
+    for name in ("retrieval_pr_eval", "skipgram_lift",
+                 "source_length_moments", "dataset_card"):
+        df = QUERIES[name](spark, SF_DIR)
+        assert plan_lacks(df, "BatchEvalPython"), name
+        assert plan_lacks(df, "CartesianProduct"), name
+    sk = formatted_plan(QUERIES["skipgram_lift"](spark, SF_DIR))
+    assert "Generate" in sk
+    assert "TakeOrderedAndProject" in sk
+    assert "BroadcastHashJoin" in sk
+    assert "SortMergeJoin" not in sk
+    assert not global_ordered_windows(sk)
+    for name in ("source_length_moments", "dataset_card"):
+        plan = formatted_plan(QUERIES[name](spark, SF_DIR))
+        assert "partial_" in plan, name
+        assert "Window" not in plan, name
 
 
 def test_rake_and_kmv_plan_shapes(spark):
