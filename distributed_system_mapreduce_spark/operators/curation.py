@@ -102,36 +102,42 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 documents for a fixed anchor query under BM25 (rational
     Robertson idf, no ln — see module docstring).
 
-    Scale shape: term frequencies only for the query terms (the IN
-    filter pushes into the scan of the tf pass), per-term scores
-    pivoted to columns with a conditional-aggregate (so the final
-    score is a FIXED-ORDER sum s1+s2+s3, not an order-nondeterministic
-    float SUM), doc-length stats one broadcast row, global top-20 via
-    orderBy+limit = TakeOrderedAndProject (never a global window)."""
+    Scale shape: ONE tokenize+explode pass feeds a per-doc
+    conditional aggregate carrying dl and the 3 query-term tfs in one
+    row (explode_outer keeps zero-token docs in n_docs; count(term)
+    keeps their dl at 0); the corpus stats row (n_docs, sum_dl, df
+    per term — df = docs with tf > 0, identical to the old per-term
+    count) is a second aggregate over the SAME doc_id exchange, which
+    Spark plans as a ReusedExchange — the corpus is tokenized once
+    where the previous lens/tf formulation paid three passes
+    (measured 1.5s -> 0.6s at sf0.1, inherited by
+    ndcg_eval/retrieval_pr_eval/hybrid_rank_fusion). The final score
+    is a FIXED-ORDER sum s1+s2+s3 of doubles derived from exact ints,
+    so values are bit-identical to the unchanged DuckDB oracle;
+    global top-20 via orderBy+limit = TakeOrderedAndProject (never a
+    global window)."""
     docs = spread(load_table(spark, "documents", sf_dir))
-    lens = docs.select(
-        "doc_id", X.n_tokens().cast("long").alias("dl"))
-    stats = lens.agg(
+    tok = docs.select("doc_id", F.explode_outer(X.tokens()).alias("term"))
+    # per_doc is consumed by both the stats aggregate and the ranking
+    # path; a localCheckpoint here measures SLOWER end-to-end (the
+    # eager materialization job costs more than the duplicated
+    # post-shuffle aggregate — AQE reuses the shuffle stage at
+    # runtime), so the lineage stays declarative.
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count("term").alias("dl"),
+        *[F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+          .alias(f"tf_{t}") for t in BM25_QUERY],
+    )
+    stats = per_doc.agg(
         F.count("*").alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
-    )
-    tf = (
-        docs.select("doc_id", F.explode(X.tokens()).alias("term"))
-        .filter(F.col("term").isin(*BM25_QUERY))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = (
-        tf.join(F.broadcast(df_), "term")
-        .groupBy("doc_id")
-        .pivot("term", list(BM25_QUERY))
-        .agg(F.first(F.struct("tf", "df")))
+        *[F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+          for t in BM25_QUERY],
     )
 
-    def term_score(col: str):
-        tf_c = F.coalesce(F.col(f"{col}.tf"), F.lit(0)).cast("double")
-        df_c = F.coalesce(F.col(f"{col}.df"), F.lit(0)).cast("double")
+    def term_score(t: str):
+        tf_c = F.col(f"tf_{t}").cast("double")
+        df_c = F.col(f"df_{t}").cast("double")
         avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
         idf = (F.col("n_docs") - df_c + F.lit(0.5)) / (df_c + F.lit(0.5))
         denom = tf_c + F.lit(BM25_K1) * (
@@ -139,18 +145,20 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl))
         return idf * ((tf_c * F.lit(BM25_K1 + 1.0)) / denom)
 
-    parts = [term_score(t).alias(f"s_{t}") for t in BM25_QUERY]
-    out = (
-        scored.join(lens, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", "dl", *parts)
-    )
+    # only docs containing >= 1 query term are ranked (the old tf
+    # table's implicit filter — keeps the output set identical)
+    has_term = None
+    for t in BM25_QUERY:
+        c = F.col(f"tf_{t}") > 0
+        has_term = c if has_term is None else (has_term | c)
     total = None
     for t in BM25_QUERY:
-        c = F.col(f"s_{t}")
+        c = term_score(t)
         total = c if total is None else total + c
     return (
-        out.select("doc_id", "dl", total.alias("bm25"))
+        per_doc.filter(has_term)
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "dl", total.alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(BM25_TOPK)
     )
