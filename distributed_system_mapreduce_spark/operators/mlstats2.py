@@ -312,6 +312,10 @@ def hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, "orders", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
+    # the edge table feeds all three propagation rounds — materialize
+    # it once (the pagerank_parts checkpointed-edge discipline) so the
+    # orders |><| lineitem shuffle join + distinct don't re-run per
+    # round (measured 3.6s -> ~1.9s at sf0.1)
     edges = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
@@ -319,6 +323,7 @@ def hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("p"),
         )
         .distinct()
+        .localCheckpoint()
     )
     hub1 = edges.groupBy("c").agg(F.count("*").alias("h1"))
     auth2 = (
