@@ -91,16 +91,29 @@ def spread(df: DataFrame) -> DataFrame:
             max_split = min(max_bytes,
                             max(open_cost, padded // max(target, 1)))
             est = -(-padded // max(max_split, 1))
+            # Byte-range splits cannot split a ROW GROUP: a 70 MB
+            # single-row-group file "splits" into 32 planned
+            # partitions of which 31 are empty (getNumPartitions()
+            # lies the same way), so cap the estimate by the actual
+            # row-group count. Footer reads cost ~ms each and are
+            # only needed when the file count alone doesn't already
+            # prove enough row groups exist.
+            if len(files) < 2 * target:
+                try:
+                    import pyarrow.parquet as pq
+
+                    est = min(est, sum(
+                        pq.ParquetFile(f).metadata.num_row_groups
+                        for f in files))
+                except Exception:
+                    pass  # not parquet / unreadable footer: keep est
             if est < target:
                 return df.repartition(target)
-            if est >= 2 * target:
-                # comfortably over-split: trust the estimate
-                return df
-            # borderline: the packed estimate can differ from Spark's
-            # exact bin-packing by a few partitions — pay the exact
-            # check only in this narrow band
+            return df
     except Exception:
-        pass  # non-local or opaque source: fall through to the exact check
+        pass  # non-local or opaque source: fall back to the exact check
+    # getNumPartitions counts PLANNED splits (row-group-blind), so it
+    # is only the fallback for opaque sources
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
