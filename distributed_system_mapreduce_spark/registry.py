@@ -27,6 +27,7 @@ from distributed_system_mapreduce_spark.operators import (
     curation9,
     curation10,
     curation11,
+    curation12,
     dedup,
     engine_queries,
     export,
@@ -55,6 +56,7 @@ from distributed_system_mapreduce_spark.operators import (
     relational_ext14,
     relational_ext15,
     relational_ext16,
+    relational_ext17,
     similarity,
     text_analysis,
 )
@@ -66,10 +68,10 @@ _MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
             relational_ext12, relational_ext13, relational_ext14,
             engine_queries, text_analysis, curation, curation2, curation3,
             curation4, curation5, curation6, curation7, curation8,
-            curation9, curation10, curation11, dedup,
+            curation9, curation10, curation11, curation12, dedup,
             similarity, clustering, sketches, probabilistic, rake, bpe, fuzzy,
             multimodal, asof, export, mlstats, mlstats2,
-            relational_ext15, relational_ext16]
+            relational_ext15, relational_ext16, relational_ext17]
 
 _MERGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -137,6 +139,10 @@ _PRIORITY = [
     # -- wave 13 (round 4): corpus QA + retrieval eval ---------------
     "retrieval_pr_eval", "skipgram_lift", "source_length_moments",
     "dataset_card",
+    # -- wave 14 (round 4): index health + text/calendar stats -------
+    "lsh_bucket_balance", "charset_census", "bigram_entropy_rate",
+    "orders_seasonal_index", "supplier_volume_skew",
+    "priority_share_shift",
     # -- rows-only (no oracle by design; weaker driver check) -------
     "kmeans_embed", "approx_price_quantiles", "freq_items_sketch",
     "bpe_train_merges", "bpe_vocab_stats", "bpe_token_count",

@@ -500,6 +500,33 @@ def test_wave13_plan_shapes(spark):
         assert "Window" not in plan, name
 
 
+def test_wave14_plan_shapes(spark):
+    """Index-health + calendar wave: everything JVM-only and
+    cartesian-free; the bucket census and charset census are pure
+    partial aggs (no windows, no joins beyond broadcast totals); the
+    supplier census is TakeOrderedAndProject; the share-shift windows
+    partition by priority (never global); the entropy fold's margin
+    join broadcasts the bounded per-(source, bucket) table."""
+    import re
+
+    for name in ("lsh_bucket_balance", "charset_census",
+                 "bigram_entropy_rate", "orders_seasonal_index",
+                 "supplier_volume_skew", "priority_share_shift"):
+        df = QUERIES[name](spark, SF_DIR)
+        assert plan_lacks(df, "BatchEvalPython"), name
+        assert plan_lacks(df, "CartesianProduct"), name
+        assert not global_ordered_windows(formatted_plan(df)), name
+    for name in ("lsh_bucket_balance", "charset_census",
+                 "bigram_entropy_rate"):
+        plan = formatted_plan(QUERIES[name](spark, SF_DIR))
+        assert "partial_" in plan, name
+    assert plan_has(QUERIES["supplier_volume_skew"](spark, SF_DIR),
+                    "TakeOrderedAndProject", "BroadcastHashJoin")
+    ss = formatted_plan(QUERIES["priority_share_shift"](spark, SF_DIR))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", ss)
+    assert specs and all("mode" in s for s in specs), specs
+
+
 def test_rake_and_kmv_plan_shapes(spark):
     """keyphrase_rake: doc-partitioned run-id window (never global),
     partial aggs, TakeOrdered head. kmv_set_ops: the only nested
