@@ -57,6 +57,11 @@ QUERIES_UNDER_TEST = [
     # a superlinearity could hide
     "clustering_coeff", "keyphrase_rake", "kmv_set_ops",
     "doc_token_entropy", "ndcg_eval",
+    # round-4 additions: the skip-gram pair fan-out, the bucket census
+    # over the band table, the hashed-grid entropy fold, and the
+    # restructured single-pass bm25 consumers
+    "skipgram_lift", "lsh_bucket_balance", "bigram_entropy_rate",
+    "retrieval_pr_eval", "hits_scores", "dataset_card",
 ]
 
 # key columns to offset-shift per table (copy i adds i * (max+1))
