@@ -28,6 +28,7 @@ from distributed_system_mapreduce_spark.operators import (
     curation10,
     curation11,
     curation12,
+    curation13,
     dedup,
     engine_queries,
     export,
@@ -68,7 +69,7 @@ _MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
             relational_ext12, relational_ext13, relational_ext14,
             engine_queries, text_analysis, curation, curation2, curation3,
             curation4, curation5, curation6, curation7, curation8,
-            curation9, curation10, curation11, curation12, dedup,
+            curation9, curation10, curation11, curation12, curation13, dedup,
             similarity, clustering, sketches, probabilistic, rake, bpe, fuzzy,
             multimodal, asof, export, mlstats, mlstats2,
             relational_ext15, relational_ext16, relational_ext17]
@@ -143,6 +144,8 @@ _PRIORITY = [
     "lsh_bucket_balance", "charset_census", "bigram_entropy_rate",
     "orders_seasonal_index", "supplier_volume_skew",
     "priority_share_shift",
+    # -- wave 15 (round 4): dedup tuning + boilerplate detection -----
+    "dedup_threshold_sweep", "doc_prefix_dup",
     # -- rows-only (no oracle by design; weaker driver check) -------
     "kmeans_embed", "approx_price_quantiles", "freq_items_sketch",
     "bpe_train_merges", "bpe_vocab_stats", "bpe_token_count",

@@ -527,6 +527,23 @@ def test_wave14_plan_shapes(spark):
     assert specs and all("mode" in s for s in specs), specs
 
 
+def test_wave15_plan_shapes(spark):
+    """Dedup-tuning wave: the sweep's candidate source is the banded
+    equi-join (no cartesian products, JVM-only) folding every
+    threshold in one aggregation (a single stack Generate, no
+    per-threshold unions of the candidate subtree); the prefix
+    census is fingerprint-join + partial aggs with no windows."""
+    for name in ("dedup_threshold_sweep", "doc_prefix_dup"):
+        df = QUERIES[name](spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert not global_ordered_windows(plan), name
+        assert "partial_" in plan, name
+    assert plan_lacks(QUERIES["doc_prefix_dup"](spark, SF_DIR),
+                      "Window")
+
+
 def test_rake_and_kmv_plan_shapes(spark):
     """keyphrase_rake: doc-partitioned run-id window (never global),
     partial aggs, TakeOrdered head. kmv_set_ops: the only nested
