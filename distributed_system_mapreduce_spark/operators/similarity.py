@@ -180,8 +180,7 @@ def _lsh_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     and planes per band come from lsh_params(corpus count) at build
     time (a parquet-metadata count — no data scan), so the index
     auto-scales past the 64k knee without hand-retuning."""
-    n = load_table(spark, "embeddings", sf_dir).count()
-    bands, ppb = lsh_params(n)
+    bands, ppb = lsh_params(_corpus_count(spark, sf_dir))
     bb = F.array(*[
         F.struct(
             F.lit(i).alias("band"),
@@ -301,9 +300,23 @@ def ivf_cells(n: int) -> int:
     return max(N_CELLS, p)
 
 
+_CORPUS_COUNT_CACHE: dict[str, int] = {}
+
+
+def _corpus_count(spark: SparkSession, sf_dir: str) -> int:
+    """Embedding-corpus row count (parquet-metadata count — no data
+    scan), memoized per sf_dir: the IVF cell assignment and the query
+    prober both need it per build, and the test corpora are
+    immutable for a session's lifetime."""
+    n = _CORPUS_COUNT_CACHE.get(sf_dir)
+    if n is None:
+        n = load_table(spark, "embeddings", sf_dir).count()
+        _CORPUS_COUNT_CACHE[sf_dir] = n
+    return n
+
+
 def _ivf_n_cells(spark: SparkSession, sf_dir: str) -> int:
-    # parquet-metadata count — no data scan
-    return ivf_cells(load_table(spark, "embeddings", sf_dir).count())
+    return ivf_cells(_corpus_count(spark, sf_dir))
 
 
 def _with_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
