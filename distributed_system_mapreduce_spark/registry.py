@@ -29,6 +29,7 @@ from distributed_system_mapreduce_spark.operators import (
     curation11,
     curation12,
     curation13,
+    curation14,
     dedup,
     engine_queries,
     export,
@@ -69,7 +70,7 @@ _MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
             relational_ext12, relational_ext13, relational_ext14,
             engine_queries, text_analysis, curation, curation2, curation3,
             curation4, curation5, curation6, curation7, curation8,
-            curation9, curation10, curation11, curation12, curation13, dedup,
+            curation9, curation10, curation11, curation12, curation13, curation14, dedup,
             similarity, clustering, sketches, probabilistic, rake, bpe, fuzzy,
             multimodal, asof, export, mlstats, mlstats2,
             relational_ext15, relational_ext16, relational_ext17]
@@ -146,8 +147,10 @@ _PRIORITY = [
     "priority_share_shift",
     # -- wave 15 (round 4): dedup tuning + boilerplate detection -----
     "dedup_threshold_sweep", "doc_prefix_dup",
+    # -- wave 16 (round 4): estimator QA -----------------------------
+    "dedup_estimator_pr",
     # -- rows-only (no oracle by design; weaker driver check) -------
-    "kmeans_embed", "approx_price_quantiles", "freq_items_sketch",
+    "compression_ratio", "kmeans_embed", "approx_price_quantiles", "freq_items_sketch",
     "bpe_train_merges", "bpe_vocab_stats", "bpe_token_count",
     "approx_distinct_users_by_type",
     # -- driver-confirmed in r1/r2/r3 gates (re-confirmation tail) --

@@ -544,6 +544,22 @@ def test_wave15_plan_shapes(spark):
                       "Window")
 
 
+def test_wave16_plan_shapes(spark):
+    """Estimator-PR folds every threshold over ONE candidate-estimate
+    subtree (single stack Generate, no cartesian products, JVM-only);
+    compression_ratio is the intentional Arrow-Python kernel — its
+    plan must be MapInPandas (never row-at-a-time BatchEvalPython)
+    over a narrow projected scan."""
+    pr = formatted_plan(QUERIES["dedup_estimator_pr"](spark, SF_DIR))
+    assert "BatchEvalPython" not in pr
+    assert "CartesianProduct" not in pr
+    assert not global_ordered_windows(pr)
+    cr = formatted_plan(QUERIES["compression_ratio"](spark, SF_DIR))
+    assert "MapInPandas" in cr
+    assert "BatchEvalPython" not in cr
+    assert "Exchange hashpartitioning" not in cr  # narrow map, no shuffle
+
+
 def test_rake_and_kmv_plan_shapes(spark):
     """keyphrase_rake: doc-partitioned run-id window (never global),
     partial aggs, TakeOrdered head. kmv_set_ops: the only nested
