@@ -723,6 +723,35 @@ class FileStore:
                 self._io.delete(f"{self._vdir(name)}/v{v}.json")
         return deleted
 
+    def compact_snapshot(self, name: str,
+                         target_bytes: int = 128 << 20) -> int:
+        """Snapshot-aware small-file compaction (the Iceberg
+        rewrite_data_files maintenance op): rewrite the LATEST
+        version's data into ~ceil(total_bytes / target_bytes) files
+        and publish the result as a NEW version. append_snapshot
+        accretes one file set per append — after N appends a scan
+        pays N x open/footer cost — and unlike compact() this never
+        renames anything a reader could be holding: the old version
+        stays fully readable (time travel included) until
+        vacuum_snapshots expires it, so compaction is safe to run
+        next to live readers (single WRITER still assumed, like every
+        table maintenance op). Returns the new version number."""
+        import math
+
+        vs = self._snapshot_versions(name)
+        if not vs:
+            raise FileNotFoundError(f"no snapshots for {name!r}")
+        files = self._read_manifest(name, vs[-1])["files"]
+        if not files:
+            raise FileNotFoundError(f"{name!r} latest version is empty")
+        total = sum(s for f in files for s in self._io.file_sizes(f))
+        n_files = max(1, math.ceil(total / target_bytes))
+        df = self.spark.read.parquet(*files).repartition(n_files)
+        v = vs[-1] + 1
+        new_files = self._write_data_dir(df, name, v)
+        self._publish(name, v, new_files, vs[-1], tag=None)
+        return v
+
     def snapshot_diff(self, name: str, v_old: int, v_new: int,
                       key: str) -> DataFrame:
         """Row-level diff between two committed versions keyed by

@@ -493,6 +493,44 @@ def test_snapshot_vacuum_survives_respelled_root(spark, tmp_path):
         == list(range(5, 9))
 
 
+def test_compact_snapshot_rewrites_small_files_with_history(spark,
+                                                            tmp_path):
+    """compact_snapshot folds an append-accreted file set into fewer
+    files AS A NEW VERSION: rows identical, file count drops, the
+    pre-compaction version stays readable (time travel), and
+    vacuum afterwards reclaims the small files."""
+    from distributed_system_mapreduce_spark.sources.filestore import (
+        FileStore,
+    )
+
+    fs = FileStore(spark, str(tmp_path / "csroot"))
+    fs.write_snapshot(
+        spark.range(0, 10).repartition(4).withColumnRenamed("id", "k"),
+        "ds")
+    for lo in (10, 20, 30):
+        fs.append_snapshot(
+            spark.range(lo, lo + 10).repartition(4)
+            .withColumnRenamed("id", "k"), "ds")
+    before_files = len(fs._read_manifest(
+        "ds", fs.versions("ds")[-1])["files"])
+    assert before_files >= 16  # 4 appends x 4 files
+    v = fs.compact_snapshot("ds")
+    assert v == fs.versions("ds")[-1]
+    after_files = len(fs._read_manifest("ds", v)["files"])
+    assert after_files < before_files
+    want = list(range(40))
+    assert sorted(r["k"] for r in fs.read_snapshot("ds").collect()) \
+        == want
+    # time travel to the pre-compaction version still works
+    assert sorted(r["k"] for r in
+                  fs.read_snapshot("ds", v - 1).collect()) == want
+    # expiring history reclaims the small files; compacted stays whole
+    deleted = fs.vacuum_snapshots("ds", keep_last=1)
+    assert deleted >= before_files
+    assert sorted(r["k"] for r in fs.read_snapshot("ds").collect()) \
+        == want
+
+
 def test_snapshot_diff_reports_added_removed_changed(spark, tmp_path):
     from pyspark.sql import functions as F
 
