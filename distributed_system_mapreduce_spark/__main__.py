@@ -49,6 +49,7 @@ _HELP = """commands (reference CLI parity, run_server.go:328):
   snapshot read <name> [v]      show a version (default latest)
   snapshot restore <name> <v>   roll back (publishes a new version)
   snapshot vacuum <name> [keep] expire history, reclaim dead files
+  snapshot compact <name>       fold small files into a new version
   id | members | join | leave | gossip | all-to-all
                                 delegated to the cluster platform
   help                          this text
@@ -207,6 +208,9 @@ def _dispatch(spark, args: list[str]) -> int:
             keep = int(srest[1]) if len(srest) == 2 else 1
             n = store.vacuum_snapshots(srest[0], keep_last=keep)
             print(f"vacuumed {n} files from {srest[0]}")
+        elif sub == "compact" and len(srest) == 1:
+            v = store.compact_snapshot(srest[0])
+            print(f"compacted {srest[0]} as v{v}")
         else:
             print(_HELP)
             return 2
