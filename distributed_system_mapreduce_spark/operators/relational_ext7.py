@@ -360,6 +360,22 @@ def community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         strong_edges,
     )
 
+    edges, labels = lpa_labels(spark, sf_dir)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"),
+             F.min("node").alias("min_member"))
+    )
+
+
+def lpa_labels(spark: SparkSession, sf_dir: str):
+    """(checkpointed symmetric edge table, per-node LPA label table)
+    — the shared machinery behind community_lpa and the
+    community-quality metrics (graph_modularity)."""
+    from distributed_system_mapreduce_spark.functions.graphs import (
+        strong_edges,
+    )
+
     li = load_table(spark, "lineitem", sf_dir)
     edges = strong_edges(li, LPA_SUPPORT).localCheckpoint()
     labels = edges.select(F.col("src").alias("node")).distinct() \
@@ -377,11 +393,7 @@ def community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"),
                     F.col("t.label").alias("label"))
         )
-    return (
-        labels.groupBy(F.col("label").alias("community"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"),
-             F.min("node").alias("min_member"))
-    )
+    return edges, labels
 
 
 def _lpa_round_sql(prev: str) -> str:
@@ -397,8 +409,10 @@ def _lpa_round_sql(prev: str) -> str:
     )
 
 
-COMMUNITY_LPA_SQL = f"""
-WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+# Shared CTE chain (edge build + LPA_ROUNDS label rounds) — reused by
+# COMMUNITY_LPA_SQL and the community-quality oracles
+# (graph_modularity).
+LPA_CTES = f"""lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 und AS (
   SELECT a.l_partkey AS u, b.l_partkey AS v
   FROM lp a JOIN lp b
@@ -414,7 +428,10 @@ edges AS (
 l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
 l1 AS ({_lpa_round_sql('l0')}),
 l2 AS ({_lpa_round_sql('l1')}),
-l3 AS ({_lpa_round_sql('l2')})
+l3 AS ({_lpa_round_sql('l2')})"""
+
+COMMUNITY_LPA_SQL = f"""
+WITH {LPA_CTES}
 SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
        MIN(node) AS min_member
 FROM l3

@@ -34,6 +34,7 @@ from distributed_system_mapreduce_spark.operators import (
     engine_queries,
     export,
     fuzzy,
+    graphstats,
     mapreduce_queries,
     mlstats,
     mlstats2,
@@ -72,7 +73,7 @@ _MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
             curation4, curation5, curation6, curation7, curation8,
             curation9, curation10, curation11, curation12, curation13, curation14, dedup,
             similarity, clustering, sketches, probabilistic, rake, bpe, fuzzy,
-            multimodal, asof, export, mlstats, mlstats2,
+            multimodal, asof, export, mlstats, mlstats2, graphstats,
             relational_ext15, relational_ext16, relational_ext17]
 
 _MERGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -149,6 +150,8 @@ _PRIORITY = [
     "dedup_threshold_sweep", "doc_prefix_dup",
     # -- wave 16 (round 4): estimator QA -----------------------------
     "dedup_estimator_pr",
+    # -- wave 17 (round 4): graph-quality metrics --------------------
+    "graph_modularity", "graph_assortativity",
     # -- rows-only (no oracle by design; weaker driver check) -------
     "compression_ratio", "kmeans_embed", "approx_price_quantiles", "freq_items_sketch",
     "bpe_train_merges", "bpe_vocab_stats", "bpe_token_count",

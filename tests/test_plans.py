@@ -560,6 +560,19 @@ def test_wave16_plan_shapes(spark):
     assert "Exchange hashpartitioning" not in cr  # narrow map, no shuffle
 
 
+def test_wave17_plan_shapes(spark):
+    """Graph-quality metrics: no Python eval, no cartesian products,
+    no windows; every aggregate partial-combines map-side; the only
+    nested loops are broadcast 1-row total joins."""
+    for name in ("graph_modularity", "graph_assortativity"):
+        df = QUERIES[name](spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "Window" not in plan, name
+        assert "partial_" in plan, name
+
+
 def test_rake_and_kmv_plan_shapes(spark):
     """keyphrase_rake: doc-partitioned run-id window (never global),
     partial aggs, TakeOrdered head. kmv_set_ops: the only nested
