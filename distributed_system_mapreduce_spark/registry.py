@@ -30,6 +30,7 @@ from distributed_system_mapreduce_spark.operators import (
     curation12,
     curation13,
     curation14,
+    curation15,
     dedup,
     engine_queries,
     export,
@@ -71,7 +72,7 @@ _MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
             relational_ext12, relational_ext13, relational_ext14,
             engine_queries, text_analysis, curation, curation2, curation3,
             curation4, curation5, curation6, curation7, curation8,
-            curation9, curation10, curation11, curation12, curation13, curation14, dedup,
+            curation9, curation10, curation11, curation12, curation13, curation14, curation15, dedup,
             similarity, clustering, sketches, probabilistic, rake, bpe, fuzzy,
             multimodal, asof, export, mlstats, mlstats2, graphstats,
             relational_ext15, relational_ext16, relational_ext17]
@@ -152,6 +153,8 @@ _PRIORITY = [
     "dedup_estimator_pr",
     # -- wave 17 (round 4): graph-quality metrics --------------------
     "graph_modularity", "graph_assortativity",
+    # -- wave 18 (round 4): curation budgeting -----------------------
+    "quality_pareto_frontier", "source_sampling_weights",
     # -- rows-only (no oracle by design; weaker driver check) -------
     "compression_ratio", "kmeans_embed", "approx_price_quantiles", "freq_items_sketch",
     "bpe_train_merges", "bpe_vocab_stats", "bpe_token_count",

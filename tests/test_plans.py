@@ -573,6 +573,20 @@ def test_wave17_plan_shapes(spark):
         assert "partial_" in plan, name
 
 
+def test_wave18_plan_shapes(spark):
+    """Curation-budgeting wave: the frontier is ONE conditional
+    aggregation over a narrow scored scan (single stack Generate, no
+    joins beyond its own 1-row wide result); the weights are one
+    partial agg + broadcast total. JVM-only, no windows."""
+    for name in ("quality_pareto_frontier", "source_sampling_weights"):
+        df = QUERIES[name](spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "Window" not in plan, name
+        assert "partial_" in plan, name
+
+
 def test_rake_and_kmv_plan_shapes(spark):
     """keyphrase_rake: doc-partitioned run-id window (never global),
     partial aggs, TakeOrdered head. kmv_set_ops: the only nested
