@@ -495,25 +495,20 @@ RRF_K = 60
 RRF_TOPK = 10
 
 
-def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval: reciprocal-rank fusion of two rankers for the
-    anchor query — BM25 (lexical, saturating tf) and a plain TF-IDF
-    scorer (lexical, linear tf) — RRF(d) = Σ_r 1/(RRF_K + rank_r(d)),
-    the standard score-free fusion rule (and exactly the shape that
-    fuses BM25 with an ANN ranker when the corpus carries doc
-    embeddings).
-
-    Exactness: both input rankings are already engine-deterministic
-    (fixed-order float sums, full tie-breaks); RRF itself is a
-    two-term fixed-order sum of exact-rational reciprocals. Shape:
-    both rankers end in TakeOrdered top-20; the fusion is a
-    full-outer join of two 20-row tables — driver-trivial, bounded by
-    the panel, never corpus-sized."""
-    bm = bm25_rank(spark, sf_dir).select(
+def bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, rank_bm25) — bm25_rank's top-20 as ranks 1..20, the
+    bounded head fusion/eval consumers share."""
+    return bm25_rank(spark, sf_dir).select(
         "doc_id",
         F.row_number().over(
             Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
         .cast("long").alias("rank_bm25"))
+
+
+def tfidf_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, rank_tfidf) — the plain linear-tf TF-IDF ranker's
+    top-20 for the anchor query (hybrid_rank_fusion's second leg,
+    shared with rank_tau_eval)."""
     docs = spread(load_table(spark, "documents", sf_dir))
     tf = (
         docs.select("doc_id", F.explode(X.tokens()).alias("term"))
@@ -536,7 +531,7 @@ def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
              * ((F.col("n_docs") + F.lit(1.0))
                 / (F.coalesce(F.col(f"{t}.df"), F.lit(0)) + F.lit(1.0))))
         total = c if total is None else total + c
-    ti = (
+    return (
         piv.select("doc_id", total.alias("tfidf"))
         .orderBy(F.desc("tfidf"), F.asc("doc_id")).limit(BM25_TOPK)
         .select(
@@ -545,6 +540,24 @@ def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.orderBy(F.desc("tfidf"), F.asc("doc_id")))
             .cast("long").alias("rank_tfidf"))
     )
+
+
+def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of two rankers for the
+    anchor query — BM25 (lexical, saturating tf) and a plain TF-IDF
+    scorer (lexical, linear tf) — RRF(d) = Σ_r 1/(RRF_K + rank_r(d)),
+    the standard score-free fusion rule (and exactly the shape that
+    fuses BM25 with an ANN ranker when the corpus carries doc
+    embeddings).
+
+    Exactness: both input rankings are already engine-deterministic
+    (fixed-order float sums, full tie-breaks); RRF itself is a
+    two-term fixed-order sum of exact-rational reciprocals. Shape:
+    both rankers end in TakeOrdered top-20; the fusion is a
+    full-outer join of two 20-row tables — driver-trivial, bounded by
+    the panel, never corpus-sized."""
+    bm = bm25_ranked(spark, sf_dir)
+    ti = tfidf_ranked(spark, sf_dir)
     fused = (
         bm.join(ti, "doc_id", "full_outer")
         .select(
@@ -560,8 +573,9 @@ def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(RRF_TOPK)
 
 
-HYBRID_RANK_FUSION_SQL = f"""
-WITH bm_top AS (
+# Shared ranked-heads CTE chain (bm25 + tfidf top-20 as ranks) —
+# reused by HYBRID_RANK_FUSION_SQL and RANK_TAU_EVAL_SQL.
+RANKED_HEADS_CTES = f"""bm_top AS (
   SELECT doc_id, bm25 FROM ({BM25_RANK_SQL})
 ),
 bm AS (
@@ -603,6 +617,10 @@ ti AS (
   FROM (SELECT doc_id, tfidf FROM scored
         ORDER BY tfidf DESC, doc_id ASC LIMIT 20)
 )
+"""
+
+HYBRID_RANK_FUSION_SQL = f"""
+WITH {RANKED_HEADS_CTES}
 SELECT doc_id, rank_bm25, rank_tfidf,
        COALESCE(1.0 / (60 + rank_bm25), 0.0)
          + COALESCE(1.0 / (60 + rank_tfidf), 0.0) AS rrf

@@ -408,3 +408,86 @@ ORACLES = {
     "source_length_moments": SOURCE_LENGTH_MOMENTS_SQL,
     "dataset_card": DATASET_CARD_SQL,
 }
+
+
+# --------------------------------------------------------- rank_tau_eval
+def rank_tau_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-a between the BM25 and linear-TF-IDF rankings of
+    the anchor query, over the documents BOTH top-20 lists contain —
+    the ranker-agreement scalar that tells a retrieval owner whether
+    a scorer swap actually reorders results or just rescales them
+    (the rank-correlation complement of ndcg_eval's gold-referenced
+    view and retrieval_pr_eval's set view).
+
+    Exact integers end to end: concordant/discordant counts come
+    from the <= 20x20/2 pair join of two bounded rank heads (raw
+    ranks — only order matters, and both rankings are tie-free by
+    their full tie-breaks); tau = (C - D) / (n(n-1)/2), NULL when
+    fewer than 2 common docs (identical CASE both engines)."""
+    from distributed_system_mapreduce_spark.operators.curation import (
+        bm25_ranked,
+        tfidf_ranked,
+    )
+
+    common = (
+        bm25_ranked(spark, sf_dir)
+        .join(tfidf_ranked(spark, sf_dir), "doc_id")
+        .localCheckpoint()  # <= 20 rows; both pair-join sides reuse it
+    )
+    a, b = common.alias("a"), common.alias("b")
+    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        ((F.col("a.rank_bm25") - F.col("b.rank_bm25"))
+         * (F.col("a.rank_tfidf") - F.col("b.rank_tfidf")) > 0)
+        .cast("long").alias("conc"))
+    counts = common.groupBy().agg(
+        F.count("*").cast("long").alias("n_common"))
+    folded = pairs.groupBy().agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("conc").cast("long").alias("concordant"),
+    )
+    return (
+        counts.crossJoin(folded)
+        .selectExpr(
+            "n_common", "n_pairs", "concordant",
+            "n_pairs - concordant AS discordant",
+            "CASE WHEN n_pairs = 0 THEN CAST(NULL AS DOUBLE) ELSE "
+            "(CAST(concordant AS DOUBLE) - (n_pairs - concordant))"
+            " / n_pairs END AS kendall_tau",
+        )
+    )
+
+
+def _rank_tau_sql() -> str:
+    from distributed_system_mapreduce_spark.operators.curation import (
+        RANKED_HEADS_CTES,
+    )
+
+    return f"""
+WITH {RANKED_HEADS_CTES},
+common AS (
+  SELECT bm.doc_id, rank_bm25, rank_tfidf
+  FROM bm JOIN ti ON bm.doc_id = ti.doc_id
+),
+pairs AS (
+  SELECT CASE WHEN (a.rank_bm25 - b.rank_bm25)
+                 * (a.rank_tfidf - b.rank_tfidf) > 0
+              THEN 1 ELSE 0 END AS conc
+  FROM common a JOIN common b ON a.doc_id < b.doc_id
+),
+counts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_common FROM common),
+folded AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(conc) AS BIGINT) AS concordant
+  FROM pairs
+)
+SELECT n_common, n_pairs, concordant,
+       n_pairs - concordant AS discordant,
+       CASE WHEN n_pairs = 0 THEN CAST(NULL AS DOUBLE) ELSE
+       (CAST(concordant AS DOUBLE) - (n_pairs - concordant))
+       / n_pairs END AS kendall_tau
+FROM counts CROSS JOIN folded
+"""
+
+
+QUERIES["rank_tau_eval"] = rank_tau_eval
+ORACLES["rank_tau_eval"] = _rank_tau_sql()

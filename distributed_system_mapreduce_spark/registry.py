@@ -155,6 +155,8 @@ _PRIORITY = [
     "graph_modularity", "graph_assortativity",
     # -- wave 18 (round 4): curation budgeting -----------------------
     "quality_pareto_frontier", "source_sampling_weights",
+    # -- wave 19 (round 4): ranker-agreement eval --------------------
+    "rank_tau_eval",
     # -- rows-only (no oracle by design; weaker driver check) -------
     "compression_ratio", "kmeans_embed", "approx_price_quantiles", "freq_items_sketch",
     "bpe_train_merges", "bpe_vocab_stats", "bpe_token_count",

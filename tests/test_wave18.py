@@ -47,3 +47,36 @@ def test_sampling_weights_sum_to_one_and_boost_minorities(spark):
     # weights order matches token order (monotone transform)
     ws = [r["weight"] for r in by_tok]
     assert ws == sorted(ws)
+
+
+def test_rank_tau_matches_pure_python_kendall(spark):
+    """rank_tau_eval (wave 19) equals a literal pure-Python Kendall
+    tau-a over the two collected rank heads, and sits in [-1, 1]."""
+    import itertools
+    import math
+
+    from distributed_system_mapreduce_spark.operators.curation import (
+        bm25_ranked,
+        tfidf_ranked,
+    )
+    from distributed_system_mapreduce_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    bm = {r["doc_id"]: r["rank_bm25"]
+          for r in bm25_ranked(spark, SF_DIR).collect()}
+    ti = {r["doc_id"]: r["rank_tfidf"]
+          for r in tfidf_ranked(spark, SF_DIR).collect()}
+    common = sorted(set(bm) & set(ti))
+    conc = disc = 0
+    for a, b in itertools.combinations(common, 2):
+        s = (bm[a] - bm[b]) * (ti[a] - ti[b])
+        conc += s > 0
+        disc += s < 0
+    row = QUERIES["rank_tau_eval"](spark, SF_DIR).collect()[0]
+    assert row["n_common"] == len(common)
+    assert row["concordant"] == conc
+    assert row["discordant"] == disc
+    assert row["n_pairs"] == conc + disc  # tie-free rankings
+    want = (conc - disc) / row["n_pairs"]
+    assert math.isclose(row["kendall_tau"], want, rel_tol=1e-12)
+    assert -1.0 <= row["kendall_tau"] <= 1.0
