@@ -326,3 +326,101 @@ ORACLES = {
     "split_by_key": SPLIT_BY_KEY_SQL,
     "range_partition_hist": RANGE_PARTITION_HIST_SQL,
 }
+
+
+# ------------------------------------------------------- contact tracing
+# Reference parity: the mj_exe contact pipeline (contact_maple1.go ->
+# contact_maple2.go -> contact_maple3.go -> contact_juice3.go) tags a
+# positive set, reshapes (person, location, start, end) visit lines,
+# and emits people whose visit interval overlaps a positive's at the
+# same location. The reference's juice stage is an unfinished
+# in-memory scan; this is the Spark-first formulation of the same
+# semantics: visits = events (location := event_type, interval :=
+# [ts, ts + value seconds]); positives = user_id % 5 == 0.
+CONTACT_POS_MOD = 5
+CONTACT_BASE_S = 1800  # visit dwell baseline; + value seconds jitter
+CONTACT_BUCKET_S = 3600  # hour buckets; dwell <= ~40 min spans <= 2
+
+
+def mr_contact_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per exposed (non-positive) user: how many distinct positive
+    users their visits overlapped at the same location, the number of
+    overlapping visit pairs, and the earliest overlap instant.
+
+    Scale shape: the interval-overlap join is BUCKETIZED (the
+    purchase_attribution discipline) — each visit explodes into the
+    <= 2 hour buckets it covers, the join is an equi-join on
+    (location, bucket) with the exact overlap predicate re-checked,
+    and a distinct collapses the double-bucket matches. Never an
+    unbounded inequality join. All times are exact epoch-second
+    BIGINTs (the DuckDB oracle needs no bucket trick at its scale —
+    an independent O(n^2)-join formulation of the same semantics)."""
+    ev = load_table(spark, "events", sf_dir)
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    visits = ev.select(
+        "user_id",
+        F.col("event_type").alias("loc"),
+        ts_s.alias("s"),
+        # visit dwell = 30 min baseline + value-seconds jitter.
+        # floor(), not a bare cast: Spark's double->long truncates
+        # where DuckDB's CAST rounds half-even (verify-skill gotcha)
+        (ts_s + F.lit(CONTACT_BASE_S)
+         + F.floor(F.col("value")).cast("long")).alias("e"),
+    )
+    pos = visits.filter(F.col("user_id") % CONTACT_POS_MOD == 0)
+    exposed = visits.filter(F.col("user_id") % CONTACT_POS_MOD != 0)
+
+    def bucketed(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select(
+            F.col("user_id").alias(f"{prefix}u"),
+            F.col("loc").alias(f"{prefix}loc"),
+            F.col("s").alias(f"{prefix}s"),
+            F.col("e").alias(f"{prefix}e"),
+            F.explode(F.expr(
+                f"sequence(s DIV {CONTACT_BUCKET_S}, "
+                f"e DIV {CONTACT_BUCKET_S})")).alias(f"{prefix}b"),
+        )
+    p, c = bucketed(pos, "p"), bucketed(exposed, "c")
+    pairs = (
+        c.join(p, (F.col("cloc") == F.col("ploc"))
+               & (F.col("cb") == F.col("pb"))
+               & (F.col("ps") <= F.col("ce"))
+               & (F.col("cs") <= F.col("pe")))
+        .select("cu", "pu", "cs", "ps",
+                F.greatest("cs", "ps").alias("ov"))
+        .distinct()  # collapse double-bucket matches
+    )
+    return pairs.groupBy(F.col("cu").alias("user_id")).agg(
+        F.countDistinct("pu").cast("long").alias("n_pos_contacts"),
+        F.count(F.lit(1)).cast("long").alias("n_overlap_visits"),
+        F.min("ov").cast("long").alias("first_overlap_s"),
+    )
+
+
+MR_CONTACT_TRACE_SQL = f"""
+WITH visits AS (
+  SELECT user_id, event_type AS loc,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + {CONTACT_BASE_S}
+           + CAST(floor(value) AS BIGINT) AS e
+  FROM events
+),
+pairs AS (
+  SELECT DISTINCT c.user_id AS cu, p.user_id AS pu, c.s AS cs,
+         p.s AS ps, greatest(c.s, p.s) AS ov
+  FROM visits c JOIN visits p
+    ON c.loc = p.loc
+   AND p.user_id % {CONTACT_POS_MOD} = 0
+   AND c.user_id % {CONTACT_POS_MOD} <> 0
+   AND p.s <= c.e AND c.s <= p.e
+)
+SELECT cu AS user_id,
+       CAST(COUNT(DISTINCT pu) AS BIGINT) AS n_pos_contacts,
+       CAST(COUNT(*) AS BIGINT) AS n_overlap_visits,
+       CAST(MIN(ov) AS BIGINT) AS first_overlap_s
+FROM pairs
+GROUP BY cu
+"""
+
+QUERIES["mr_contact_trace"] = mr_contact_trace
+ORACLES["mr_contact_trace"] = MR_CONTACT_TRACE_SQL

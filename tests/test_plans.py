@@ -587,6 +587,19 @@ def test_wave18_plan_shapes(spark):
         assert "partial_" in plan, name
 
 
+def test_wave20_contact_trace_plan(spark):
+    """The interval-overlap join must ride the bucketized equi-join
+    (hash join on (loc, bucket)), never a nested-loop/cartesian over
+    raw inequality predicates; JVM-only, no windows."""
+    df = QUERIES["mr_contact_trace"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert "Generate" in plan  # the bucket explode
+
+
 def test_rake_and_kmv_plan_shapes(spark):
     """keyphrase_rake: doc-partitioned run-id window (never global),
     partial aggs, TakeOrdered head. kmv_set_ops: the only nested
