@@ -205,3 +205,71 @@ ORACLES = {
     "dedup_threshold_sweep": DEDUP_THRESHOLD_SWEEP_SQL,
     "doc_prefix_dup": DOC_PREFIX_DUP_SQL,
 }
+
+
+# --------------------------------------------------------- dedup_cross_lang
+def dedup_cross_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Census of verified near-dup pairs whose documents carry
+    DIFFERENT language labels — the machine-translation /
+    language-mislabel detector (a high cross-lang dup rate means the
+    lang-ID stage is wrong or the crawl holds templated translations;
+    either way per-language mix statistics are lying). Pairs come
+    from dedup_ngram_jaccard's verified output; the census keys on
+    the (least, greatest) normalized language pair; jaccard extremes
+    are order-independent min/max (never a float SUM across pairs)."""
+    from distributed_system_mapreduce_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+    )
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc_a", "doc_b", "jaccard")
+    langs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang")
+    x = (
+        pairs.join(langs.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("lang", "lang_a"), "doc_a")
+        .join(langs.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("lang", "lang_b"), "doc_b")
+        .where(F.col("lang_a") != F.col("lang_b"))
+    )
+    return (
+        x.groupBy(
+            F.least("lang_a", "lang_b").alias("lang_lo"),
+            F.greatest("lang_a", "lang_b").alias("lang_hi"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.min("jaccard").alias("min_jaccard"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+
+
+def _cross_lang_sql() -> str:
+    from distributed_system_mapreduce_spark.operators.dedup import (
+        DEDUP_NGRAM_JACCARD_SQL,
+    )
+
+    return f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b, jaccard FROM ({DEDUP_NGRAM_JACCARD_SQL})
+),
+x AS (
+  SELECT la.lang AS lang_a, lb.lang AS lang_b, jaccard
+  FROM pairs
+  JOIN documents la ON pairs.doc_a = la.doc_id
+  JOIN documents lb ON pairs.doc_b = lb.doc_id
+  WHERE la.lang <> lb.lang
+)
+SELECT least(lang_a, lang_b) AS lang_lo,
+       greatest(lang_a, lang_b) AS lang_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       MIN(jaccard) AS min_jaccard,
+       MAX(jaccard) AS max_jaccard
+FROM x
+GROUP BY 1, 2
+"""
+
+
+QUERIES["dedup_cross_lang"] = dedup_cross_lang
+ORACLES["dedup_cross_lang"] = _cross_lang_sql()
