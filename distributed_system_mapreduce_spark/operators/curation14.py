@@ -127,23 +127,12 @@ ZLIB_LEVEL = 6  # fixed level: zlib output is deterministic for a
 # given (input, level, strategy), which the determinism test pins
 
 
-def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document DEFLATE compression ratio (zlib level 6):
-    compressed bytes / raw utf-8 bytes. The classic cheap quality
-    signal — template/boilerplate text compresses far below fluent
-    prose, and near-random token soup doesn't compress — used as a
-    Gopher-style filter input alongside repetition_score (which
-    catches only EXACT n-gram repeats; DEFLATE catches fuzzy
-    self-similarity inside its 32 KB window).
-
-    Rows-only by design: a DEFLATE encoder is not SQL-expressible.
-    The kernel is deterministic (fixed level/strategy), so two runs
-    hash identically — pinned in tests. Arrow-batched narrow map;
-    embarrassingly parallel at any scale."""
+def compression_scores(docs: DataFrame) -> DataFrame:
+    """df-level DEFLATE kernel over any (doc_id, source, text) frame
+    — shared by the batch compression_ratio query and the streaming
+    ingest gate (streaming/jobs.compression_gate_stream), so stream
+    scores agree byte-for-byte with the batch twin."""
     import zlib
-
-    docs = spread(load_table(spark, "documents", sf_dir)).select(
-        "doc_id", "source", "text")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -158,11 +147,28 @@ def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                           for zb, r in zip(z, raw)],
             })
 
-    return docs.mapInPandas(
+    return docs.select("doc_id", "source", "text").mapInPandas(
         run,
         schema=("doc_id long, source string, n_bytes long, "
                 "z_bytes long, ratio double"),
     )
+
+
+def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DEFLATE compression ratio (zlib level 6):
+    compressed bytes / raw utf-8 bytes. The classic cheap quality
+    signal — template/boilerplate text compresses far below fluent
+    prose, and near-random token soup doesn't compress — used as a
+    Gopher-style filter input alongside repetition_score (which
+    catches only EXACT n-gram repeats; DEFLATE catches fuzzy
+    self-similarity inside its 32 KB window).
+
+    Rows-only by design: a DEFLATE encoder is not SQL-expressible.
+    The kernel is deterministic (fixed level/strategy), so two runs
+    hash identically — pinned in tests. Arrow-batched narrow map;
+    embarrassingly parallel at any scale."""
+    return compression_scores(
+        spread(load_table(spark, "documents", sf_dir)))
 
 
 QUERIES = {

@@ -1180,3 +1180,39 @@ def drift_monitor_stream(docs: DataFrame, model: DataFrame, fs,
             os.path.join(fs._path(out_name), f"batch_id={batch_id}"))
 
     return _run_foreach_batch(docs, sink, checkpoint_dir)
+
+
+# ------------------------------------------- compression_gate_stream
+def compression_gate_stream(docs: DataFrame, fs, out_name: str,
+                            checkpoint_dir: str,
+                            lo: float | None = None,
+                            hi: float | None = None) -> Any:
+    """Streaming DEFLATE quality gate: each micro-batch of incoming
+    (doc_id, source, text) documents gets the zlib compression-ratio
+    score (operators/curation14.compression_scores — the SAME Arrow
+    kernel the batch query runs, so stream scores agree byte-for-byte
+    with the batch twin). Pass lo/hi to add the keep verdict
+    lo <= ratio <= hi: below lo = template/boilerplate
+    self-similarity, above hi = token soup that doesn't compress —
+    both ends of the Gopher-style band filter. Verdicts land as
+    idempotent per-batch partition overwrites (the exactly-once
+    pairing stream_to_filestore proves under crash)."""
+    from distributed_system_mapreduce_spark.operators.curation14 import (
+        compression_scores,
+    )
+
+    import os
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        scored = compression_scores(batch_df)
+        if lo is not None or hi is not None:
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col("ratio") >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col("ratio") <= F.lit(hi))
+            scored = scored.withColumn("keep", cond)
+        scored.write.mode("overwrite").parquet(
+            os.path.join(fs._path(out_name), f"batch_id={batch_id}"))
+
+    return _run_foreach_batch(docs, sink, checkpoint_dir)

