@@ -25,3 +25,23 @@ def test_bench_final_line_is_short_parseable_json(tmp_path):
     assert isinstance(parsed["value"], float)
     # short enough that a line-capture truncation can't bite again
     assert len(last) < 1200, len(last)
+
+
+def test_headline_runs_as_dedicated_first_group():
+    """Full runs must put the HEADLINE 12 in their own fixed-order
+    first child group — the headline metric must not depend on
+    registry ordering (r3's apparent regressions were queries moving
+    between groups). Pins the grouping logic without running Spark."""
+    import bench
+    from distributed_system_mapreduce_spark.registry import QUERIES
+
+    head = [n for n in bench.HEADLINE if n in QUERIES]
+    assert head == bench.HEADLINE  # every headline member registered
+    rest = [n for n in QUERIES if n not in set(head)]
+    groups = [head] + [rest[i:i + bench.GROUP_SIZE]
+                       for i in range(0, len(rest), bench.GROUP_SIZE)]
+    # mirrors bench.main's full-run path: first group == HEADLINE
+    assert groups[0] == bench.HEADLINE
+    assert all(n not in set(bench.HEADLINE) for g in groups[1:]
+               for n in g)
+    assert sum(len(g) for g in groups) == len(QUERIES)
