@@ -1142,3 +1142,60 @@ FROM cells v LEFT JOIN close USING (vec_id)
 
 QUERIES["semdedup_prune"] = semdedup_prune
 ORACLES["semdedup_prune"] = SEMDEDUP_PRUNE_SQL
+
+
+# --------------------------------------------------------- embedding_cos_hist
+def embedding_cos_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-similarity histogram over the single-bucket LSH pair
+    population (fixed 0.1-wide bins over [-1, 1]) — the distribution
+    diagnostic behind picking DUP_TAU / SEMDEDUP_TAU: a bimodal
+    histogram separates a dup mode from the background and hands you
+    the valley; a unimodal one says threshold dedup will just slice
+    noise. The embedding-space twin of dedup_threshold_sweep.
+
+    Exactness: cosines are the bit-identical fixed-order expression,
+    so floor(cosine * 10) lands in the same bin in both engines
+    (least() clamps the cosine == 1.0 self-similar edge into the top
+    bin); bin counts are exact BIGINTs. Shape: the bucketed pair join
+    (never corpus x corpus) + one partial-agg shuffle onto <= 21
+    bins."""
+    vecs = _with_bucket(spark, sf_dir)
+    a, b = vecs.alias("a"), vecs.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(_cos_spark().alias("cosine"))
+    )
+    return (
+        pairs.select(
+            F.expr("least(CAST(floor(cosine * 10) AS BIGINT), 9)")
+            .alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .selectExpr(
+            "bin", "CAST(bin AS DOUBLE) / 10 AS bin_lo",
+            "CAST(bin + 1 AS DOUBLE) / 10 AS bin_hi", "n_pairs",
+        )
+    )
+
+
+EMBEDDING_COS_HIST_SQL = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS_SQL} AS cosine
+  FROM ({_BUCKET_SQL}) a
+  JOIN ({_BUCKET_SQL}) b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+binned AS (
+  SELECT least(CAST(floor(cosine * 10) AS BIGINT), 9) AS bin
+  FROM pairs
+)
+SELECT bin, CAST(bin AS DOUBLE) / 10 AS bin_lo,
+       CAST(bin + 1 AS DOUBLE) / 10 AS bin_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM binned
+GROUP BY bin
+"""
+
+QUERIES["embedding_cos_hist"] = embedding_cos_hist
+ORACLES["embedding_cos_hist"] = EMBEDDING_COS_HIST_SQL

@@ -158,7 +158,7 @@ _PRIORITY = [
     # -- wave 19 (round 4): ranker-agreement eval --------------------
     "rank_tau_eval",
     # -- wave 20 (round 4): reference contact-tracing parity ---------
-    "mr_contact_trace", "dedup_cross_lang",
+    "mr_contact_trace", "dedup_cross_lang", "embedding_cos_hist",
     # -- rows-only (no oracle by design; weaker driver check) -------
     "compression_ratio", "kmeans_embed", "approx_price_quantiles", "freq_items_sketch",
     "bpe_train_merges", "bpe_vocab_stats", "bpe_token_count",
