@@ -553,13 +553,22 @@ def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: both input rankings are already engine-deterministic
     (fixed-order float sums, full tie-breaks); RRF itself is a
     two-term fixed-order sum of exact-rational reciprocals. Shape:
-    both rankers end in TakeOrdered top-20; the fusion is a
-    full-outer join of two 20-row tables — driver-trivial, bounded by
-    the panel, never corpus-sized."""
+    both rankers end in TakeOrdered top-20; the fusion is a tagged
+    UNION + one agg by doc_id over the two 20-row heads (full-outer
+    semantics without the join — the heads inherit broadcast hints a
+    full-outer join would only warn about and ignore) —
+    driver-trivial, bounded by the panel, never corpus-sized."""
     bm = bm25_ranked(spark, sf_dir)
     ti = tfidf_ranked(spark, sf_dir)
     fused = (
-        bm.join(ti, "doc_id", "full_outer")
+        bm.select("doc_id", "rank_bm25",
+                  F.lit(None).cast("long").alias("rank_tfidf"))
+        .unionByName(ti.select(
+            "doc_id", F.lit(None).cast("long").alias("rank_bm25"),
+            "rank_tfidf"))
+        .groupBy("doc_id")
+        .agg(F.max("rank_bm25").alias("rank_bm25"),
+             F.max("rank_tfidf").alias("rank_tfidf"))
         .select(
             "doc_id", "rank_bm25", "rank_tfidf",
             (F.coalesce(

@@ -101,7 +101,12 @@ def retrieval_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "k", "hits", "n_rel",
             "CAST(hits AS DOUBLE) / k AS precision",
-            "CAST(hits AS DOUBLE) / n_rel AS recall",
+            # NULL guard spelled identically in both engines: with
+            # ANSI off Spark yields NULL on /0 while DuckDB yields
+            # inf/NaN — the cross-engine divergence class the
+            # token_js_divergence fix established
+            "CASE WHEN n_rel = 0 THEN CAST(NULL AS DOUBLE) "
+            "ELSE CAST(hits AS DOUBLE) / n_rel END AS recall",
             "CASE WHEN hits = 0 THEN CAST(0 AS DOUBLE) ELSE "
             "2.0 * (CAST(hits AS DOUBLE) / k) * (CAST(hits AS DOUBLE)"
             " / n_rel) / (CAST(hits AS DOUBLE) / k "
@@ -135,7 +140,8 @@ nrel AS (
 wide AS (SELECT * FROM hits CROSS JOIN nrel)
 SELECT k, hits, n_rel,
        CAST(hits AS DOUBLE) / k AS precision,
-       CAST(hits AS DOUBLE) / n_rel AS recall,
+       CASE WHEN n_rel = 0 THEN CAST(NULL AS DOUBLE)
+       ELSE CAST(hits AS DOUBLE) / n_rel END AS recall,
        CASE WHEN hits = 0 THEN CAST(0 AS DOUBLE) ELSE
        2.0 * (CAST(hits AS DOUBLE) / k) * (CAST(hits AS DOUBLE)
        / n_rel) / (CAST(hits AS DOUBLE) / k

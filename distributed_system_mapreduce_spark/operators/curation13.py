@@ -86,7 +86,10 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             f"CAST(k AS DOUBLE) / {N_HASHES} AS tau",
             "n_cand", "kept AS n_pairs_kept",
-            "CAST(kept AS DOUBLE) / n_cand AS kept_share",
+            # n_cand = 0 guard: Spark (ANSI off) would NULL, DuckDB
+            # would inf/NaN — spell the NULL identically in both
+            "CASE WHEN n_cand = 0 THEN CAST(NULL AS DOUBLE) "
+            "ELSE CAST(kept AS DOUBLE) / n_cand END AS kept_share",
             "CASE WHEN kept = 0 THEN CAST(NULL AS DOUBLE) ELSE "
             f"CAST(mass AS DOUBLE) / ({N_HASHES} * CAST(kept AS DOUBLE))"
             " END AS mean_est_kept",
@@ -125,7 +128,8 @@ wide AS (
 )
 SELECT CAST(k AS DOUBLE) / {N_HASHES} AS tau,
        n_cand, kept AS n_pairs_kept,
-       CAST(kept AS DOUBLE) / n_cand AS kept_share,
+       CASE WHEN n_cand = 0 THEN CAST(NULL AS DOUBLE)
+       ELSE CAST(kept AS DOUBLE) / n_cand END AS kept_share,
        CASE WHEN kept = 0 THEN CAST(NULL AS DOUBLE) ELSE
        CAST(mass AS DOUBLE) / ({N_HASHES} * CAST(kept AS DOUBLE))
        END AS mean_est_kept

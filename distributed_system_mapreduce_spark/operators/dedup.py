@@ -947,8 +947,11 @@ def dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: LSH pairs come straight from the banded candidate join;
     SimHash pairs expand IN-ARRAY per bucket (bounded by bucket size,
     the graphs.py idiom — never an unbounded bucket self-join); the
-    verdict is a full-outer join of two small pair sets, rolled up to
-    one row per agreement class. Exact counts only."""
+    verdict is a tagged UNION of the two pair sets + one partial agg
+    by pair (full-outer-join semantics without the join — the inputs
+    inherit broadcast hints that a full-outer join would ignore with
+    a warning, and one shuffle beats two), rolled up to one row per
+    agreement class. Exact counts only."""
     lsh = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").distinct()
     sim = (
         dedup_simhash(spark, sf_dir)
@@ -962,19 +965,23 @@ def dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
-    j = (
-        lsh.withColumn("in_lsh", F.lit(1))
-        .join(sim.withColumn("in_sim", F.lit(1)),
-              ["doc_a", "doc_b"], "full_outer")
+    tagged = (
+        lsh.select("doc_a", "doc_b", F.lit(1).alias("in_lsh"),
+                   F.lit(0).alias("in_sim"))
+        .unionByName(sim.select(
+            "doc_a", "doc_b", F.lit(0).alias("in_lsh"),
+            F.lit(1).alias("in_sim")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("in_lsh").alias("in_lsh"),
+             F.max("in_sim").alias("in_sim"))
     )
     cls = (
-        F.when(F.col("in_lsh").isNotNull() & F.col("in_sim").isNotNull(),
-               "both")
-        .when(F.col("in_lsh").isNotNull(), "lsh_only")
+        F.when((F.col("in_lsh") == 1) & (F.col("in_sim") == 1), "both")
+        .when(F.col("in_lsh") == 1, "lsh_only")
         .otherwise("simhash_only")
     )
     return (
-        j.select(cls.alias("agreement"))
+        tagged.select(cls.alias("agreement"))
         .groupBy("agreement")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )

@@ -209,16 +209,35 @@ def _decode_avi(payload: bytes) -> dict:
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI payload")
     avih = strf = None
+    stream_type = None  # fccType of the strl currently being walked
     frames: list[bytes] = []
 
+    def need(body: int, stop: int, n: int, what: str) -> None:
+        # truncated header chunks must surface as the ValueError the
+        # callers classify, not a struct.error from the unpack
+        if stop - body < n:
+            raise ValueError(f"AVI {what} chunk truncated")
+
     def walk(pos: int, end: int) -> None:
-        nonlocal avih, strf
+        nonlocal avih, strf, stream_type
         for cc, sub, body, stop in _riff_chunks(payload, pos, end):
             if cc == b"LIST":
+                if sub == b"strl":
+                    # each strl describes ONE stream; reset so a
+                    # preceding stream's type can't leak into this one
+                    stream_type = None
                 walk(body, stop)
             elif cc == b"avih":
+                need(body, stop, 56, "avih")
                 avih = struct.unpack("<14I", payload[body:body + 56])
-            elif cc == b"strf" and strf is None:
+            elif cc == b"strh":
+                need(body, stop, 4, "strh")
+                stream_type = payload[body:body + 4]
+            elif cc == b"strf" and strf is None and stream_type == b"vids":
+                # only the VIDEO stream's strf is a BITMAPINFOHEADER;
+                # an audio-first AVI's WAVEFORMAT block must not be
+                # parsed as geometry
+                need(body, stop, 40, "strf")
                 strf = struct.unpack("<3I2H6I", payload[body:body + 40])
             elif cc[2:4] in (b"db", b"dc") and cc[:2].isdigit():
                 frames.append(payload[body:stop])

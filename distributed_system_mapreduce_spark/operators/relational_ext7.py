@@ -356,10 +356,6 @@ def community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan static; convergence-looped LPA would add the
     dedup_components driver loop shape instead.
     """
-    from distributed_system_mapreduce_spark.functions.graphs import (
-        strong_edges,
-    )
-
     edges, labels = lpa_labels(spark, sf_dir)
     return (
         labels.groupBy(F.col("label").alias("community"))

@@ -179,6 +179,52 @@ def test_decode_real_avi_rejects_corruption_and_compression():
         M.decode_real(mjpg, "video")
 
 
+def test_decode_real_avi_audio_first_and_truncated_headers():
+    """An AVI whose FIRST strl is the audio stream must not have its
+    WAVEFORMAT strf parsed as geometry (the strf gate keys on the
+    preceding strh fccType), and truncated header chunks raise
+    ValueError, not struct.error."""
+    import struct
+
+    def chunk(cc, data):
+        return (cc + struct.pack("<I", len(data)) + data
+                + (b"\x00" if len(data) & 1 else b""))
+
+    def lst(subtype, data):
+        return chunk(b"LIST", subtype + data)
+
+    payload = M._encode_avi_rgb(8)
+    # splice an audio strl AHEAD of the video strl inside hdrl: its
+    # strf is a 16-byte WAVEFORMATEX stub that a BITMAPINFOHEADER
+    # parse would misread as insane geometry
+    auds_strh = struct.pack("<4s4sIHHIIIIIIII4h", b"auds", b"\x01\x00\x00\x00",
+                            0, 0, 0, 0, 1, 8000, 0, 80, 16, 0, 0,
+                            0, 0, 0, 0)
+    auds_strf = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    audio_strl = lst(b"strl", chunk(b"strh", auds_strh)
+                     + chunk(b"strf", auds_strf))
+    i = payload.find(b"strl") - 8  # start of the vids strl LIST chunk
+    spliced = payload[:i] + audio_strl + payload[i:]
+    # fix up the enclosing hdrl LIST and RIFF sizes
+    grown = len(audio_strl)
+    h = spliced.find(b"hdrl") - 4
+    spliced = (spliced[:h] + struct.pack(
+        "<I", struct.unpack("<I", spliced[h:h + 4])[0] + grown)
+        + spliced[h + 4:])
+    spliced = (spliced[:4] + struct.pack(
+        "<I", struct.unpack("<I", spliced[4:8])[0] + grown)
+        + spliced[8:])
+    out = M.decode_real(spliced, "video")
+    want = M.decode_real(payload, "video")
+    assert out == want  # geometry came from the vids strf, unchanged
+    # truncated avih payload: ValueError, not struct.error
+    i = payload.find(b"avih")
+    trunc = (payload[:i] + chunk(b"avih", b"\x00" * 8)
+             + payload[i + 8 + 56:])
+    with pytest.raises(ValueError):
+        M.decode_real(trunc, "video")
+
+
 def test_decode_features_with_real_kernel(spark):
     """The SAME Arrow decode stage runs the real kernel over genuinely
     encoded PNG/WAV/AVI payloads — proving the plumbing is

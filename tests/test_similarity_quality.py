@@ -146,6 +146,25 @@ def test_ann_scaling_rules_shape():
     assert seq == sorted(seq)
 
 
+def test_ann_static_oracles_match_actual_corpora():
+    """The static ANN oracle SQL (ANN_TOPK_LSH_SQL / IVF) is written
+    at the shipped 12x4 / 16-cell config while the index builds size
+    from lsh_params()/ivf_cells() at runtime — so the oracle is only
+    valid while the ACTUAL corpus counts resolve to the shipped
+    constants. Pin that agreement against the real parquet metadata
+    for every SF the driver gate or bench touches (ADVICE r4:
+    'nothing asserts the rule and the static SQL agree')."""
+    import pyarrow.parquet as pq
+
+    import distributed_system_mapreduce_spark.operators.similarity as S
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        n = pq.ParquetFile(
+            f"/root/testdata/{sf}/embeddings.parquet").metadata.num_rows
+        assert S.lsh_params(n) == (S.N_BANDS, S.PLANES_PER_BAND), (sf, n)
+        assert S.ivf_cells(n) == S.N_CELLS, (sf, n)
+
+
 def _scaled_embeddings_dir(tmp_path, k: int) -> str:
     """K offset-shifted, component-rotated copies of the sf0.001
     embeddings — volume grows K-fold while per-copy geometry stays

@@ -64,6 +64,18 @@ def main():
 
     qs, oracles = e.queries(), e.oracle_sql()
     fails = []
+    # The static ANN oracle SQL is only valid while the corpus count
+    # resolves to the shipped LSH/IVF constants — assert the
+    # agreement BEFORE trusting any ann_* comparison at this SF.
+    import distributed_system_mapreduce_spark.operators.similarity as S
+
+    n_emb = con.sql("SELECT COUNT(*) FROM embeddings").fetchone()[0]
+    if (S.lsh_params(n_emb) != (S.N_BANDS, S.PLANES_PER_BAND)
+            or S.ivf_cells(n_emb) != S.N_CELLS):
+        print(f"FAIL ann-oracle-preflight: corpus n={n_emb} auto-scales "
+              f"past the static-SQL config "
+              f"(lsh={S.lsh_params(n_emb)}, ivf={S.ivf_cells(n_emb)})")
+        fails.append("ann-oracle-preflight")
     for name, fn in qs.items():
         if only and name not in only:
             continue
