@@ -37,7 +37,8 @@ def test_headline_runs_as_dedicated_first_group():
 
     head = [n for n in bench.HEADLINE if n in QUERIES]
     assert head == bench.HEADLINE  # every headline member registered
-    rest = [n for n in QUERIES if n not in set(head)]
+    rest = sorted((n for n in QUERIES if n not in set(head)),
+                  key=bench.stable_group_key)
     groups = [head] + [rest[i:i + bench.GROUP_SIZE]
                        for i in range(0, len(rest), bench.GROUP_SIZE)]
     # mirrors bench.main's full-run path: first group == HEADLINE
@@ -45,3 +46,10 @@ def test_headline_runs_as_dedicated_first_group():
     assert all(n not in set(bench.HEADLINE) for g in groups[1:]
                for n in g)
     assert sum(len(g) for g in groups) == len(QUERIES)
+    # group membership is a function of the NAME alone: reordering
+    # the registry (gate-prefix rotation) must not move any query
+    # between groups
+    shuffled = sorted((n for n in reversed(list(QUERIES))
+                       if n not in set(head)),
+                      key=bench.stable_group_key)
+    assert shuffled == rest
