@@ -1,0 +1,206 @@
+"""Oracle-backed queries that READ from FileStore-written datasets.
+
+The FileStore layer (sources/filestore.py — the PySpark re-expression
+of the reference's SDFS verbs, file_system.go:154 put/get/delete/ls/
+store, plus the lakehouse layouts the 100 TB posture needs) was until
+round 5 exercised only by pytest. These three queries close the loop
+for the driver's correctness gate: each WRITES a dataset through a
+FileStore layout (bucketed catalog table / snapshot history / keyed
+merge), READS it back through the same API, and produces a result a
+plain-SQL oracle over the ORIGINAL tables can certify — so the gate
+proves the layouts are lossless and their read paths honest.
+
+Every write goes to a fixed per-SF scratch root under /tmp (the
+datasets are rebuilt from scratch on every call — `delete` first, so
+repeated bench/gate runs never accumulate state or versions).
+
+Exactness: counts are BIGINT; money flows through DECIMAL(18,2/4)
+accumulators and is cast DOUBLE once at output, the q1 discipline.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_system_mapreduce_spark.sources.filestore import FileStore
+from distributed_system_mapreduce_spark.tables import load_table
+
+_SCRATCH = "/tmp/spark_graft_fsdemo"
+
+
+def _store(spark: SparkSession, sf_dir: str) -> FileStore:
+    sf = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return FileStore(spark, os.path.join(_SCRATCH, sf))
+
+
+# ------------------------------------------------ filestore_bucketed_join
+_BUCKETS = 8
+
+
+def filestore_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per market segment off two FileStore datasets written
+    BUCKETED on the join key (write_bucketed — the write-once/
+    shuffle-never layout): orders bucketed by o_custkey, customer by
+    c_custkey, joined bucket-to-bucket with ZERO exchanges before the
+    join (tests/test_filestore.py pins the no-Exchange plan shape for
+    this layout; the merge hint keeps the tiny test side from
+    degenerating to broadcast, which would hide the property).
+
+    This is the storage-level answer to the reference's hash shuffle
+    (maple_juice.go:688): pay the partitioning once at write time,
+    then every repeated join/agg on the key is shuffle-free. At
+    100 TB: thousands of buckets, same plan shape."""
+    fs = _store(spark, sf_dir)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_totalprice")
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_mktsegment")
+    fs.write_bucketed(orders, "fs_demo_orders_b", "o_custkey", _BUCKETS)
+    fs.write_bucketed(cust, "fs_demo_cust_b", "c_custkey", _BUCKETS)
+    o = fs.read_table("fs_demo_orders_b").hint("merge")
+    c = fs.read_table("fs_demo_cust_b")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double").alias("revenue"),
+        )
+    )
+
+
+FILESTORE_BUCKETED_JOIN_SQL = """
+SELECT c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------- filestore_snapshot_read
+_SNAP_CUTOFF = "1998-01-01 00:00:00"
+
+
+def filestore_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel certified by oracle: commit the pre-cutoff orders
+    as snapshot v1, append the rest as v2 (append_snapshot shares
+    v1's files — nothing rewritten), then read VERSION 1 back and roll
+    up per order priority. The oracle recomputes v1's content from
+    the original table, so a hash match proves read_snapshot plans
+    exactly the committed file list — the Iceberg-style metadata
+    layer, not a directory listing.
+
+    Scale: a snapshot commit is O(manifest) driver work; the
+    version-pinned read costs the same scan the raw data would."""
+    fs = _store(spark, sf_dir)
+    name = "fs_demo_orders_snap"
+    fs.delete(name)  # fresh history every call: v1/v2 are deterministic
+    orders = load_table(spark, "orders", sf_dir)
+    pre = orders.filter(F.col("o_orderdate") < F.lit(_SNAP_CUTOFF)
+                        .cast("timestamp"))
+    post = orders.filter(F.col("o_orderdate") >= F.lit(_SNAP_CUTOFF)
+                         .cast("timestamp"))
+    v1 = fs.write_snapshot(pre, name, tag="pre-cutoff")
+    fs.append_snapshot(post, name)
+    return (
+        fs.read_snapshot(name, version=v1)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double").alias("revenue"),
+        )
+    )
+
+
+FILESTORE_SNAPSHOT_READ_SQL = f"""
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue
+FROM orders
+WHERE o_orderdate < TIMESTAMP '{_SNAP_CUTOFF}'
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------- filestore_keyed_merge
+_UPD_MOD = 10   # custkeys to upsert (+1000 balance)
+_DEL_MOD = 97   # custkeys to delete
+_UPD_AMT = 1000
+
+
+def filestore_keyed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style keyed merge certified by oracle: lay customer out
+    hash-partitioned on c_custkey (write_keyed), apply one merge
+    batch — delete every custkey divisible by {_DEL_MOD}, raise the
+    balance of every remaining custkey divisible by {_UPD_MOD} by
+    {_UPD_AMT} — and roll the merged table up per market segment.
+    The oracle applies the same delta as a CASE over the original
+    table, so a hash match proves merge() rewrote exactly the touched
+    buckets' rows and nothing else (surviving rows byte-identical,
+    deletes gone, upserts applied).
+
+    Scale: merge reads back only the hash partitions containing
+    changed keys (partition pruning on the bucket column) and
+    dynamic-overwrites just those — a 0.1% delta on 100 TB touches
+    ~0.1% of files, the lakehouse upsert shape."""
+    fs = _store(spark, sf_dir)
+    name = "fs_demo_cust_keyed"
+    fs.delete(name)
+    cust = load_table(spark, "customer", sf_dir)
+    fs.write_keyed(cust, name, "c_custkey", n_buckets=32)
+    is_del = F.col("c_custkey") % _DEL_MOD == 0
+    is_upd = (F.col("c_custkey") % _UPD_MOD == 0) & ~is_del
+    changes = (
+        cust.filter(is_del | is_upd)
+        .withColumn(
+            "c_acctbal",
+            F.when(F.col("c_custkey") % _DEL_MOD == 0,
+                   F.col("c_acctbal"))
+            .otherwise(F.col("c_acctbal") + F.lit(float(_UPD_AMT))))
+        .withColumn("_del", F.col("c_custkey") % _DEL_MOD == 0)
+    )
+    fs.merge(changes, name, "c_custkey", delete_col="_del")
+    return (
+        fs.read(name)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+FILESTORE_KEYED_MERGE_SQL = f"""
+SELECT c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(CASE WHEN c_custkey % {_UPD_MOD} = 0
+                           AND c_custkey % {_DEL_MOD} <> 0
+                      THEN c_acctbal + {_UPD_AMT}
+                      ELSE c_acctbal END AS DECIMAL(18,2)))
+            AS DOUBLE) AS total_acctbal
+FROM customer
+WHERE c_custkey % {_DEL_MOD} <> 0
+GROUP BY c_mktsegment
+"""
+
+
+QUERIES = {
+    "filestore_bucketed_join": filestore_bucketed_join,
+    "filestore_snapshot_read": filestore_snapshot_read,
+    "filestore_keyed_merge": filestore_keyed_merge,
+}
+
+ORACLES = {
+    "filestore_bucketed_join": FILESTORE_BUCKETED_JOIN_SQL,
+    "filestore_snapshot_read": FILESTORE_SNAPSHOT_READ_SQL,
+    "filestore_keyed_merge": FILESTORE_KEYED_MERGE_SQL,
+}

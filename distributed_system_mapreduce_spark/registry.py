@@ -34,6 +34,7 @@ from distributed_system_mapreduce_spark.operators import (
     dedup,
     engine_queries,
     export,
+    filestore_queries,
     fuzzy,
     graphstats,
     mapreduce_queries,
@@ -75,7 +76,8 @@ _MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
             curation9, curation10, curation11, curation12, curation13, curation14, curation15, dedup,
             similarity, clustering, sketches, probabilistic, rake, bpe, fuzzy,
             multimodal, asof, export, mlstats, mlstats2, graphstats,
-            relational_ext15, relational_ext16, relational_ext17]
+            relational_ext15, relational_ext16, relational_ext17,
+            filestore_queries]
 
 _MERGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -93,20 +95,53 @@ if _extra:
 
 # Registration order = the order external consumers (the driver's
 # correctness gate) iterate queries() in. The gate budget covers a
-# prefix of the list (r1: exactly 50 entries), so order by evidence
-# value: first every ORACLE-BEARING query the r1 gate never reached
-# (dedup/similarity/asof/curation waves), then the queries whose
-# output types were re-canonicalized this round (previously
-# hash-mismatched) — those two groups together fit inside a 50-entry
-# budget — then the rows-only entries (their driver check is weaker),
-# then the already-driver-green rest as re-confirmation.
+# prefix of the list (~50 entries per round), so order by evidence
+# value: the r1-r4 gates cumulatively confirmed 173 keys; the r5
+# prefix leads with the 50 highest-value keys that have NEVER been
+# driver-checked (wave 13-20 ops + the new FileStore-read trio),
+# then the never-checked remainder for r6, then rows-only entries
+# (their driver check is weaker), then the driver-green rest as
+# re-confirmation.
 _PRIORITY = [
-    # -- r4 gate head: the two r3 hash-reds plus the third HUGEINT
-    # landmine, all with freshly CAST oracles -- re-confirmation ----
+    # -- r5 gate prefix (50): every entry here lacks driver
+    # confirmation — 3 NEW FileStore-read queries, then the wave
+    # 13-20 ops the r4 verdict led with, then the remaining
+    # never-gated keys in registry order --------------------
+    "filestore_bucketed_join", "filestore_snapshot_read",
+    "filestore_keyed_merge", "mr_contact_trace", "dedup_cross_lang",
+    "embedding_cos_hist", "retrieval_pr_eval", "skipgram_lift",
+    "source_length_moments", "dataset_card", "lsh_bucket_balance",
+    "charset_census", "bigram_entropy_rate", "orders_seasonal_index",
+    "supplier_volume_skew", "priority_share_shift", "dedup_threshold_sweep",
+    "doc_prefix_dup", "dedup_estimator_pr", "graph_modularity",
+    "graph_assortativity", "quality_pareto_frontier",
+    "source_sampling_weights", "rank_tau_eval", "graph_bfs_reach",
+    "assoc_rules", "ab_test_zstat", "lsh_param_sweep",
+    "events_grouping_sets", "kcore_census", "attribution_credit",
+    "dedup_components_star", "decayed_popularity", "kfold_assign",
+    "revenue_trend_ols", "events_chi2_dow", "events_mad_outliers",
+    "audience_overlap", "events_throttle", "customer_decile_migration",
+    "embedding_dim_variance", "source_boilerplate", "late_arrival_census",
+    "order_total_audit", "bootstrap_ci", "lifecycle_conformance",
+    "ann_maxsim", "hybrid_rank_fusion", "query_expansion_prf",
+    "snippet_extract",
+    # -- never driver-confirmed remainder (r6 gate candidates) ----
+    "weighted_median_price", "dedup_agreement", "bot_rule_census",
+    "entity_canonicalize", "seasonal_strength", "multimodal_decode",
+    "multimodal_frame_sample", "multimodal_resize",
+    "multimodal_audio_segments", "dsir_importance", "doc_lm_typicality",
+    "multimodal_codec_roundtrip", "semdedup_prune", "lang_source_pmi",
+    "user_traj_topk", "doc_token_entropy", "token_js_divergence",
+    "user_markov_entropy", "zipf_exponent", "t_closeness",
+    "events_changepoint", "benford_audit", "weighted_sample", "ndcg_eval",
+    "kmv_set_ops", "keyphrase_rake", "clustering_coeff", "mannwhitney_qty",
+    "theil_sen_trend", "wilson_ci_rates", "hits_scores",
+    # -- rows-only (no oracle by design; weaker driver check) -----
+    "compression_ratio", "kmeans_embed", "approx_price_quantiles",
+    "freq_items_sketch", "bpe_train_merges", "bpe_vocab_stats",
+    "bpe_token_count", "approx_distinct_users_by_type",
+    # -- driver-confirmed in r1-r4 gates (re-confirmation tail) ---
     "pagerank_parts", "training_batches_digest", "user_survival_km",
-    # -- never driver-confirmed oracle-backed (r1+r2+r3 gates have
-    # covered 126 keys; this block leads so the r4 50-entry prefix
-    # confirms the next 47 -> cumulative ~176) ----------------------
     "events_hour_heatmap", "multimodal_dedup", "embedding_stats",
     "events_skew_join", "fk_integrity", "events_ewma", "abandoned_views",
     "quality_dup_correlation", "tokenizer_fertility", "lang_confusion",
@@ -121,51 +156,9 @@ _PRIORITY = [
     "tokenizer_oov_rate", "hard_negative_mining", "embedding_margin",
     "session_lengths", "returns_mix_shift", "events_cusum",
     "discount_qty_elasticity", "join_key_skew", "revenue_gini",
-    "events_holt_forecast", "events_daily_quantiles", "graph_bfs_reach",
-    "assoc_rules", "ab_test_zstat", "lsh_param_sweep",
-    "events_grouping_sets", "kcore_census", "attribution_credit",
-    "dedup_components_star", "decayed_popularity", "kfold_assign",
-    "revenue_trend_ols", "events_chi2_dow", "events_mad_outliers",
-    "audience_overlap", "events_throttle", "customer_decile_migration",
-    "embedding_dim_variance", "source_boilerplate", "late_arrival_census",
-    "order_total_audit", "bootstrap_ci", "lifecycle_conformance",
-    "ann_maxsim", "hybrid_rank_fusion", "query_expansion_prf",
-    "snippet_extract", "weighted_median_price", "dedup_agreement",
-    "bot_rule_census", "entity_canonicalize", "seasonal_strength",
-    "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
-    "multimodal_audio_segments", "dsir_importance", "doc_lm_typicality",
-    "multimodal_codec_roundtrip", "semdedup_prune", "lang_source_pmi",
-    "user_traj_topk", "doc_token_entropy", "token_js_divergence",
-    "user_markov_entropy", "zipf_exponent", "t_closeness",
-    "events_changepoint", "benford_audit", "weighted_sample", "ndcg_eval",
-    "kmv_set_ops", "keyphrase_rake", "clustering_coeff", "mannwhitney_qty",
-    "theil_sen_trend", "wilson_ci_rates", "hits_scores",
-    # -- wave 13 (round 4): corpus QA + retrieval eval ---------------
-    "retrieval_pr_eval", "skipgram_lift", "source_length_moments",
-    "dataset_card",
-    # -- wave 14 (round 4): index health + text/calendar stats -------
-    "lsh_bucket_balance", "charset_census", "bigram_entropy_rate",
-    "orders_seasonal_index", "supplier_volume_skew",
-    "priority_share_shift",
-    # -- wave 15 (round 4): dedup tuning + boilerplate detection -----
-    "dedup_threshold_sweep", "doc_prefix_dup",
-    # -- wave 16 (round 4): estimator QA -----------------------------
-    "dedup_estimator_pr",
-    # -- wave 17 (round 4): graph-quality metrics --------------------
-    "graph_modularity", "graph_assortativity",
-    # -- wave 18 (round 4): curation budgeting -----------------------
-    "quality_pareto_frontier", "source_sampling_weights",
-    # -- wave 19 (round 4): ranker-agreement eval --------------------
-    "rank_tau_eval",
-    # -- wave 20 (round 4): reference contact-tracing parity ---------
-    "mr_contact_trace", "dedup_cross_lang", "embedding_cos_hist",
-    # -- rows-only (no oracle by design; weaker driver check) -------
-    "compression_ratio", "kmeans_embed", "approx_price_quantiles", "freq_items_sketch",
-    "bpe_train_merges", "bpe_vocab_stats", "bpe_token_count",
-    "approx_distinct_users_by_type",
-    # -- driver-confirmed in r1/r2/r3 gates (re-confirmation tail) --
-    "bloom_semi_filter", "events_concurrency", "cdc_apply", "skyline_parts",
-    "winsorized_stats", "events_twap", "fuzzy_name_pairs", "ann_incremental",
+    "events_holt_forecast", "events_daily_quantiles", "bloom_semi_filter",
+    "events_concurrency", "cdc_apply", "skyline_parts", "winsorized_stats",
+    "events_twap", "fuzzy_name_pairs", "ann_incremental",
     "multimodal_phash_dedup", "source_hhi", "community_lpa", "events_drift",
     "cross_source_overlap", "dedup_substring", "curation_pipeline",
     "events_anomaly", "events_props_stats", "events_retention",
@@ -203,7 +196,6 @@ _PRIORITY = [
     "quality_filter", "term_doc_freq", "doc_fingerprint", "tfidf_topterms",
     "bm25_rank",
 ]
-
 if set(_PRIORITY) != set(_MERGED) or len(_PRIORITY) != len(_MERGED):
     _missing = set(_MERGED) - set(_PRIORITY)
     _unknown = set(_PRIORITY) - set(_MERGED)

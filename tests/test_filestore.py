@@ -550,3 +550,27 @@ def test_snapshot_diff_reports_added_removed_changed(spark, tmp_path):
     got = {(r["op"], r["k"])
            for r in fs.snapshot_diff("ds", v1, v2, "k").collect()}
     assert got == {("added", 4), ("removed", 1), ("changed", 3)}
+
+
+def test_filestore_bucketed_join_query_plan_is_shuffle_free(spark):
+    """The REGISTERED filestore_bucketed_join query (oracle-gated by
+    the driver) must keep the zero-exchange property the layout
+    promises: the only Exchange in the whole plan is the final
+    map-side-combined aggregate's — the bucket-to-bucket sort-merge
+    join itself moves nothing."""
+    from distributed_system_mapreduce_spark.operators.filestore_queries import (
+        filestore_bucketed_join,
+    )
+    from distributed_system_mapreduce_spark.plans import formatted_plan
+    from tests.conftest import SF_DIR
+
+    try:
+        import re
+
+        plan = formatted_plan(filestore_bucketed_join(spark, SF_DIR))
+        assert "SortMergeJoin" in plan, plan
+        # one Exchange NODE (tree line + detail block both mention it)
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS fs_demo_orders_b")
+        spark.sql("DROP TABLE IF EXISTS fs_demo_cust_b")
