@@ -193,14 +193,67 @@ GROUP BY c_mktsegment
 """
 
 
+# ---------------------------------------------- filestore_zorder_pruned
+_ZBOX_PART = (1, 150)   # box predicate: non-empty at every test SF
+_ZBOX_SUPP = (1, 8)
+
+
+def filestore_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping certified by oracle: lay lineitem out on the
+    Morton curve over (l_partkey, l_suppkey) (write_zorder — each
+    file covers a RECTANGLE in key space), build the per-file min/max
+    manifest, then answer a 2-D box predicate through read_pruned —
+    only files whose envelope intersects the box are opened, the
+    residual filter exacts the box. The oracle runs the same box as a
+    plain WHERE over the original table, so a hash match proves the
+    manifest-driven scan loses and invents nothing.
+
+    Scale: the manifest is metadata-sized (one row per file); at
+    100 TB a box query reads the intersecting files only — the
+    explicit form of lakehouse zone-map pruning, and z-order is what
+    makes BOTH dimensions selective (a single-column sort prunes only
+    its own dimension)."""
+    fs = _store(spark, sf_dir)
+    name = "fs_demo_li_z"
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+    fs.write_zorder(li, name, "l_partkey", "l_suppkey", n_files=32)
+    fs.manifest(name, ["l_partkey", "l_suppkey"])
+    pruned = fs.read_pruned(name, {"l_partkey": _ZBOX_PART,
+                                   "l_suppkey": _ZBOX_SUPP})
+    return pruned.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("double").alias("sum_price"),
+    )
+
+
+FILESTORE_ZORDER_PRUNED_SQL = f"""
+SELECT l_suppkey AS suppkey,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS sum_price
+FROM lineitem
+WHERE l_partkey BETWEEN {_ZBOX_PART[0]} AND {_ZBOX_PART[1]}
+  AND l_suppkey BETWEEN {_ZBOX_SUPP[0]} AND {_ZBOX_SUPP[1]}
+GROUP BY l_suppkey
+"""
+
+
 QUERIES = {
     "filestore_bucketed_join": filestore_bucketed_join,
     "filestore_snapshot_read": filestore_snapshot_read,
     "filestore_keyed_merge": filestore_keyed_merge,
+    "filestore_zorder_pruned": filestore_zorder_pruned,
 }
 
 ORACLES = {
     "filestore_bucketed_join": FILESTORE_BUCKETED_JOIN_SQL,
     "filestore_snapshot_read": FILESTORE_SNAPSHOT_READ_SQL,
     "filestore_keyed_merge": FILESTORE_KEYED_MERGE_SQL,
+    "filestore_zorder_pruned": FILESTORE_ZORDER_PRUNED_SQL,
 }

@@ -45,6 +45,7 @@ from distributed_system_mapreduce_spark.operators import (
     rake,
     relational,
     sketches,
+    streaming_queries,
     relational_ext,
     relational_ext2,
     relational_ext3,
@@ -77,7 +78,7 @@ _MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
             similarity, clustering, sketches, probabilistic, rake, bpe, fuzzy,
             multimodal, asof, export, mlstats, mlstats2, graphstats,
             relational_ext15, relational_ext16, relational_ext17,
-            filestore_queries]
+            filestore_queries, streaming_queries]
 
 _MERGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -103,12 +104,15 @@ if _extra:
 # (their driver check is weaker), then the driver-green rest as
 # re-confirmation.
 _PRIORITY = [
-    # -- r5 gate prefix (50): every entry here lacks driver
-    # confirmation — 3 NEW FileStore-read queries, then the wave
-    # 13-20 ops the r4 verdict led with, then the remaining
-    # never-gated keys in registry order --------------------
+    # -- r5 gate head: every entry here lacks driver confirmation —
+    # 6 NEW round-5 queries (FileStore-read quartet + the streaming
+    # drain pair), then the wave 13-20 ops the r4 verdict led with,
+    # then the remaining never-gated keys in registry order; a
+    # 50-entry gate covers through `lifecycle_conformance` ---------
     "filestore_bucketed_join", "filestore_snapshot_read",
-    "filestore_keyed_merge", "mr_contact_trace", "dedup_cross_lang",
+    "filestore_keyed_merge", "filestore_zorder_pruned",
+    "stream_windowed_rollup", "stream_topk_users_daily",
+    "mr_contact_trace", "dedup_cross_lang",
     "embedding_cos_hist", "retrieval_pr_eval", "skipgram_lift",
     "source_length_moments", "dataset_card", "lsh_bucket_balance",
     "charset_census", "bigram_entropy_rate", "orders_seasonal_index",

@@ -1,5 +1,5 @@
 """Scaling-curve evidence: time the most expensive queries at 1x / 2x
-/ 5x the sf0.1 corpus and record time-vs-volume slopes — the direct
+/ 5x / 10x the sf0.1 corpus (10x = sf1-equivalent volume) and record time-vs-volume slopes — the direct
 measurement behind "would this plan survive 100x", and a tripwire for
 any accidental driver-side or pairwise O(n^2) (a superlinear ratio
 shows up immediately).
@@ -15,11 +15,12 @@ dedup family that says nothing about plan scaling. nation/region are
 fixed dims and are not scaled.
 
 Usage: python tools/scaling_curve.py [out_json]
-Writes SCALING.json {query: {t1, t2, t5, ratio2, ratio5}} and prints
+Writes SCALING.json {query: {t1, t2, t5, t10, ratio2, ratio5,
+ratio10}} and prints
 one summary line per query. Queries whose absolute 1x time is under
 FLOOR_SEC are dominated by fixed scheduling overhead locally; their
 ratios are reported but the linearity verdict keys off the 5x ratio
-with that floor subtracted.
+with that floor subtracted (the 10x ratio when present).
 """
 
 from __future__ import annotations
@@ -34,7 +35,7 @@ sys.path.insert(0, REPO)
 
 BASE = "/root/testdata/sf0.1"
 WORK = "/tmp/spark_graft_scaling"
-MULTIPLIERS = (1, 2, 5)
+MULTIPLIERS = (1, 2, 5, 10)
 FLOOR_SEC = 0.35  # local fixed overhead per query (scheduling, py4j)
 
 # top of BENCH_DETAIL r2 by cost, minus the exe/subprocess path (its
@@ -62,6 +63,13 @@ QUERIES_UNDER_TEST = [
     # restructured single-pass bm25 consumers
     "skipgram_lift", "lsh_bucket_balance", "bigram_entropy_rate",
     "retrieval_pr_eval", "hits_scores", "dataset_card",
+    # round-5 additions: the FileStore write+read-back trio (merge
+    # must stay ~linear: only touched buckets rewrite), the
+    # interval-overlap bucketized join, and the LSH-pair cosine
+    # histogram
+    "filestore_bucketed_join", "filestore_snapshot_read",
+    "filestore_keyed_merge", "mr_contact_trace", "embedding_cos_hist",
+    "dedup_cross_lang",
 ]
 
 # key columns to offset-shift per table (copy i adds i * (max+1))
@@ -157,7 +165,8 @@ def main() -> None:
                 num = max(row[f"t{k}"] - FLOOR_SEC, 0.001)
                 den = max(row["t1"] - FLOOR_SEC, 0.001)
                 row[f"ratio{k}"] = round(num / den, 2)
-            row["superlinear"] = row["ratio5"] > 5 * 1.8
+            top = MULTIPLIERS[-1]
+            row["superlinear"] = row[f"ratio{top}"] > top * 1.8
         except Exception as exc:
             row["error"] = f"{type(exc).__name__}: {exc}"[:200]
         results[name] = row
