@@ -121,12 +121,51 @@ WHERE rk <= {_TOPK}
 """
 
 
+# ---------------------------------------------- stream_enriched_rollup
+def stream_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment certified by oracle: the event stream
+    joined per micro-batch against the BROADCAST customer dimension
+    (no stream-side state), filtered to purchases, rolled into
+    watermarked daily windows per market segment
+    (enrich_with_customers), drained with availableNow. The oracle
+    recomputes the join+rollup as plain SQL — a hash match proves the
+    stream-static join semantics equal the batch join on the same
+    feed."""
+    from distributed_system_mapreduce_spark.streaming import (
+        enrich_with_customers,
+        read_events_stream,
+    )
+    from distributed_system_mapreduce_spark.tables import load_table
+
+    ev = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    name = _drain(enrich_with_customers(ev, cust), "sq_enrich")
+    return spark.table(name).select(
+        F.to_date("day").alias("day"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("n_purchases").cast("long").alias("n_purchases"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+STREAM_ENRICHED_ROLLUP_SQL = """
+SELECT CAST(ts AS DATE) AS day, c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+WHERE event_type = 'purchase'
+GROUP BY CAST(ts AS DATE), c_mktsegment
+"""
+
+
 QUERIES = {
     "stream_windowed_rollup": stream_windowed_rollup,
     "stream_topk_users_daily": stream_topk_users_daily,
+    "stream_enriched_rollup": stream_enriched_rollup,
 }
 
 ORACLES = {
     "stream_windowed_rollup": STREAM_WINDOWED_ROLLUP_SQL,
     "stream_topk_users_daily": STREAM_TOPK_USERS_DAILY_SQL,
+    "stream_enriched_rollup": STREAM_ENRICHED_ROLLUP_SQL,
 }
