@@ -63,7 +63,9 @@ SHOWCASE = [
      "per-source budgets broadcast + source-partitioned prefix sums"),
     ("pagerank_parts",
      "iterative graph rounds unrolled: single checkpointed edge+deg "
-     "table, one equi-join + partial agg per round, integer ranks"),
+     "table, one BROADCAST rank join + partial agg per round (edges "
+     "never re-shuffle), node count inlined as a literal, integer "
+     "ranks"),
     ("triangle_count",
      "support-filtered edges checkpointed; wedge join + closure "
      "probe; three broadcast 1-row aggs"),
@@ -235,6 +237,15 @@ SHOWCASE = [
      "argmax — binary-segmentation split with no transcendentals"),
     ("t_closeness",
      "cell x bucket grid with broadcast margins, sorted-fold TVD"),
+    ("filestore_bucketed_join",
+     "bucketed catalog tables: bucket-to-bucket sort-merge join, the "
+     "ONLY Exchange is the final partial-agg's"),
+    ("filestore_zorder_pruned",
+     "manifest-driven file skipping: surviving-file scan + residual "
+     "box filter, metadata-sized manifest read"),
+    ("mr_contact_trace",
+     "interval overlap as a bucketized equi-join — never an "
+     "unbounded inequality join"),
 ]
 
 
