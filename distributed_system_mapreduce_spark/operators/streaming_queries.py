@@ -45,6 +45,20 @@ def _drain(df: DataFrame, prefix: str) -> str:
     return name
 
 
+def _drain_append(df: DataFrame, prefix: str) -> str:
+    """Append-mode drain for NON-aggregating streams (dedup, joins):
+    rows emit as they are produced, so availableNow yields the full
+    result on a finite feed — no watermark withholding to work
+    around."""
+    from distributed_system_mapreduce_spark.streaming import (
+        run_stream_to_memory,
+    )
+
+    name = f"{prefix}_{next(_DRAIN_SEQ)}"
+    run_stream_to_memory(df, name, output_mode="append")
+    return name
+
+
 # ---------------------------------------------- stream_windowed_rollup
 def stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The daily tumbling-window rollup (windowed_counts — the
@@ -158,14 +172,111 @@ GROUP BY CAST(ts AS DATE), c_mktsegment
 """
 
 
+# ------------------------------------------------ stream_dedup_census
+def stream_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked exact dedup certified by oracle on a feed with REAL
+    duplicates: the events source is read TWICE (two independent
+    file-source streams, unioned — every event arrives exactly two
+    times, the at-least-once delivery shape), repaired to exactly-once
+    by dedup_stream (dropDuplicatesWithinWatermark on event_id — state
+    is one key per watermark horizon, not per stream length), drained
+    with availableNow in append mode (dedup emits on first arrival;
+    nothing is withheld), then rolled up per event type on the DRAINED
+    rows. The oracle computes the same rollup over the SINGLE-copy
+    batch table, so a hash match proves the dedup dropped every
+    duplicate and nothing else.
+
+    Scale: the doubled feed is the test harness only — in production
+    the duplicates come from the source's retry semantics; state and
+    plan are identical."""
+    from distributed_system_mapreduce_spark.streaming import (
+        dedup_stream,
+        read_events_stream,
+    )
+
+    doubled = read_events_stream(spark, sf_dir).unionByName(
+        read_events_stream(spark, sf_dir))
+    name = _drain_append(dedup_stream(doubled), "sq_dedup")
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double").alias("sum_value"),
+        )
+    )
+
+
+STREAM_DEDUP_CENSUS_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
+# ------------------------------------------------- stream_funnel_join
+_FUNNEL_LOOKBACK_H = 24
+
+
+def stream_funnel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join certified by oracle AT THE
+    ROW LEVEL: view_purchase_join_stream matches each purchase to the
+    same user's preceding views within the lookback window (time-bounded
+    state on BOTH buffers), availableNow drains every emitted pair, and
+    the full pair set — ids and raw event timestamps — must hash-match
+    the batch SQL join with the identical range predicate. This is the
+    strongest certification a stream-stream join can get: not a rolled-
+    up summary but exact pair-set equality with the batch engine.
+
+    Scale: state is (watermark + lookback) x per-user event volume —
+    independent of stream length; the batch twin (purchase_attribution,
+    operators/asof.py) bucketizes the same predicate for Catalyst."""
+    from distributed_system_mapreduce_spark.streaming import (
+        read_events_stream,
+        view_purchase_join_stream,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    pairs = view_purchase_join_stream(
+        ev, lookback_hours=_FUNNEL_LOOKBACK_H)
+    name = _drain_append(pairs, "sq_funnel")
+    return spark.table(name).select(
+        F.col("view_id").cast("long").alias("view_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "view_ts",
+        F.col("purchase_id").cast("long").alias("purchase_id"),
+        "purchase_ts",
+    )
+
+
+STREAM_FUNNEL_JOIN_SQL = f"""
+SELECT v.event_id AS view_id, v.user_id, v.ts AS view_ts,
+       p.event_id AS purchase_id, p.ts AS purchase_ts
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL {_FUNNEL_LOOKBACK_H} HOURS
+"""
+
+
 QUERIES = {
     "stream_windowed_rollup": stream_windowed_rollup,
     "stream_topk_users_daily": stream_topk_users_daily,
     "stream_enriched_rollup": stream_enriched_rollup,
+    "stream_dedup_census": stream_dedup_census,
+    "stream_funnel_join": stream_funnel_join,
 }
 
 ORACLES = {
     "stream_windowed_rollup": STREAM_WINDOWED_ROLLUP_SQL,
     "stream_topk_users_daily": STREAM_TOPK_USERS_DAILY_SQL,
     "stream_enriched_rollup": STREAM_ENRICHED_ROLLUP_SQL,
+    "stream_dedup_census": STREAM_DEDUP_CENSUS_SQL,
+    "stream_funnel_join": STREAM_FUNNEL_JOIN_SQL,
 }

@@ -112,7 +112,8 @@ _PRIORITY = [
     "filestore_bucketed_join", "filestore_snapshot_read",
     "filestore_keyed_merge", "filestore_zorder_pruned",
     "stream_windowed_rollup", "stream_topk_users_daily",
-    "stream_enriched_rollup", "mr_contact_trace", "dedup_cross_lang",
+    "stream_enriched_rollup", "stream_dedup_census", "stream_funnel_join",
+    "mr_contact_trace", "dedup_cross_lang",
     "embedding_cos_hist", "retrieval_pr_eval", "skipgram_lift",
     "source_length_moments", "dataset_card", "lsh_bucket_balance",
     "charset_census", "bigram_entropy_rate", "orders_seasonal_index",
