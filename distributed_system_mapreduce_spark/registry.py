@@ -105,10 +105,10 @@ if _extra:
 # re-confirmation.
 _PRIORITY = [
     # -- r5 gate head: every entry here lacks driver confirmation —
-    # 6 NEW round-5 queries (FileStore-read quartet + the streaming
-    # drain pair), then the wave 13-20 ops the r4 verdict led with,
-    # then the remaining never-gated keys in registry order; a
-    # 50-entry gate covers through `lifecycle_conformance` ---------
+    # 9 NEW round-5 queries (FileStore-read quartet + five streaming
+    # certifications), then the wave 13-20 ops the r4 verdict led
+    # with, then the remaining never-gated keys in registry order; a
+    # 50-entry gate covers through `late_arrival_census` -----------
     "filestore_bucketed_join", "filestore_snapshot_read",
     "filestore_keyed_merge", "filestore_zorder_pruned",
     "stream_windowed_rollup", "stream_topk_users_daily",

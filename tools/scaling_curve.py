@@ -14,7 +14,9 @@ cross-copy duplicate cliques would add a real K^2 pair blowup to the
 dedup family that says nothing about plan scaling. nation/region are
 fixed dims and are not scaled.
 
-Usage: python tools/scaling_curve.py [out_json]
+Usage: python tools/scaling_curve.py [out_json] [query ...]
+(a query subset re-times just those entries and MERGES them into
+out_json, for spot re-runs after a contaminated measurement)
 Writes SCALING.json {query: {t1, t2, t5, t10, ratio2, ratio5,
 ratio10}} and prints
 one summary line per query. Queries whose absolute 1x time is under
@@ -127,6 +129,11 @@ def build_corpus(k: int) -> str:
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         REPO, "SCALING.json")
+    subset = sys.argv[2:]
+    under_test = subset or QUERIES_UNDER_TEST
+    unknown = [n for n in under_test if n not in QUERIES_UNDER_TEST]
+    if unknown:
+        raise SystemExit(f"not in QUERIES_UNDER_TEST: {unknown}")
     dirs = {k: build_corpus(k) for k in MULTIPLIERS}
     print(f"corpora ready: {list(dirs.values())}", flush=True)
 
@@ -145,7 +152,7 @@ def main() -> None:
             it.next()._2().unpersist(True)
 
     results: dict[str, dict] = {}
-    for name in QUERIES_UNDER_TEST:
+    for name in under_test:
         fn = QUERIES[name]
         row: dict = {}
         try:
@@ -172,6 +179,12 @@ def main() -> None:
         results[name] = row
         print(f"{name}: {row}", flush=True)
 
+    if subset and os.path.exists(out_path):
+        # spot re-run: merge the fresh rows into the existing artifact
+        with open(out_path) as fh:
+            prior = json.load(fh).get("queries", {})
+        prior.update(results)
+        results = prior
     with open(out_path, "w") as fh:
         json.dump({"base": BASE, "multipliers": list(MULTIPLIERS),
                    "floor_sec": FLOOR_SEC, "queries": results},
