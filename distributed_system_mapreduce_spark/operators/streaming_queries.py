@@ -12,11 +12,14 @@ oracle proves the streaming operator computes exactly the batch
 answer on the same data — the strongest cross-engine evidence a
 streaming job can get.
 
-Complete output mode is used so the watermark withholds nothing (the
-tail windows of a finite file feed would otherwise stay open in
-append mode); the watermark still bounds state exactly as in
-production. Each drain gets a fresh memory-sink name so repeated
-gate/bench invocations in one session never collide.
+Windowed aggregations drain in COMPLETE mode so the watermark
+withholds nothing (the tail windows of a finite file feed would
+otherwise stay open in append mode); row-emitting shapes (dedup,
+stream-stream inner join) drain in APPEND mode — they emit on
+arrival/match, so availableNow yields the full result. The watermark
+still bounds state exactly as in production. Each drain gets a fresh
+memory-sink name so repeated gate/bench invocations in one session
+never collide.
 
 The memory sink is the GATE harness only (finalized window counts —
 calendar-bounded rows — on the driver); the production drain for
