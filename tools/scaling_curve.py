@@ -74,6 +74,21 @@ QUERIES_UNDER_TEST = [
     "dedup_cross_lang",
 ]
 
+# Queries whose RESULT grows faster than the input under this corpus
+# construction — the superlinear flag is then semantics, not plan
+# (the tripwire is kept, the note explains it and the measured
+# output growth is recorded alongside).
+OUTPUT_BOUND_NOTES = {
+    "mr_contact_trace": (
+        "join key is (event_type, time-bucket); the corpus multiplies "
+        "user density at FIXED places/times, so true contact pairs "
+        "grow quadratically (measured: 455k pairs at 1x -> 45.5M at "
+        "10x = 100.0x). Runtime 10x-ratio ~39x < 100x output growth: "
+        "time PER OUTPUT PAIR falls 2.6x — the plan is sublinear in "
+        "result size, which is the only meaningful bound for a query "
+        "whose answer is itself quadratic in co-located users."),
+}
+
 # key columns to offset-shift per table (copy i adds i * (max+1))
 KEYED = {
     "customer": ["c_custkey"],
@@ -176,6 +191,8 @@ def main() -> None:
             row["superlinear"] = row[f"ratio{top}"] > top * 1.8
         except Exception as exc:
             row["error"] = f"{type(exc).__name__}: {exc}"[:200]
+        if name in OUTPUT_BOUND_NOTES:
+            row["note"] = OUTPUT_BOUND_NOTES[name]
         results[name] = row
         print(f"{name}: {row}", flush=True)
 
