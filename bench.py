@@ -39,6 +39,39 @@ HEADLINE = [
 GROUP_SIZE = 48  # queries per child JVM
 
 
+def host_speed_canary() -> dict[str, float]:
+    """Fixed pure-CPU workload timed at bench start, recorded in the
+    artifact: round-over-round per-query ratios are only meaningful
+    relative to the canary (r5 measured the whole suite uniformly
+    ~1.25x slower than r4 on an idle machine — the HOST was slower,
+    provable because the reference's own native binaries slowed the
+    same way). canary_1t = single-core zlib compress (min of 5);
+    canary_32t = the same buffer compressed on 32 concurrent threads
+    (zlib releases the GIL), wall seconds — the parallel-capacity /
+    CPU-steal index that matches how Spark stages actually run."""
+    import concurrent.futures
+    import zlib
+
+    # deterministic pseudo-random 4 MiB (LCG) — incompressible enough
+    # that zlib does real work (~0.1 s/core), unlike a repeating ramp
+    x, out = 123456789, bytearray()
+    while len(out) < (4 << 20):
+        x = (x * 6364136223846793005 + 1442695040888963407) & ((1 << 64) - 1)
+        out += x.to_bytes(8, "little")
+    buf = bytes(out)
+    best = None
+    for _ in range(5):
+        t0 = time.perf_counter()
+        zlib.compress(buf, 6)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    t0 = time.perf_counter()
+    with concurrent.futures.ThreadPoolExecutor(max_workers=32) as ex:
+        list(ex.map(lambda _: zlib.compress(buf, 6), range(32)))
+    wall32 = time.perf_counter() - t0
+    return {"canary_1t": round(best, 4), "canary_32t": round(wall32, 4)}
+
+
 def stable_group_key(name: str) -> str:
     """Deterministic, registry-order-independent sort key: group
     membership only changes when queries are ADDED near a boundary,
@@ -112,6 +145,7 @@ def main() -> None:
         return
 
     only = sys.argv[1:] or None
+    canary = host_speed_canary()
     from distributed_system_mapreduce_spark.registry import QUERIES
 
     names = only or list(QUERIES)
@@ -206,7 +240,7 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump({"sf": float(sf), "queries": times, "errors": errors,
                    "ratio_vs_prev_round": ratios,
-                   "group_size": GROUP_SIZE},
+                   "group_size": GROUP_SIZE, **canary},
                   fh, indent=1, sort_keys=True)
     line = {
         "metric": "headline_queries_total_runtime",
@@ -215,6 +249,7 @@ def main() -> None:
         "queries": {n: times[n] for n in HEADLINE if n in times},
         "sf": float(sf),
         "n_queries": len(times),
+        **canary,
         # round-over-round comparable: r1's recorded value was the
         # all-queries total (53.2s over 74 queries at sf0.1)
         "total_all_queries": round(sum(times.values()), 3),
