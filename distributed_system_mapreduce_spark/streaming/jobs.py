@@ -53,6 +53,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     ts lands as TIMESTAMP_NTZ (the parquet column is timestamp[us]
     with isAdjustedToUTC=false); cast to session-tz TIMESTAMP (UTC)
     so watermarks/windows line up with the batch twins."""
+    # Defensive tz pin (same as tables.load_table): the caller may be
+    # the round driver's own session, built without session.py. The
+    # NTZ->timestamp cast below and every window/to_date boundary
+    # downstream assume UTC; a session in another zone would shift
+    # day windows off the DuckDB oracle's naive-UTC semantics.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     reader = (
         spark.readStream.schema(EVENT_SCHEMA)
         # file source requires a directory; select just the events file

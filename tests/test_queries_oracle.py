@@ -79,3 +79,20 @@ def test_load_table_repins_utc_session_tz(spark):
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_read_events_stream_repins_utc_session_tz(spark):
+    """Streaming queries that never touch load_table (windowed
+    rollup, dedup census, funnel join) get the same defensive pin
+    from read_events_stream — their NTZ->timestamp cast and window
+    boundaries would otherwise shift in a non-UTC driver session."""
+    from distributed_system_mapreduce_spark.streaming import (
+        read_events_stream,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        read_events_stream(spark, SF_DIR)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
