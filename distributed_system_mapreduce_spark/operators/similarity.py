@@ -1199,3 +1199,100 @@ GROUP BY bin
 
 QUERIES["embedding_cos_hist"] = embedding_cos_hist
 ORACLES["embedding_cos_hist"] = EMBEDDING_COS_HIST_SQL
+
+
+def _recall_row(gold: DataFrame, approx: DataFrame,
+                method: str) -> DataFrame:
+    """One summary row: how much of the brute-force gold top-k the
+    approximate method retrieved, per the fixed query panel. All
+    counts are exact integers; recall is ONE division of two exact
+    longs at output (micro-average == macro-average here because
+    every panel query has a full TOP_K gold list), so both engines
+    round identically."""
+    g = gold.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id")
+    gold_pq = g.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gold_q"))
+    hits_pq = (
+        g.join(a, ["query_id", "neighbor_id"], "leftsemi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits_q"))
+    )
+    per_q = gold_pq.join(hits_pq, "query_id", "left").select(
+        "query_id", "n_gold_q",
+        F.coalesce("n_hits_q", F.lit(0).cast("long")).alias("n_hits_q"),
+    )
+    return per_q.agg(
+        F.lit(method).alias("method"),
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("n_gold_q").cast("long").alias("n_gold"),
+        F.sum("n_hits_q").cast("long").alias("n_hits"),
+        F.min("n_hits_q").cast("long").alias("min_hits"),
+        (F.sum("n_hits_q").cast("double")
+         / F.sum("n_gold_q").cast("double")).alias("recall"),
+    )
+
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of BOTH approximate ANN paths against the brute-force
+    gold standard, as an ORACLE-CHECKED table (the recall floors in
+    tests/test_similarity_quality.py promoted into the driver gate):
+    per method, panel size, gold/hit counts, the weakest query's hit
+    count, and micro-averaged recall. The LSH/IVF result sets are
+    deterministic and hash-matched by their own oracles, so the
+    intersection with gold is deterministic too; DuckDB recomputes
+    all three result sets from scratch and must land on the same
+    recall to the last bit.
+
+    Scale: the eval is three existing ANN plans plus aggregates over
+    a 64-query panel — the panel, not the corpus, bounds the eval
+    cost beyond the index builds themselves."""
+    gold = ann_topk_brute(spark, sf_dir)
+    lsh_row = _recall_row(gold, ann_topk_lsh(spark, sf_dir), "lsh")
+    ivf_row = _recall_row(gold, ann_topk_ivf(spark, sf_dir), "ivf")
+    return lsh_row.unionByName(ivf_row)
+
+
+ANN_RECALL_EVAL_SQL = f"""
+WITH gold AS ({ANN_TOPK_BRUTE_SQL}),
+lsh AS ({ANN_TOPK_LSH_SQL}),
+ivf AS ({ANN_TOPK_IVF_SQL}),
+lsh_pq AS (
+  SELECT g.query_id,
+         CAST(COUNT(*) AS BIGINT) AS n_gold_q,
+         CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits_q
+  FROM gold g
+  LEFT JOIN lsh l ON g.query_id = l.query_id
+                 AND g.neighbor_id = l.neighbor_id
+  GROUP BY g.query_id
+),
+ivf_pq AS (
+  SELECT g.query_id,
+         CAST(COUNT(*) AS BIGINT) AS n_gold_q,
+         CAST(COUNT(v.neighbor_id) AS BIGINT) AS n_hits_q
+  FROM gold g
+  LEFT JOIN ivf v ON g.query_id = v.query_id
+                 AND g.neighbor_id = v.neighbor_id
+  GROUP BY g.query_id
+)
+SELECT 'lsh' AS method,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(n_gold_q) AS BIGINT) AS n_gold,
+       CAST(SUM(n_hits_q) AS BIGINT) AS n_hits,
+       CAST(MIN(n_hits_q) AS BIGINT) AS min_hits,
+       CAST(CAST(SUM(n_hits_q) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(SUM(n_gold_q) AS BIGINT) AS DOUBLE) AS recall
+FROM lsh_pq
+UNION ALL
+SELECT 'ivf' AS method,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(n_gold_q) AS BIGINT) AS n_gold,
+       CAST(SUM(n_hits_q) AS BIGINT) AS n_hits,
+       CAST(MIN(n_hits_q) AS BIGINT) AS min_hits,
+       CAST(CAST(SUM(n_hits_q) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(SUM(n_gold_q) AS BIGINT) AS DOUBLE) AS recall
+FROM ivf_pq
+"""
+
+QUERIES["ann_recall_eval"] = ann_recall_eval
+ORACLES["ann_recall_eval"] = ANN_RECALL_EVAL_SQL
