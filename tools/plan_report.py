@@ -246,6 +246,9 @@ SHOWCASE = [
     ("mr_contact_trace",
      "interval overlap as a bucketized equi-join — never an "
      "unbounded inequality join"),
+    ("ann_recall_eval",
+     "three existing ANN plans (brute gold, LSH, IVF) composed into "
+     "exact-integer recall aggregates over the 64-query panel"),
 ]
 
 
