@@ -268,12 +268,96 @@ FROM events v JOIN events p
 """
 
 
+# --------------------------------------------- stream_abandoned_views
+_ABANDON_WM = "2 days"
+_ABANDON_LOOKBACK_H = 24
+_ABANDON_MARGIN = "1 hour"
+
+
+def stream_abandoned_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join certified on the
+    PROVABLY-CLOSED region: view_purchase_left_join_stream emits
+    matched (view, purchase) pairs on arrival and NULL-matched
+    ABANDONED views only once the watermark proves no qualifying
+    purchase can still arrive. On a finite feed the tail views'
+    verdicts are correctly still OPEN (withheld, never guessed), so
+    the certifiable region is every view older than the final joint
+    watermark minus the lookback: both engines filter to
+    view_ts <= least(max view ts, max purchase ts) - watermark -
+    lookback - a 1h safety margin (so the equality cannot hinge on
+    Spark's exact >=-vs-> expiry boundary), and the full row set —
+    matches AND abandonments with raw timestamps — must hash-match
+    the batch left join. The cutoff rides a broadcast 1-row
+    crossJoin, not driver state.
+
+    This is the abandoned-views verdict stream (the streaming twin of
+    the batch anti-join in operators/asof.py): state on both buffers
+    is bounded by watermark + lookback, an abandonment once emitted
+    is never contradicted, and at 100 TB/day the same plan runs on a
+    kafka source unchanged."""
+    from distributed_system_mapreduce_spark.streaming import (
+        read_events_stream,
+        view_purchase_left_join_stream,
+    )
+    from distributed_system_mapreduce_spark.tables import load_table
+
+    ev = read_events_stream(spark, sf_dir)
+    pairs = view_purchase_left_join_stream(
+        ev, watermark=_ABANDON_WM, lookback_hours=_ABANDON_LOOKBACK_H)
+    name = _drain_append(pairs, "sq_abandon")
+
+    ev_b = load_table(spark, "events", sf_dir)
+    cut = ev_b.agg(
+        (F.least(
+            F.max(F.when(F.col("event_type") == "view",
+                         F.col("ts").cast("timestamp"))),
+            F.max(F.when(F.col("event_type") == "purchase",
+                         F.col("ts").cast("timestamp"))))
+         - F.expr(f"INTERVAL {_ABANDON_WM}")
+         - F.expr(f"INTERVAL {_ABANDON_LOOKBACK_H} HOURS")
+         - F.expr(f"INTERVAL {_ABANDON_MARGIN}")).alias("cut"))
+    return (
+        spark.table(name)
+        .crossJoin(F.broadcast(cut))
+        .filter(F.col("view_ts") <= F.col("cut"))
+        .select(
+            F.col("view_id").cast("long").alias("view_id"),
+            F.col("user_id").cast("long").alias("user_id"),
+            "view_ts",
+            F.col("purchase_id").cast("long").alias("purchase_id"),
+            "purchase_ts",
+        )
+    )
+
+
+STREAM_ABANDONED_VIEWS_SQL = f"""
+WITH cut AS (
+  SELECT least(
+           max(CASE WHEN event_type = 'view' THEN ts END),
+           max(CASE WHEN event_type = 'purchase' THEN ts END))
+         - INTERVAL {_ABANDON_WM} - INTERVAL {_ABANDON_LOOKBACK_H} HOURS
+         - INTERVAL {_ABANDON_MARGIN} AS cut
+  FROM events
+)
+SELECT v.event_id AS view_id, v.user_id, v.ts AS view_ts,
+       p.event_id AS purchase_id, p.ts AS purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL {_ABANDON_LOOKBACK_H} HOURS
+CROSS JOIN cut
+WHERE v.ts <= cut.cut
+"""
+
+
 QUERIES = {
     "stream_windowed_rollup": stream_windowed_rollup,
     "stream_topk_users_daily": stream_topk_users_daily,
     "stream_enriched_rollup": stream_enriched_rollup,
     "stream_dedup_census": stream_dedup_census,
     "stream_funnel_join": stream_funnel_join,
+    "stream_abandoned_views": stream_abandoned_views,
 }
 
 ORACLES = {
@@ -282,4 +366,5 @@ ORACLES = {
     "stream_enriched_rollup": STREAM_ENRICHED_ROLLUP_SQL,
     "stream_dedup_census": STREAM_DEDUP_CENSUS_SQL,
     "stream_funnel_join": STREAM_FUNNEL_JOIN_SQL,
+    "stream_abandoned_views": STREAM_ABANDONED_VIEWS_SQL,
 }
