@@ -351,6 +351,72 @@ WHERE v.ts <= cut.cut
 """
 
 
+# -------------------------------------------- stream_cdc_materialize
+_CDC_SCRATCH = "/tmp/spark_graft_sq_cdc"
+
+
+def stream_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full streaming-CDC loop certified by oracle: the event
+    stream is consumed as a change log (non-error event = UPSERT of
+    the user's value, 'error' = DELETE tombstone) through the REAL
+    exactly-once sink — cdc_stream_to_filestore folds each
+    micro-batch into a keyed FileStore table via merge() under an
+    availableNow checkpoint — and the FINAL materialized table is
+    read back and must hash-match the batch change-log SQL (the
+    query-plan twin cdc_apply, operators/relational_ext7.py, minus
+    its op accounting). A match proves stream ingestion + per-batch
+    last-writer-wins + bucket-pruned merge + tombstone deletes land
+    on exactly the warehouse snapshot the batch engine computes.
+
+    The scratch root (table + checkpoint) is wiped per call: a stale
+    checkpoint would mark the batch committed and skip the sink
+    entirely. Multi-batch ordering parity is separately pinned by
+    tests/test_streaming.py's weekly-fold test; at 100 TB/day the
+    same sink runs on a kafka feed with per-key ordered offsets."""
+    import os
+    import shutil
+
+    from distributed_system_mapreduce_spark.sources.filestore import (
+        FileStore,
+    )
+    from distributed_system_mapreduce_spark.streaming import (
+        read_events_stream,
+    )
+    from distributed_system_mapreduce_spark.streaming.jobs import (
+        cdc_stream_to_filestore,
+    )
+
+    sf = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    root = os.path.join(_CDC_SCRATCH, sf)
+    shutil.rmtree(root, ignore_errors=True)
+    fs = FileStore(spark, os.path.join(root, "store"))
+    empty = spark.createDataFrame(
+        [], "user_id long, current_value double, last_ts timestamp")
+    fs.write_keyed(empty, "user_state", "user_id", n_buckets=8)
+    ev = read_events_stream(spark, sf_dir)
+    cdc_stream_to_filestore(ev, fs, "user_state",
+                            os.path.join(root, "ckpt"))
+    return fs.read("user_state").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("current_value").cast("double").alias("current_value"),
+        "last_ts",
+    )
+
+
+STREAM_CDC_MATERIALIZE_SQL = """
+WITH ranked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, CAST(value AS DOUBLE) AS current_value, ts AS last_ts
+FROM ranked
+WHERE rn = 1 AND op = 'U'
+"""
+
+
 QUERIES = {
     "stream_windowed_rollup": stream_windowed_rollup,
     "stream_topk_users_daily": stream_topk_users_daily,
@@ -358,6 +424,7 @@ QUERIES = {
     "stream_dedup_census": stream_dedup_census,
     "stream_funnel_join": stream_funnel_join,
     "stream_abandoned_views": stream_abandoned_views,
+    "stream_cdc_materialize": stream_cdc_materialize,
 }
 
 ORACLES = {
@@ -367,4 +434,5 @@ ORACLES = {
     "stream_dedup_census": STREAM_DEDUP_CENSUS_SQL,
     "stream_funnel_join": STREAM_FUNNEL_JOIN_SQL,
     "stream_abandoned_views": STREAM_ABANDONED_VIEWS_SQL,
+    "stream_cdc_materialize": STREAM_CDC_MATERIALIZE_SQL,
 }

@@ -105,16 +105,17 @@ if _extra:
 # re-confirmation.
 _PRIORITY = [
     # -- r5 gate head: every entry here lacks driver confirmation —
-    # 11 NEW round-5 queries (FileStore-read quartet, six streaming
+    # 12 NEW round-5 queries (FileStore-read quartet, seven streaming
     # certifications, the ANN recall eval), then the wave 13-20 ops
     # the r4 verdict led with, then the remaining never-gated keys in
     # registry order; a 50-entry gate covers through
-    # `source_boilerplate` -----------------------------------------
+    # `embedding_dim_variance` --------------------------------------
     "filestore_bucketed_join", "filestore_snapshot_read",
     "filestore_keyed_merge", "filestore_zorder_pruned",
     "stream_windowed_rollup", "stream_topk_users_daily",
     "stream_enriched_rollup", "stream_dedup_census", "stream_funnel_join",
-    "stream_abandoned_views", "ann_recall_eval", "mr_contact_trace",
+    "stream_abandoned_views", "stream_cdc_materialize",
+    "ann_recall_eval", "mr_contact_trace",
     "dedup_cross_lang",
     "embedding_cos_hist", "retrieval_pr_eval", "skipgram_lift",
     "source_length_moments", "dataset_card", "lsh_bucket_balance",
