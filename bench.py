@@ -97,12 +97,16 @@ def run_group(names: list[str], sf_dir: str, out_path: str) -> None:
         "noop").mode("overwrite").save()
     # warm the memoized ANN corpus count (a parquet-metadata read that
     # sizes the LSH/IVF indexes) so it isn't billed to whichever ANN
-    # query happens to run first in this group
-    from distributed_system_mapreduce_spark.operators.similarity import (
-        _corpus_count,
-    )
+    # query happens to run first in this group — only when this group
+    # actually contains similarity-module queries (ADVICE r5: the
+    # unconditional warm taxed every group and subset run)
+    if any(getattr(QUERIES[n], "__module__", "").endswith(".similarity")
+           for n in names):
+        from distributed_system_mapreduce_spark.operators.similarity import (
+            warm_corpus_count,
+        )
 
-    _corpus_count(spark, sf_dir)
+        warm_corpus_count(spark, sf_dir)
 
     def _drop_persisted() -> None:
         # several queries localCheckpoint() intermediates; leftover
@@ -219,13 +223,24 @@ def main() -> None:
         # artifact (the next round's ratio baseline)
         detail_path += ".partial"
     # round-over-round comparability: ratio vs the previous round's
-    # detail file for every query present in both
+    # detail file for every query present in both, plus the
+    # canary-NORMALIZED ratio (ratio / host-speed drift) so cross-round
+    # comparisons are mechanical — r5 caught a 1.25x host-drift window
+    # that made every raw ratio look like a regression
     ratios: dict[str, float] = {}
+    ratios_norm: dict[str, float] = {}
+    canary_ratio = None
     try:
         with open(detail_path) as fh:
-            prev = json.load(fh).get("queries", {})
+            prev_doc = json.load(fh)
+        prev = prev_doc.get("queries", {})
         ratios = {n: round(times[n] / prev[n], 3)
                   for n in times if prev.get(n)}
+        if prev_doc.get("canary_32t"):
+            canary_ratio = round(
+                canary["canary_32t"] / prev_doc["canary_32t"], 4)
+            ratios_norm = {n: round(r / canary_ratio, 3)
+                           for n, r in ratios.items()}
     except (OSError, json.JSONDecodeError):
         pass
 
@@ -240,6 +255,8 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump({"sf": float(sf), "queries": times, "errors": errors,
                    "ratio_vs_prev_round": ratios,
+                   "ratio_vs_prev_round_norm": ratios_norm,
+                   "canary_ratio_vs_prev_round": canary_ratio,
                    "group_size": GROUP_SIZE, **canary},
                   fh, indent=1, sort_keys=True)
     line = {

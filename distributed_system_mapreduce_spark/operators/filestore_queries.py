@@ -10,9 +10,13 @@ merge), READS it back through the same API, and produces a result a
 plain-SQL oracle over the ORIGINAL tables can certify — so the gate
 proves the layouts are lossless and their read paths honest.
 
-Every write goes to a fixed per-SF scratch root under /tmp (the
+Every write goes to a per-PROCESS, per-SF scratch root under /tmp (the
 datasets are rebuilt from scratch on every call — `delete` first, so
-repeated bench/gate runs never accumulate state or versions).
+repeated bench/gate runs never accumulate state or versions; the PID
+suffix keeps two concurrent sessions at the same SF — e.g. a gate run
+overlapping a bench child — from interleaving delete/write/read on
+the same directory. Roots left behind by dead processes are reclaimed
+best-effort on the next call).
 
 Exactness: counts are BIGINT; money flows through DECIMAL(18,2/4)
 accumulators and is cast DOUBLE once at output, the q1 discipline.
@@ -28,12 +32,26 @@ from pyspark.sql import functions as F
 from distributed_system_mapreduce_spark.sources.filestore import FileStore
 from distributed_system_mapreduce_spark.tables import load_table
 
-_SCRATCH = "/tmp/spark_graft_fsdemo"
+_SCRATCH_BASE = "/tmp/spark_graft_fsdemo"
+
+
+def scratch_root() -> str:
+    """Per-process scratch root; reclaims siblings of dead PIDs."""
+    import glob
+    import shutil
+
+    me = os.getpid()
+    for p in glob.glob(_SCRATCH_BASE + ".*"):
+        pid = p.rsplit(".", 1)[-1]
+        if pid.isdigit() and int(pid) != me \
+                and not os.path.exists(f"/proc/{pid}"):
+            shutil.rmtree(p, ignore_errors=True)
+    return f"{_SCRATCH_BASE}.{me}"
 
 
 def _store(spark: SparkSession, sf_dir: str) -> FileStore:
     sf = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    return FileStore(spark, os.path.join(_SCRATCH, sf))
+    return FileStore(spark, os.path.join(scratch_root(), sf))
 
 
 # ------------------------------------------------ filestore_bucketed_join
@@ -54,6 +72,12 @@ def filestore_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     then every repeated join/agg on the key is shuffle-free. At
     100 TB: thousands of buckets, same plan shape."""
     fs = _store(spark, sf_dir)
+    # fresh layout + catalog entries every call (matching the other
+    # three queries): without the deletes, running at two SFs in one
+    # session would rely on saveAsTable(overwrite) re-pointing the
+    # bare-named catalog table at the new per-SF path (ADVICE r5)
+    fs.delete("fs_demo_orders_b")
+    fs.delete("fs_demo_cust_b")
     orders = load_table(spark, "orders", sf_dir).select(
         "o_custkey", "o_totalprice")
     cust = load_table(spark, "customer", sf_dir).select(
@@ -244,11 +268,82 @@ GROUP BY l_suppkey
 """
 
 
+# ------------------------------------------ filestore_concurrent_commit
+_N_WRITERS = 4
+
+
+def filestore_concurrent_commit(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """The optimistic multi-writer commit protocol certified by
+    oracle: {_N_WRITERS} writers simultaneously append_snapshot
+    disjoint slices of orders (o_orderkey % {_N_WRITERS}) into ONE
+    snapshot dataset — the exact lost-update race the reference
+    prevents with distributed write locks (file_system.go:279
+    request_write) and this engine prevents with the CAS manifest
+    commit (write-then-rename-noreplace + retry, sources/filestore.py
+    _publish). The latest version is then rolled up per order
+    priority; the oracle runs the same rollup over the ORIGINAL
+    table, so a hash match proves no writer's commit was dropped and
+    every retry composed the racing manifests correctly. Before the
+    CAS, two racers could both publish v(N+1) and one slice would
+    silently vanish — a 1-in-few flaky hash mismatch here.
+
+    Scale: commits are O(manifest) driver work regardless of data
+    size; contention cost is the retry loop, not data movement — the
+    Delta/Iceberg concurrent-writer posture."""
+    import threading
+
+    fs = _store(spark, sf_dir)
+    name = "fs_demo_orders_cc"
+    fs.delete(name)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    slices = [orders.filter(F.col("o_orderkey") % _N_WRITERS == i)
+              for i in range(_N_WRITERS)]
+    barrier = threading.Barrier(_N_WRITERS)
+    errs: list[Exception] = []
+
+    def commit(df: DataFrame) -> None:
+        try:
+            barrier.wait(timeout=120)
+            fs.append_snapshot(df, name)
+        except Exception as exc:  # surfaced after join
+            errs.append(exc)
+
+    ts = [threading.Thread(target=commit, args=(s,)) for s in slices]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=600)
+    if errs:
+        raise errs[0]
+    return (
+        fs.read_snapshot(name)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double").alias("revenue"),
+        )
+    )
+
+
+FILESTORE_CONCURRENT_COMMIT_SQL = """
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "filestore_bucketed_join": filestore_bucketed_join,
     "filestore_snapshot_read": filestore_snapshot_read,
     "filestore_keyed_merge": filestore_keyed_merge,
     "filestore_zorder_pruned": filestore_zorder_pruned,
+    "filestore_concurrent_commit": filestore_concurrent_commit,
 }
 
 ORACLES = {
@@ -256,4 +351,5 @@ ORACLES = {
     "filestore_snapshot_read": FILESTORE_SNAPSHOT_READ_SQL,
     "filestore_keyed_merge": FILESTORE_KEYED_MERGE_SQL,
     "filestore_zorder_pruned": FILESTORE_ZORDER_PRUNED_SQL,
+    "filestore_concurrent_commit": FILESTORE_CONCURRENT_COMMIT_SQL,
 }

@@ -315,6 +315,14 @@ def _corpus_count(spark: SparkSession, sf_dir: str) -> int:
     return n
 
 
+def warm_corpus_count(spark: SparkSession, sf_dir: str) -> int:
+    """Public warm-up hook for bench/verify harnesses: prime the
+    memoized corpus count so the parquet-metadata read isn't billed
+    to whichever ANN query happens to run first in a timed group.
+    Harnesses should call this instead of the private memo."""
+    return _corpus_count(spark, sf_dir)
+
+
 def _ivf_n_cells(spark: SparkSession, sf_dir: str) -> int:
     return ivf_cells(_corpus_count(spark, sf_dir))
 
@@ -1234,29 +1242,34 @@ def _recall_row(gold: DataFrame, approx: DataFrame,
 
 
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k of BOTH approximate ANN paths against the brute-force
-    gold standard, as an ORACLE-CHECKED table (the recall floors in
-    tests/test_similarity_quality.py promoted into the driver gate):
-    per method, panel size, gold/hit counts, the weakest query's hit
-    count, and micro-averaged recall. The LSH/IVF result sets are
-    deterministic and hash-matched by their own oracles, so the
-    intersection with gold is deterministic too; DuckDB recomputes
-    all three result sets from scratch and must land on the same
-    recall to the last bit.
+    """Recall@k of ALL THREE approximate ANN paths (LSH, IVF, PQ)
+    against the brute-force gold standard, as an ORACLE-CHECKED table
+    (the recall floors in tests/test_similarity_quality.py promoted
+    into the driver gate): per method, panel size, gold/hit counts,
+    the weakest query's hit count, and micro-averaged recall. Every
+    approximate result set is deterministic and hash-matched by its
+    own oracle, so the intersection with gold is deterministic too;
+    DuckDB recomputes all four result sets from scratch and must land
+    on the same recall to the last bit. Floors: LSH/IVF 0.60 (pruning
+    indexes), PQ 0.10 (a 64x-compression coarse quantizer on
+    unclustered random data — must beat ~2% chance recall, measured
+    ~0.16; enforced in tests/test_similarity_quality.py).
 
-    Scale: the eval is three existing ANN plans plus aggregates over
+    Scale: the eval is four existing ANN plans plus aggregates over
     a 64-query panel — the panel, not the corpus, bounds the eval
     cost beyond the index builds themselves."""
     gold = ann_topk_brute(spark, sf_dir)
     lsh_row = _recall_row(gold, ann_topk_lsh(spark, sf_dir), "lsh")
     ivf_row = _recall_row(gold, ann_topk_ivf(spark, sf_dir), "ivf")
-    return lsh_row.unionByName(ivf_row)
+    pq_row = _recall_row(gold, ann_topk_pq(spark, sf_dir), "pq")
+    return lsh_row.unionByName(ivf_row).unionByName(pq_row)
 
 
 ANN_RECALL_EVAL_SQL = f"""
 WITH gold AS ({ANN_TOPK_BRUTE_SQL}),
 lsh AS ({ANN_TOPK_LSH_SQL}),
 ivf AS ({ANN_TOPK_IVF_SQL}),
+pq AS ({ANN_TOPK_PQ_SQL}),
 lsh_pq AS (
   SELECT g.query_id,
          CAST(COUNT(*) AS BIGINT) AS n_gold_q,
@@ -1273,6 +1286,15 @@ ivf_pq AS (
   FROM gold g
   LEFT JOIN ivf v ON g.query_id = v.query_id
                  AND g.neighbor_id = v.neighbor_id
+  GROUP BY g.query_id
+),
+pq_pq AS (
+  SELECT g.query_id,
+         CAST(COUNT(*) AS BIGINT) AS n_gold_q,
+         CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_hits_q
+  FROM gold g
+  LEFT JOIN pq p ON g.query_id = p.query_id
+                AND g.neighbor_id = p.neighbor_id
   GROUP BY g.query_id
 )
 SELECT 'lsh' AS method,
@@ -1292,6 +1314,15 @@ SELECT 'ivf' AS method,
        CAST(CAST(SUM(n_hits_q) AS BIGINT) AS DOUBLE)
          / CAST(CAST(SUM(n_gold_q) AS BIGINT) AS DOUBLE) AS recall
 FROM ivf_pq
+UNION ALL
+SELECT 'pq' AS method,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(n_gold_q) AS BIGINT) AS n_gold,
+       CAST(SUM(n_hits_q) AS BIGINT) AS n_hits,
+       CAST(MIN(n_hits_q) AS BIGINT) AS min_hits,
+       CAST(CAST(SUM(n_hits_q) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(SUM(n_gold_q) AS BIGINT) AS DOUBLE) AS recall
+FROM pq_pq
 """
 
 QUERIES["ann_recall_eval"] = ann_recall_eval

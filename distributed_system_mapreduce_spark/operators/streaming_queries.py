@@ -352,7 +352,7 @@ WHERE v.ts <= cut.cut
 
 
 # -------------------------------------------- stream_cdc_materialize
-_CDC_SCRATCH = "/tmp/spark_graft_sq_cdc"
+# CDC scratch lives under filestore_queries.scratch_root() (per-PID)
 
 
 def stream_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -387,7 +387,14 @@ def stream_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     sf = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    root = os.path.join(_CDC_SCRATCH, sf)
+    # per-process root: a gate run overlapping a bench child at the
+    # same SF must not interleave wipe/write/read (ADVICE r5); dead
+    # siblings are reclaimed by the shared scratch helper
+    from distributed_system_mapreduce_spark.operators.filestore_queries import (
+        scratch_root,
+    )
+
+    root = os.path.join(scratch_root(), "cdc", sf)
     shutil.rmtree(root, ignore_errors=True)
     fs = FileStore(spark, os.path.join(root, "store"))
     empty = spark.createDataFrame(

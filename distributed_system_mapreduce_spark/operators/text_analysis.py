@@ -287,19 +287,49 @@ LIMIT {TOP_TERMS}
 """
 
 
+HLL_REL_ERR = 0.05  # gate bound: 5x the rsd=0.01 sketch's typical error
+
+
 def approx_distinct_users_by_type(spark: SparkSession, sf_dir: str
                                   ) -> DataFrame:
     """HyperLogLog++ sketch path for the 100 TB cardinality question
-    (exact twin: distinct_users_by_type). Sketch values are
-    implementation-specific, so this is a rows-only entry — the test
-    suite bounds its relative error against the exact answer
-    instead."""
+    (exact twin: distinct_users_by_type) — ORACLE-GATED via the
+    ann_recall_eval pattern (r5 verdict item 5): sketch values are
+    engine-specific, so the query emits the EXACT distinct count (the
+    oracle recomputes it) plus a within-relative-error verdict on the
+    HLL estimate (the oracle asserts TRUE). If the sketch ever drifts
+    past {HLL_REL_ERR:.0%} of truth the flag flips and the gate goes
+    red — the estimate itself is additionally bounded in
+    tests/test_queries_oracle.py by an independent recompute.
+
+    Scale: one grouped aggregate computes both sides here; at 100 TB
+    you'd ship ONLY the mergeable sketch (no exact twin) — this entry
+    certifies the sketch you'd ship against the truth while truth is
+    still computable."""
     ev = load_table(spark, "events", sf_dir)
     return (
         ev.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.01)
-             .alias("approx_users"))
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.01)
+            .alias("_approx"),
+        )
+        .select(
+            "event_type", "exact_users",
+            (F.abs(F.col("_approx") - F.col("exact_users"))
+             <= F.col("exact_users") * HLL_REL_ERR)
+            .alias("within_bound"),
+        )
     )
+
+
+APPROX_DISTINCT_USERS_BY_TYPE_SQL = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_bound
+FROM events
+GROUP BY event_type
+"""
 
 
 def rare_token_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -388,7 +418,8 @@ ORACLES = {
     "corpus_stats": CORPUS_STATS_SQL,
     "term_doc_freq": TERM_DOC_FREQ_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
-    # approx_distinct_users_by_type: rows-only (sketch values are
-    # engine-specific); error bound asserted in tests instead.
+    # sketch value is engine-specific, so the gated row emits the
+    # exact count + a within-bound verdict the oracle asserts TRUE
+    "approx_distinct_users_by_type": APPROX_DISTINCT_USERS_BY_TYPE_SQL,
     "rare_token_rate": RARE_TOKEN_RATE_SQL,
 }

@@ -97,26 +97,45 @@ if _extra:
 # Registration order = the order external consumers (the driver's
 # correctness gate) iterate queries() in. The gate budget covers a
 # prefix of the list (~50 entries per round), so order by evidence
-# value: the r1-r4 gates cumulatively confirmed 173 keys; the r5
-# prefix leads with the 50 highest-value keys that have NEVER been
-# driver-checked (wave 13-20 ops + the new FileStore-read trio),
-# then the never-checked remainder for r6, then rows-only entries
-# (their driver check is weaker), then the driver-green rest as
-# re-confirmation.
+# value: the r1-r5 gates cumulatively confirmed 224 keys; the r6
+# prefix is the FINAL rotation — the 47 keys no driver gate has ever
+# run (40 oracle-backed first, then the 7 rows-only whose driver
+# check is weaker by design) plus the three entries whose contract
+# CHANGED this round (the new concurrent-commit certification, the
+# PQ-extended recall eval, and the sketch promoted out of
+# no_oracle). After this gate, cumulative driver coverage is
+# 272/272 — every key driver-confirmed at least once.
 _PRIORITY = [
-    # -- r5 gate head: every entry here lacks driver confirmation —
-    # 12 NEW round-5 queries (FileStore-read quartet, seven streaming
-    # certifications, the ANN recall eval), then the wave 13-20 ops
-    # the r4 verdict led with, then the remaining never-gated keys in
-    # registry order; a 50-entry gate covers through
-    # `embedding_dim_variance` --------------------------------------
+    # -- r6 gate head, slots 1-3: new or contract-changed ---------
+    "filestore_concurrent_commit", "ann_recall_eval",
+    "approx_distinct_users_by_type",
+    # -- slots 4-43: oracle-backed, never driver-gated ------------
+    "source_boilerplate", "late_arrival_census",
+    "order_total_audit", "bootstrap_ci", "lifecycle_conformance",
+    "ann_maxsim", "hybrid_rank_fusion", "query_expansion_prf",
+    "snippet_extract",
+    "weighted_median_price", "dedup_agreement", "bot_rule_census",
+    "entity_canonicalize", "seasonal_strength", "multimodal_decode",
+    "multimodal_frame_sample", "multimodal_resize",
+    "multimodal_audio_segments", "dsir_importance", "doc_lm_typicality",
+    "multimodal_codec_roundtrip", "semdedup_prune", "lang_source_pmi",
+    "user_traj_topk", "doc_token_entropy", "token_js_divergence",
+    "user_markov_entropy", "zipf_exponent", "t_closeness",
+    "events_changepoint", "benford_audit", "weighted_sample", "ndcg_eval",
+    "kmv_set_ops", "keyphrase_rake", "clustering_coeff", "mannwhitney_qty",
+    "theil_sen_trend", "wilson_ci_rates", "hits_scores",
+    # -- slots 44-50: rows-only (no oracle by design; the driver's
+    # weaker rows-only check is still their first driver signal) --
+    "compression_ratio", "kmeans_embed", "approx_price_quantiles",
+    "freq_items_sketch", "bpe_train_merges", "bpe_vocab_stats",
+    "bpe_token_count",
+    # -- driver-confirmed in r5 (re-confirmation tail) ------------
     "filestore_bucketed_join", "filestore_snapshot_read",
     "filestore_keyed_merge", "filestore_zorder_pruned",
     "stream_windowed_rollup", "stream_topk_users_daily",
     "stream_enriched_rollup", "stream_dedup_census", "stream_funnel_join",
     "stream_abandoned_views", "stream_cdc_materialize",
-    "ann_recall_eval", "mr_contact_trace",
-    "dedup_cross_lang",
+    "mr_contact_trace", "dedup_cross_lang",
     "embedding_cos_hist", "retrieval_pr_eval", "skipgram_lift",
     "source_length_moments", "dataset_card", "lsh_bucket_balance",
     "charset_census", "bigram_entropy_rate", "orders_seasonal_index",
@@ -129,25 +148,7 @@ _PRIORITY = [
     "dedup_components_star", "decayed_popularity", "kfold_assign",
     "revenue_trend_ols", "events_chi2_dow", "events_mad_outliers",
     "audience_overlap", "events_throttle", "customer_decile_migration",
-    "embedding_dim_variance", "source_boilerplate", "late_arrival_census",
-    "order_total_audit", "bootstrap_ci", "lifecycle_conformance",
-    "ann_maxsim", "hybrid_rank_fusion", "query_expansion_prf",
-    "snippet_extract",
-    # -- never driver-confirmed remainder (r6 gate candidates) ----
-    "weighted_median_price", "dedup_agreement", "bot_rule_census",
-    "entity_canonicalize", "seasonal_strength", "multimodal_decode",
-    "multimodal_frame_sample", "multimodal_resize",
-    "multimodal_audio_segments", "dsir_importance", "doc_lm_typicality",
-    "multimodal_codec_roundtrip", "semdedup_prune", "lang_source_pmi",
-    "user_traj_topk", "doc_token_entropy", "token_js_divergence",
-    "user_markov_entropy", "zipf_exponent", "t_closeness",
-    "events_changepoint", "benford_audit", "weighted_sample", "ndcg_eval",
-    "kmv_set_ops", "keyphrase_rake", "clustering_coeff", "mannwhitney_qty",
-    "theil_sen_trend", "wilson_ci_rates", "hits_scores",
-    # -- rows-only (no oracle by design; weaker driver check) -----
-    "compression_ratio", "kmeans_embed", "approx_price_quantiles",
-    "freq_items_sketch", "bpe_train_merges", "bpe_vocab_stats",
-    "bpe_token_count", "approx_distinct_users_by_type",
+    "embedding_dim_variance",
     # -- driver-confirmed in r1-r4 gates (re-confirmation tail) ---
     "pagerank_parts", "training_batches_digest", "user_survival_km",
     "events_hour_heatmap", "multimodal_dedup", "embedding_stats",

@@ -26,6 +26,15 @@ from pyspark.sql import DataFrame, SparkSession
 _FORMATS = ("parquet", "orc", "csv", "json", "text")
 
 
+class SnapshotConflict(RuntimeError):
+    """A concurrent writer committed a version this operation's result
+    was NOT derived from (e.g. an append landed while a compaction was
+    rewriting the previous latest). Publishing anyway would silently
+    drop the other writer's rows, so the operation aborts cleanly —
+    the dataset is untouched, the orphan data dir is reclaimed by
+    vacuum_snapshots, and the caller re-runs against the new latest."""
+
+
 class _LocalIO:
     """os/shutil fast path for plain local roots."""
 
@@ -79,6 +88,13 @@ class _LocalIO:
 
     def rename(self, src: str, dst: str) -> None:
         os.rename(src, dst)
+
+    def rename_noreplace(self, src: str, dst: str) -> None:
+        # atomic create-if-absent: link(2) fails with EEXIST when dst
+        # exists (POSIX), unlike rename(2) which silently replaces —
+        # this is the CAS the optimistic version commit rides on
+        os.link(src, dst)
+        os.unlink(src)
 
     def file_sizes(self, p: str) -> list[int]:
         return [os.path.getsize(f) for f in self.ls_files(p)]
@@ -184,6 +200,19 @@ class _HadoopIO:
 
     def rename(self, src: str, dst: str) -> None:
         if not self._fs.rename(self._Path(src), self._Path(dst)):
+            raise OSError(f"rename failed: {src} -> {dst}")
+
+    def rename_noreplace(self, src: str, dst: str) -> None:
+        # HDFS rename(2)-style semantics: rename FAILS (returns false)
+        # when dst exists, which is exactly the CAS the commit needs.
+        # On object stores without atomic rename (S3 pre-conditional-
+        # put), deployments pin commits behind an external lock — the
+        # same caveat Delta carries (LogStore per-filesystem).
+        if self._fs.exists(self._Path(dst)):
+            raise FileExistsError(dst)
+        if not self._fs.rename(self._Path(src), self._Path(dst)):
+            if self._fs.exists(self._Path(dst)):
+                raise FileExistsError(dst)  # lost the race post-check
             raise OSError(f"rename failed: {src} -> {dst}")
 
     def file_sizes(self, p: str) -> list[int]:
@@ -554,8 +583,10 @@ class FileStore:
     # Iceberg/Delta-style versioned datasets built on two invariants:
     # data files are IMMUTABLE once written (every snapshot writes a
     # fresh directory), and a version exists iff its manifest file
-    # exists (the manifest publish, a write-then-rename, is the
-    # commit point). A crash before publish leaves an orphan data
+    # exists (the manifest publish, a write-then-RENAME-NOREPLACE CAS,
+    # is the commit point — concurrent writers race the version
+    # number, exactly one wins, losers retry or abort; see _publish).
+    # A crash before publish leaves an orphan data
     # dir — invisible to readers, reclaimed by vacuum(); nothing a
     # reader can observe is ever half-written. The reference has no
     # versioning at all (re-`put` replaces an SDFS file in place,
@@ -588,14 +619,30 @@ class FileStore:
 
     def _publish(self, name: str, version: int, files: list[str],
                  parent: int | None, tag: str | None = None) -> None:
+        """CAS commit point: write-then-RENAME-NOREPLACE, so two
+        writers racing the same version number cannot both win —
+        exactly one rename lands, the loser gets FileExistsError and
+        retries with a recomputed version (the Delta/Iceberg
+        optimistic-concurrency pattern, replacing the reference's
+        hand-rolled distributed write locks, file_system.go:279).
+        A crash before the rename leaves only an invisible .tmp and
+        orphan data files — the previous version stays the readable
+        latest, and vacuum reclaims the orphans."""
         import json
+        import uuid
 
         vd = self._vdir(name)
         body = json.dumps({"version": version, "files": files,
                            "parent": parent, "tag": tag})
-        tmp = f"{vd}/.v{version}.json.tmp"
+        # unique tmp per attempt: two racers must not write the same
+        # staging file either
+        tmp = f"{vd}/.v{version}-{uuid.uuid4().hex[:8]}.json.tmp"
         self._io.write_text(tmp, body)
-        self._io.rename(tmp, f"{vd}/v{version}.json")
+        try:
+            self._io.rename_noreplace(tmp, f"{vd}/v{version}.json")
+        except FileExistsError:
+            self._io.delete(tmp)
+            raise
 
     def snapshot_tags(self, name: str) -> set[str]:
         """Tags of every committed version — the idempotence ledger a
@@ -615,30 +662,64 @@ class FileStore:
         return [f for f in self._io.ls_files(d)
                 if f.endswith(".parquet")]
 
+    _COMMIT_RETRIES = 50
+
     def write_snapshot(self, df: DataFrame, name: str,
                        tag: str | None = None) -> int:
         """Commit `df` as a NEW full version of the dataset (the
         previous version stays readable — overwrite semantics with
-        history). Returns the committed version number."""
+        history). Returns the committed version number.
+
+        Multi-writer safe: the data files are written once (they are
+        immutable and carry a uuid dir name), then the manifest commit
+        CAS-loops — on losing a version-number race to a concurrent
+        writer it re-reads the ledger and retries with the next
+        number, so BOTH commits survive as distinct versions."""
         vs = self._snapshot_versions(name)
-        v = (vs[-1] + 1) if vs else 1
-        files = self._write_data_dir(df, name, v)
-        self._publish(name, v, files, vs[-1] if vs else None, tag)
-        return v
+        files = self._write_data_dir(df, name, (vs[-1] + 1) if vs else 1)
+        for _ in range(self._COMMIT_RETRIES):
+            vs = self._snapshot_versions(name)
+            v = (vs[-1] + 1) if vs else 1
+            try:
+                self._publish(name, v, files, vs[-1] if vs else None, tag)
+                return v
+            except FileExistsError:
+                continue  # lost the race; recompute against new latest
+        raise SnapshotConflict(
+            f"could not commit {name!r} after "
+            f"{self._COMMIT_RETRIES} attempts")
 
     def append_snapshot(self, df: DataFrame, name: str,
                         tag: str | None = None) -> int:
         """Commit `df` as a new version consisting of the previous
         version's files PLUS the new rows — append with history, no
-        data rewritten or copied."""
+        data rewritten or copied.
+
+        Multi-writer safe: appends COMPOSE — on losing the version
+        race the retry re-reads the NEW latest manifest, so the final
+        file list contains both writers' rows (the data dir's version
+        prefix reflects the first attempt; the uuid keeps it unique
+        and vacuum tracks manifests, not dir-name numbering)."""
         vs = self._snapshot_versions(name)
-        if not vs:
-            return self.write_snapshot(df, name, tag)
-        v = vs[-1] + 1
-        prev = self._read_manifest(name, vs[-1])["files"]
-        files = self._write_data_dir(df, name, v)
-        self._publish(name, v, prev + files, vs[-1], tag)
-        return v
+        files = self._write_data_dir(df, name, (vs[-1] + 1) if vs else 1)
+        for _ in range(self._COMMIT_RETRIES):
+            vs = self._snapshot_versions(name)
+            if not vs:
+                try:
+                    self._publish(name, 1, files, None, tag)
+                    return 1
+                except FileExistsError:
+                    continue
+            v = vs[-1] + 1
+            prev = self._read_manifest(name, vs[-1])["files"]
+            try:
+                self._publish(name, v, prev + files, vs[-1], tag)
+                return v
+            except FileExistsError:
+                continue
+        raise SnapshotConflict(
+            f"could not commit {name!r} after "
+            f"{self._COMMIT_RETRIES} attempts")
 
     def read_snapshot(self, name: str,
                       version: int | None = None) -> DataFrame:
@@ -658,14 +739,23 @@ class FileStore:
     def restore_snapshot(self, name: str, version: int) -> int:
         """Roll back: commit a NEW version whose file list is the old
         version's — no data moves, history is preserved (the
-        Iceberg rollback model, not a destructive reset)."""
+        Iceberg rollback model, not a destructive reset). The commit
+        CAS-loops like write_snapshot (the restored file list is
+        version-pinned, so retrying under a new number is safe)."""
         vs = self._snapshot_versions(name)
         if version not in vs:
             raise FileNotFoundError(f"{name!r} has no version {version}")
-        v = vs[-1] + 1
         files = self._read_manifest(name, version)["files"]
-        self._publish(name, v, files, vs[-1])
-        return v
+        for _ in range(self._COMMIT_RETRIES):
+            vs = self._snapshot_versions(name)
+            try:
+                self._publish(name, vs[-1] + 1, files, vs[-1])
+                return vs[-1] + 1
+            except FileExistsError:
+                continue
+        raise SnapshotConflict(
+            f"could not commit {name!r} after "
+            f"{self._COMMIT_RETRIES} attempts")
 
     def vacuum_snapshots(self, name: str, keep_last: int = 1) -> int:
         """Expire history: keep the newest `keep_last` manifests,
@@ -734,22 +824,40 @@ class FileStore:
         renames anything a reader could be holding: the old version
         stays fully readable (time travel included) until
         vacuum_snapshots expires it, so compaction is safe to run
-        next to live readers (single WRITER still assumed, like every
-        table maintenance op). Returns the new version number."""
+        next to live readers. Returns the new version number.
+
+        Multi-writer safe the STRICT way: the rewrite is derived from
+        a specific base version, so if a concurrent writer commits
+        while the rewrite runs, blind re-publication would silently
+        drop their rows — instead the CAS loses, SnapshotConflict is
+        raised, the dataset is untouched (the concurrent commit IS
+        the latest), the orphan rewrite is vacuum-reclaimable, and
+        the compactor simply re-runs. This is how a scheduled
+        compactor and a streaming sink coexist on one table (the
+        Delta/Iceberg conflict-detection posture; the reference
+        hand-rolls read/write locks instead, file_system.go:279)."""
         import math
 
         vs = self._snapshot_versions(name)
         if not vs:
             raise FileNotFoundError(f"no snapshots for {name!r}")
-        files = self._read_manifest(name, vs[-1])["files"]
+        base_v = vs[-1]
+        files = self._read_manifest(name, base_v)["files"]
         if not files:
             raise FileNotFoundError(f"{name!r} latest version is empty")
         total = sum(s for f in files for s in self._io.file_sizes(f))
         n_files = max(1, math.ceil(total / target_bytes))
         df = self.spark.read.parquet(*files).repartition(n_files)
-        v = vs[-1] + 1
+        v = base_v + 1
         new_files = self._write_data_dir(df, name, v)
-        self._publish(name, v, new_files, vs[-1], tag=None)
+        try:
+            self._publish(name, v, new_files, base_v, tag=None)
+        except FileExistsError:
+            raise SnapshotConflict(
+                f"{name!r}: version {v} was committed concurrently "
+                f"while compacting v{base_v}; re-run compaction "
+                "against the new latest (no data was lost — the "
+                "rewrite was abandoned, not published)") from None
         return v
 
     def snapshot_diff(self, name: str, v_old: int, v_new: int,

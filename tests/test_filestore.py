@@ -574,3 +574,160 @@ def test_filestore_bucketed_join_query_plan_is_shuffle_free(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS fs_demo_orders_b")
         spark.sql("DROP TABLE IF EXISTS fs_demo_cust_b")
+
+
+# ---------------------- optimistic multi-writer commit (r5 verdict #4)
+
+def test_rename_noreplace_is_a_cas_on_both_backends(spark, tmp_path):
+    """The commit primitive: rename_noreplace must land when the
+    destination is absent and raise FileExistsError when it exists —
+    on the local fast path AND the Hadoop path (file://)."""
+    for root in (str(tmp_path / "casL"), f"file://{tmp_path}/casH"):
+        fs = FileStore(spark, root)
+        io = fs._io
+        io.write_text(fs._path("a.tmp"), "one")
+        io.rename_noreplace(fs._path("a.tmp"), fs._path("a"))
+        assert io.read_text(fs._path("a")) == "one"
+        io.write_text(fs._path("b.tmp"), "two")
+        with pytest.raises(FileExistsError):
+            io.rename_noreplace(fs._path("b.tmp"), fs._path("a"))
+        assert io.read_text(fs._path("a")) == "one"  # winner untouched
+
+
+def test_concurrent_appends_both_writers_survive(fs, spark):
+    """A streaming sink and a second ingester appending to the SAME
+    snapshot dataset concurrently: every commit must survive (the
+    exact lost-update the reference prevents with distributed write
+    locks, file_system.go:279 — here prevented by the CAS + retry).
+    Without the CAS, two writers racing the version pointer silently
+    drop one manifest."""
+    import threading
+
+    per_writer, writers = 4, 2
+    frames = {
+        (w, i): spark.createDataFrame(
+            [(w * 1000 + i, f"w{w}")], "k long, who string")
+        for w in range(writers) for i in range(per_writer)
+    }
+    barrier = threading.Barrier(writers)
+    errs: list[Exception] = []
+
+    def work(w: int) -> None:
+        try:
+            barrier.wait(timeout=60)
+            for i in range(per_writer):
+                fs.append_snapshot(frames[(w, i)], "shared")
+        except Exception as exc:  # surfaced below
+            errs.append(exc)
+
+    ts = [threading.Thread(target=work, args=(w,)) for w in range(writers)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not errs, errs
+    # every commit is a distinct version, none lost
+    assert fs.versions("shared") == list(range(1, writers * per_writer + 1))
+    # the final latest composes ALL appended rows — no writer's rows
+    # were dropped by a racing manifest
+    got = {(r["k"], r["who"])
+           for r in fs.read_snapshot("shared").collect()}
+    want = {(w * 1000 + i, f"w{w}")
+            for w in range(writers) for i in range(per_writer)}
+    assert got == want
+
+
+def test_concurrent_full_snapshots_commit_distinct_versions(fs, spark):
+    """Two overwrite-style writers racing write_snapshot: both commits
+    land as distinct versions (last committer is the latest, the other
+    remains time-travel readable)."""
+    import threading
+
+    a = spark.createDataFrame([(1, "a")], "k long, v string")
+    b = spark.createDataFrame([(2, "b")], "k long, v string")
+    barrier = threading.Barrier(2)
+    out: dict[str, int] = {}
+    errs: list[Exception] = []
+
+    def work(tag: str, df) -> None:
+        try:
+            barrier.wait(timeout=60)
+            out[tag] = fs.write_snapshot(df, "race", tag=tag)
+        except Exception as exc:
+            errs.append(exc)
+
+    ts = [threading.Thread(target=work, args=("a", a)),
+          threading.Thread(target=work, args=("b", b))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not errs, errs
+    assert sorted(out.values()) == [1, 2]
+    assert fs.versions("race") == [1, 2]
+    # each version reads back as exactly its writer's frame
+    for tag, v in out.items():
+        rows = fs.read_snapshot("race", version=v).collect()
+        assert [r["v"] for r in rows] == [tag]
+
+
+def test_compact_snapshot_conflict_aborts_without_losing_rows(
+        fs, spark, monkeypatch):
+    """A compactor whose base version is overtaken mid-rewrite must
+    NOT publish (publishing would drop the concurrent append's rows):
+    it raises SnapshotConflict, the concurrent commit stays the
+    readable latest, and a re-run compacts the new latest cleanly."""
+    from distributed_system_mapreduce_spark.sources.filestore import (
+        SnapshotConflict,
+    )
+
+    fs.write_snapshot(
+        spark.createDataFrame([(1, "base")], "k long, v string"), "ds")
+    late = spark.createDataFrame([(2, "late")], "k long, v string")
+
+    real = FileStore._write_data_dir
+
+    def racing(self, df, name, version):
+        files = real(self, df, name, version)
+        # a concurrent appender lands AFTER the rewrite, BEFORE the
+        # publish — exactly the window the CAS must catch
+        monkeypatch.setattr(FileStore, "_write_data_dir", real)
+        fs.append_snapshot(late, "ds")
+        return files
+
+    monkeypatch.setattr(FileStore, "_write_data_dir", racing)
+    with pytest.raises(SnapshotConflict):
+        fs.compact_snapshot("ds")
+    # the append survived and is the latest
+    got = {r["v"] for r in fs.read_snapshot("ds").collect()}
+    assert got == {"base", "late"}
+    # re-run compacts the new latest; vacuum reclaims the orphan rewrite
+    v = fs.compact_snapshot("ds")
+    assert {r["v"] for r in fs.read_snapshot("ds", version=v).collect()} \
+        == {"base", "late"}
+    fs.vacuum_snapshots("ds", keep_last=1)
+    assert {r["v"] for r in fs.read_snapshot("ds").collect()} \
+        == {"base", "late"}
+
+
+def test_crash_mid_commit_leaves_previous_version_readable(fs, spark):
+    """A writer that dies AFTER staging its manifest but BEFORE the
+    CAS rename: readers still see the old latest, the ledger has no
+    half-version, and vacuum reclaims the orphan data files."""
+    v1 = fs.write_snapshot(
+        spark.createDataFrame([(1, "keep")], "k long, v string"), "ds")
+    # simulate the crash: data dir + staged .tmp manifest, no rename
+    orphan = fs._write_data_dir(
+        spark.createDataFrame([(2, "lost")], "k long, v string"),
+        "ds", v1 + 1)
+    fs._io.write_text(f"{fs._vdir('ds')}/.v{v1 + 1}-dead.json.tmp",
+                      '{"version": 2, "files": []}')
+    assert fs.versions("ds") == [v1]           # ledger unpolluted
+    got = {r["v"] for r in fs.read_snapshot("ds").collect()}
+    assert got == {"keep"}                      # old latest readable
+    assert fs.vacuum_snapshots("ds", keep_last=1) == len(orphan)
+    # and the NEXT writer commits normally over the debris
+    v2 = fs.write_snapshot(
+        spark.createDataFrame([(3, "next")], "k long, v string"), "ds")
+    assert v2 == v1 + 1
+    assert {r["v"] for r in fs.read_snapshot("ds").collect()} == {"next"}

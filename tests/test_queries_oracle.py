@@ -31,31 +31,57 @@ def test_rows_only_query_runs(spark, name):
 
 def test_approx_distinct_within_error_bound(spark):
     """HLL++ at rsd=0.01 should be within a few percent of the exact
-    distinct counts (exact twin: distinct_users_by_type)."""
-    approx = {
-        r["event_type"]: r["approx_users"]
+    distinct counts (exact twin: distinct_users_by_type). The gated
+    query now emits exact_users + a within_bound verdict (the oracle
+    asserts it TRUE); this test recomputes the raw estimate
+    INDEPENDENTLY so the bound is checked on the sketch value itself,
+    not just the query's own verdict."""
+    from pyspark.sql import functions as F
+
+    from distributed_system_mapreduce_spark.tables import load_table
+
+    gated = {
+        r["event_type"]: r
         for r in QUERIES["approx_distinct_users_by_type"](
             spark, SF_DIR).collect()
+    }
+    approx = {
+        r["event_type"]: r["a"]
+        for r in load_table(spark, "events", SF_DIR)
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("a"))
+        .collect()
     }
     exact = {
         r["event_type"]: r["n_users"]
         for r in QUERIES["distinct_users_by_type"](spark, SF_DIR).collect()
     }
-    assert set(approx) == set(exact)
+    assert set(approx) == set(exact) == set(gated)
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(1, 0.05 * n), (k, approx[k], n)
+        assert gated[k]["exact_users"] == n, k
+        assert gated[k]["within_bound"] is True, k
 
 
 def test_registry_prefix_is_oracle_dense():
     """The driver's correctness gate covers a ~50-entry prefix of the
-    registry; keep every slot in that prefix oracle-backed so no
-    budget is spent on weaker rows-only checks, and spend the whole
-    budget on queries no earlier gate has confirmed (r1+r2 covered 76
-    keys; those re-confirm from the tail)."""
+    registry. r6 is the FINAL rotation: the prefix holds every key no
+    earlier gate has run — oracle-backed slots FIRST (the strong
+    check), the 7 rows-only keys last (their weaker rows-only run is
+    still their first driver signal), and no slot wasted on an
+    already-driver-confirmed query."""
     ks = list(QUERIES)
-    assert all(k in ORACLES for k in ks[:50]), [
-        k for k in ks[:50] if k not in ORACLES]
-    # no slot wasted on an already-driver-confirmed query
+    # oracle-backed prefix block, rows-only block strictly after it
+    first_rows_only = next(
+        i for i, k in enumerate(ks[:50]) if k not in ORACLES)
+    assert all(k in ORACLES for k in ks[:first_rows_only])
+    assert all(k not in ORACLES for k in ks[first_rows_only:50]), [
+        k for k in ks[first_rows_only:50] if k in ORACLES]
+    assert first_rows_only >= 43, first_rows_only
+    # no slot wasted on an already-driver-confirmed query (spot-check
+    # against the r1/r2 confirmations; the changed-contract entries
+    # filestore_concurrent_commit / ann_recall_eval /
+    # approx_distinct_users_by_type are deliberate re-gates)
     confirmed_r1_r2 = {
         "mr_wordcount_exe", "events_asof_order", "purchase_attribution",
         "dedup_exact", "dedup_minhash", "q1_pricing_summary",

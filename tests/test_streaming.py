@@ -1278,10 +1278,15 @@ def test_compression_gate_stream_matches_batch_twin(spark, tmp_path):
               .option("maxFilesPerTrigger", "1")
               .parquet(str(tmp_path / "in")))
     # band chosen FROM the batch twin so the gate provably fires both
-    # ways: hi at the median ratio guarantees >=1 keep and >=1 reject
+    # ways: hi at the second-largest DISTINCT ratio guarantees >=1
+    # keep (everything at or below hi) and >=1 reject (the max),
+    # regardless of ties — a median hi fails if over half the corpus
+    # ties at the median (ADVICE r5)
     want = {r["doc_id"]: r for r in compression_scores(docs).collect()}
-    ratios = sorted(w["ratio"] for w in want.values())
-    lo, hi = 0.0, ratios[len(ratios) // 2]
+    distinct = sorted({w["ratio"] for w in want.values()})
+    assert len(distinct) > 1, \
+        "degenerate corpus: all compression ratios identical"
+    lo, hi = 0.0, distinct[-2]
     compression_gate_stream(stream, fs, "verdicts",
                             str(tmp_path / "ckpt"), lo=lo, hi=hi)
 

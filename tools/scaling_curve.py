@@ -14,11 +14,15 @@ cross-copy duplicate cliques would add a real K^2 pair blowup to the
 dedup family that says nothing about plan scaling. nation/region are
 fixed dims and are not scaled.
 
-Usage: python tools/scaling_curve.py [out_json] [query ...]
+Usage: python tools/scaling_curve.py [--mult 1,2,5,10] [out_json]
+[query ...]
 (a query subset re-times just those entries and MERGES them into
-out_json, for spot re-runs after a contaminated measurement)
+out_json, for spot re-runs after a contaminated measurement or a
+deeper --mult panel on a few queries; every row carries its OWN
+`multipliers` list so a merged artifact never misrepresents what a
+stale row was measured under — ADVICE r5)
 Writes SCALING.json {query: {t1, t2, t5, t10, ratio2, ratio5,
-ratio10}} and prints
+ratio10, multipliers}} and prints
 one summary line per query. Queries whose absolute 1x time is under
 FLOOR_SEC are dominated by fixed scheduling overhead locally; their
 ratios are reported but the linearity verdict keys off the 5x ratio
@@ -142,14 +146,18 @@ def build_corpus(k: int) -> str:
 
 
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-        REPO, "SCALING.json")
-    subset = sys.argv[2:]
+    argv = sys.argv[1:]
+    multipliers = MULTIPLIERS
+    if argv and argv[0] == "--mult":
+        multipliers = tuple(int(x) for x in argv[1].split(","))
+        argv = argv[2:]
+    out_path = argv[0] if argv else os.path.join(REPO, "SCALING.json")
+    subset = argv[1:]
     under_test = subset or QUERIES_UNDER_TEST
     unknown = [n for n in under_test if n not in QUERIES_UNDER_TEST]
     if unknown:
         raise SystemExit(f"not in QUERIES_UNDER_TEST: {unknown}")
-    dirs = {k: build_corpus(k) for k in MULTIPLIERS}
+    dirs = {k: build_corpus(k) for k in multipliers}
     print(f"corpora ready: {list(dirs.values())}", flush=True)
 
     from distributed_system_mapreduce_spark.registry import QUERIES
@@ -169,9 +177,12 @@ def main() -> None:
     results: dict[str, dict] = {}
     for name in under_test:
         fn = QUERIES[name]
-        row: dict = {}
+        # every row records the multipliers IT was measured under, so
+        # merged artifacts stay self-describing (fresh and stale rows
+        # can legitimately differ after a --mult spot run)
+        row: dict = {"multipliers": list(multipliers)}
         try:
-            for k in MULTIPLIERS:
+            for k in multipliers:
                 best = None
                 for _ in range(2):
                     t0 = time.perf_counter()
@@ -181,13 +192,13 @@ def main() -> None:
                     best = dt if best is None else min(best, dt)
                     drop_persisted()
                 row[f"t{k}"] = round(best, 3)
-            for k in MULTIPLIERS[1:]:
+            for k in multipliers[1:]:
                 # subtract the fixed local floor so tiny queries don't
                 # report flat "ratios" that just measure overhead
                 num = max(row[f"t{k}"] - FLOOR_SEC, 0.001)
                 den = max(row["t1"] - FLOOR_SEC, 0.001)
                 row[f"ratio{k}"] = round(num / den, 2)
-            top = MULTIPLIERS[-1]
+            top = multipliers[-1]
             row["superlinear"] = row[f"ratio{top}"] > top * 1.8
         except Exception as exc:
             row["error"] = f"{type(exc).__name__}: {exc}"[:200]
@@ -197,13 +208,20 @@ def main() -> None:
         print(f"{name}: {row}", flush=True)
 
     if subset and os.path.exists(out_path):
-        # spot re-run: merge the fresh rows into the existing artifact
+        # spot re-run: merge the fresh rows into the existing artifact.
+        # Stale rows predating per-row multipliers get stamped with the
+        # prior artifact's top-level list so the merge never mixes
+        # semantics silently (ADVICE r5).
         with open(out_path) as fh:
-            prior = json.load(fh).get("queries", {})
+            prior_doc = json.load(fh)
+        prior = prior_doc.get("queries", {})
+        prior_mult = prior_doc.get("multipliers", list(MULTIPLIERS))
+        for r in prior.values():
+            r.setdefault("multipliers", list(prior_mult))
         prior.update(results)
         results = prior
     with open(out_path, "w") as fh:
-        json.dump({"base": BASE, "multipliers": list(MULTIPLIERS),
+        json.dump({"base": BASE, "multipliers": list(multipliers),
                    "floor_sec": FLOOR_SEC, "queries": results},
                   fh, indent=1, sort_keys=True)
     bad = [n for n, r in results.items() if r.get("superlinear")]
