@@ -147,12 +147,74 @@ def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+APPROX_Q_REL_ERR = 0.01  # gate band: generous vs accuracy=10000's
+#                          rank error (~n*1e-4 ranks per group)
+
+
+def approx_quantiles_certify(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """The quantile sketch promoted into the ORACLE GATE via the
+    ann_recall_eval / approx_distinct_users_by_type pattern: sketch
+    outputs are engine-specific (approx_price_quantiles stays
+    rows-only), so this entry emits the EXACT per-group quantiles
+    (DuckDB recomputes them with quantile_cont — interpolation
+    matches Spark's percentile bit-for-bit) plus ONE within-bound
+    verdict over all four approx_percentile estimates (the oracle
+    asserts TRUE). A sketch drift past {APPROX_Q_REL_ERR:.0%} of
+    truth flips the flag and the gate goes red.
+
+    Shape: one grouped aggregate computes the exact sort-based
+    percentiles AND the mergeable sketch side by side; group count is
+    bounded (3 return flags), so both are one partial-agg shuffle."""
+    li = load_table(spark, "lineitem", sf_dir)
+    qs = [0.25, 0.5, 0.75, 0.99]
+    arr = ", ".join(str(q) for q in qs)
+    both = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(f"percentile(l_extendedprice, array({arr}))")
+            .alias("ex"),
+            F.expr(
+                f"approx_percentile(l_extendedprice, array({arr}), 10000)")
+            .alias("ap"),
+        )
+    )
+    ok = None
+    for i in range(len(qs)):
+        t = (F.abs(F.col("ap")[i] - F.col("ex")[i])
+             <= F.abs(F.col("ex")[i]) * APPROX_Q_REL_ERR)
+        ok = t if ok is None else (ok & t)
+    return both.select(
+        "l_returnflag",
+        *[F.col("ex")[i].alias(f"p{int(q * 100)}")
+          for i, q in enumerate(qs)],
+        ok.alias("within_bound"),
+    )
+
+
+APPROX_QUANTILES_CERTIFY_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.25) AS p25,
+       quantile_cont(l_extendedprice, 0.50) AS p50,
+       quantile_cont(l_extendedprice, 0.75) AS p75,
+       quantile_cont(l_extendedprice, 0.99) AS p99,
+       TRUE AS within_bound
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "kmeans_embed": kmeans_embed,
     "approx_price_quantiles": approx_price_quantiles,
+    "approx_quantiles_certify": approx_quantiles_certify,
 }
 
-# Both rows-only: kmeans is iterative with float centroid state;
-# approx_percentile sketch values are engine-specific. Tests bound
-# their behavior against exact twins instead.
-ORACLES: dict[str, str] = {}
+# kmeans_embed / approx_price_quantiles are rows-only: kmeans is
+# iterative with float centroid state; approx_percentile sketch
+# values are engine-specific. Tests bound their behavior against
+# exact twins; approx_quantiles_certify additionally promotes the
+# quantile sketch's error bound into the driver gate.
+ORACLES: dict[str, str] = {
+    "approx_quantiles_certify": APPROX_QUANTILES_CERTIFY_SQL,
+}

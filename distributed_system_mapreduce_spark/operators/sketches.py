@@ -26,7 +26,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from distributed_system_mapreduce_spark.functions.text import TOKENS_EXPR
+from distributed_system_mapreduce_spark.functions.text import (
+    TOKENS_EXPR,
+    TOKENS_SQL,
+)
 from distributed_system_mapreduce_spark.tables import load_table, spread
 
 MG_K = 16      # counters per partition (kept < the synthetic vocab so
@@ -90,8 +93,81 @@ def freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def freq_items_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Misra-Gries sketch's THEOREM GUARANTEES promoted into the
+    ORACLE GATE (the ann_recall_eval pattern): the merged estimates
+    depend on partitioning (freq_items_sketch stays rows-only), but
+    two properties hold for EVERY partitioning by construction —
+    est <= true <= est + D for every surviving counter (Agarwal et
+    al., Mergeable Summaries, PODS 2012), and every token with
+    true > D survives. This entry joins the sketch against the exact
+    wordcount and emits the violation counts (guaranteed 0) next to
+    exact corpus totals the oracle recomputes; ANY implementation
+    bug that breaks the sandwich or drops a heavy hitter flips a
+    count and the gate goes red.
+
+    Shape: the sketch side is the constant-width summary shuffle;
+    the exact side is one vocabulary rollup (the certification cost —
+    paid here because certification needs truth; production runs the
+    sketch alone)."""
+    docs = spread(load_table(spark, "documents", sf_dir))
+    toks = docs.select(F.explode(F.expr(TOKENS_EXPR)).alias("tok"))
+    parts = toks.mapInPandas(
+        _mg_partials, schema="tok string, est long, dec long")
+    # materialize the summaries once: the bound, the counter table,
+    # and the miss check below would otherwise re-run the Arrow stage
+    parts = parts.localCheckpoint()
+    bound = parts.agg(F.sum("dec").cast("long").alias("d"))
+    merged = (
+        parts.where(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.sum("est").cast("long").alias("est"))
+    )
+    exact = toks.groupBy("tok").agg(
+        F.count("*").cast("long").alias("true_c"))
+    joined = (
+        exact.join(F.broadcast(merged), "tok", "left")
+        .crossJoin(F.broadcast(bound))
+    )
+    return joined.agg(
+        F.sum("true_c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct_tokens"),
+        F.sum(
+            F.when(
+                F.col("est").isNotNull()
+                & (~((F.col("est") <= F.col("true_c"))
+                     & (F.col("true_c") <= F.col("est") + F.col("d")))),
+                1).otherwise(0)
+        ).cast("long").alias("sandwich_violations"),
+        F.sum(
+            F.when(
+                (F.col("true_c") > F.col("d")) & F.col("est").isNull(),
+                1).otherwise(0)
+        ).cast("long").alias("heavy_hitters_missed"),
+    )
+
+
+FREQ_ITEMS_CERTIFY_SQL = f"""
+WITH toks AS (
+  SELECT unnest({TOKENS_SQL}) AS tok FROM documents
+),
+exact AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_c
+  FROM toks GROUP BY tok
+)
+SELECT CAST(SUM(true_c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+       CAST(0 AS BIGINT) AS sandwich_violations,
+       CAST(0 AS BIGINT) AS heavy_hitters_missed
+FROM exact
+"""
+
+
 QUERIES = {
     "freq_items_sketch": freq_items_sketch,
+    "freq_items_certify": freq_items_certify,
 }
 
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, str] = {
+    "freq_items_certify": FREQ_ITEMS_CERTIFY_SQL,
+}
