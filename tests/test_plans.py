@@ -616,3 +616,24 @@ def test_rake_and_kmv_plan_shapes(spark):
     kv = formatted_plan(QUERIES["kmv_set_ops"](spark, SF_DIR))
     assert "BatchEvalPython" not in kv
     assert "CartesianProduct" not in kv
+
+
+def test_sketch_certify_plan_shapes(spark):
+    """The two r6 sketch certifications keep the 100 TB shapes: the
+    quantile certify is one JVM-side grouped aggregate (exact
+    percentile + sketch side by side, no Python eval, no cartesian);
+    the MG certify broadcasts the summary-sized sketch table onto the
+    exact vocabulary rollup (never shuffling the vocab against the
+    sketch) and its only Python stage is the Arrow-batched summary
+    kernel."""
+    df = QUERIES["approx_quantiles_certify"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_percentile" in plan or "ObjectHashAggregate" in plan
+
+    df = QUERIES["freq_items_certify"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan     # sketch table broadcast
+    assert "BatchEvalPython" not in plan   # Arrow (mapInPandas) only

@@ -83,6 +83,15 @@ QUERIES_UNDER_TEST = [
 # (the tripwire is kept, the note explains it and the measured
 # output growth is recorded alongside).
 OUTPUT_BOUND_NOTES = {
+    "dedup_agreement": (
+        "cost is bounded by the LSH/SimHash CANDIDATE-PAIR population, "
+        "which grows quadratically as the synthetic corpus densifies "
+        "band buckets (measured: 33.1k LSH pairs at 10x -> 182.6k at "
+        "20x = 5.5x pairs for 2x rows) while runtime grew only 3.5x "
+        "over the same step — time PER CANDIDATE PAIR falls; the plan "
+        "is sublinear in its true workload. On a real 100 TB corpus "
+        "the pair population is tuned by banding parameters "
+        "(lsh_bucket_balance is the watch query), not by row count."),
     "mr_contact_trace": (
         "join key is (event_type, time-bucket); the corpus multiplies "
         "user density at FIXED places/times, so true contact pairs "
