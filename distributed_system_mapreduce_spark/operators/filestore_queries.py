@@ -338,12 +338,81 @@ GROUP BY o_orderpriority
 """
 
 
+# ------------------------------------------ filestore_snapshot_diff
+_DIFF_A_MOD = 3    # keys only in v1 (removed in v2): %5==0 & %3!=0
+_DIFF_B_MOD = 5    # keys only in v2 (added):         %3==0 & %5!=0
+_DIFF_C_MOD = 7    # keys changed in v2 (in both, price bumped)
+_DIFF_BUMP = 100
+
+
+def filestore_snapshot_diff(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """snapshot_diff certified by oracle — "what did last night's
+    ingest actually do": commit two full versions of orders whose
+    membership and values differ by modular rules (v1 drops
+    keys %{_DIFF_B_MOD}==0, v2 drops keys %{_DIFF_A_MOD}==0 and bumps
+    o_totalprice by {_DIFF_BUMP} on keys %{_DIFF_C_MOD}==0), then
+    roll the row-level diff up per op with an exact key checksum.
+    The oracle derives added/removed/changed straight from the
+    modular rules over the ORIGINAL table, so a hash match proves the
+    version-pinned anti-joins and the column-wise change detection
+    lose and invent nothing.
+
+    Scale: each diff side scans only its version's file list; the
+    anti/inner joins shuffle on the key — the audit costs one join
+    pass, not a table rewrite."""
+    fs = _store(spark, sf_dir)
+    name = "fs_demo_orders_diff"
+    fs.delete(name)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    k = F.col("o_orderkey")
+    v1 = fs.write_snapshot(
+        orders.filter(k % _DIFF_B_MOD != 0), name)
+    v2 = fs.write_snapshot(
+        orders.filter(k % _DIFF_A_MOD != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(k % _DIFF_C_MOD == 0,
+                   F.col("o_totalprice") + F.lit(float(_DIFF_BUMP)))
+            .otherwise(F.col("o_totalprice"))),
+        name)
+    diff = fs.snapshot_diff(name, v1, v2, "o_orderkey")
+    return diff.groupBy("op").agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("o_orderkey").cast("long").alias("keysum"),
+    )
+
+
+FILESTORE_SNAPSHOT_DIFF_SQL = f"""
+WITH labeled AS (
+  SELECT o_orderkey,
+         CASE
+           WHEN o_orderkey % {_DIFF_A_MOD} = 0
+                AND o_orderkey % {_DIFF_B_MOD} <> 0 THEN 'removed'
+           WHEN o_orderkey % {_DIFF_B_MOD} = 0
+                AND o_orderkey % {_DIFF_A_MOD} <> 0 THEN 'added'
+           WHEN o_orderkey % {_DIFF_A_MOD} <> 0
+                AND o_orderkey % {_DIFF_B_MOD} <> 0
+                AND o_orderkey % {_DIFF_C_MOD} = 0 THEN 'changed'
+         END AS op
+  FROM orders
+)
+SELECT op, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(o_orderkey) AS BIGINT) AS keysum
+FROM labeled
+WHERE op IS NOT NULL
+GROUP BY op
+"""
+
+
 QUERIES = {
     "filestore_bucketed_join": filestore_bucketed_join,
     "filestore_snapshot_read": filestore_snapshot_read,
     "filestore_keyed_merge": filestore_keyed_merge,
     "filestore_zorder_pruned": filestore_zorder_pruned,
     "filestore_concurrent_commit": filestore_concurrent_commit,
+    "filestore_snapshot_diff": filestore_snapshot_diff,
 }
 
 ORACLES = {
@@ -352,4 +421,5 @@ ORACLES = {
     "filestore_keyed_merge": FILESTORE_KEYED_MERGE_SQL,
     "filestore_zorder_pruned": FILESTORE_ZORDER_PRUNED_SQL,
     "filestore_concurrent_commit": FILESTORE_CONCURRENT_COMMIT_SQL,
+    "filestore_snapshot_diff": FILESTORE_SNAPSHOT_DIFF_SQL,
 }

@@ -1327,3 +1327,113 @@ FROM pq_pq
 
 QUERIES["ann_recall_eval"] = ann_recall_eval
 ORACLES["ann_recall_eval"] = ANN_RECALL_EVAL_SQL
+
+
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production ANN shape at 100 TB (FAISS's default
+    composition, both halves already certified separately here): the
+    IVF coarse quantizer PRUNES (each query scores only its NPROBE
+    probed cells' contents, ~NPROBE/N_CELLS of the corpus) and the
+    PQ codes COMPRESS (candidates are scored by the 8-add ADC LUT
+    fold over 8 nibbles, never touching the 64 floats) — so the scan
+    is sublinear in corpus AND constant-width per candidate, which is
+    what lets a 100 TB vector corpus serve queries from a RAM-sized
+    index. Exact order by the PQ estimate (est asc, id asc), so the
+    result is deterministic and the DuckDB oracle replicates encode +
+    probe + LUT + fold bit-for-bit. Recall vs brute is floored in
+    tests/test_similarity_quality.py (coarse on THIS unclustered
+    random corpus — the shape, not the ceiling, is what transfers).
+
+    Shape: one cell-id equi-join (probes x cell-partitioned codes),
+    codebooks broadcast, no window wider than a query's candidate
+    list."""
+    from pyspark.sql import Window
+
+    vecs = spread(load_table(spark, "embeddings", sf_dir)).select(
+        "vec_id", "embedding")
+    cb = (
+        vecs.filter(F.col("vec_id") < PQ_K)
+        .agg(F.expr(
+            "flatten(transform("
+            "sort_array(collect_list(struct(vec_id, embedding))), "
+            "s -> transform(s.embedding, x -> CAST(x AS DOUBLE))))"
+        ).alias("flat_cw"))
+    )
+    cells = _with_cell(spark, sf_dir).select("vec_id", "cell")
+    corpus = (
+        vecs.crossJoin(F.broadcast(cb))
+        .select("vec_id", F.expr(_PQ_CODES_EXPR).alias("codes"))
+        .join(cells, "vec_id")
+    )
+    probes = _query_probes(spark, sf_dir).alias("p")
+    queries = (
+        vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .crossJoin(F.broadcast(cb))
+        .select(F.col("vec_id").alias("query_id"),
+                F.expr(_PQ_LUT_EXPR).alias("lut"))
+    )
+    pairs = (
+        F.broadcast(queries)
+        .join(probes, F.col("query_id") == F.col("p.vec_id"))
+        .join(corpus.alias("c"),
+              (F.col("p.cell") == F.col("c.cell"))
+              & (F.col("query_id") != F.col("c.vec_id")))
+        .select(
+            "query_id",
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.expr(_PQ_EST_EXPR).alias("est_dist2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("est_dist2"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+ANN_TOPK_IVFPQ_SQL = f"""
+WITH cb AS (
+  SELECT flatten(list(list_transform(embedding, x -> CAST(x AS DOUBLE))
+                      ORDER BY vec_id)) AS flat_cw
+  FROM embeddings WHERE vec_id < {PQ_K}
+),
+corpus AS (
+  SELECT v.vec_id, v.cell, {_PQ_CODES_SQL} AS codes
+  FROM ({_CELL_SQL}) v CROSS JOIN cb
+),
+probes AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT v.vec_id, s.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {V.dist2_sql("v.embedding", "s.cemb")} ASC,
+                      s.cid ASC) AS rn
+    FROM ({_NORM_SQL}) v
+    CROSS JOIN (SELECT vec_id AS cid, embedding AS cemb
+                FROM ({_NORM_SQL}) WHERE vec_id < {N_CELLS}) s
+    WHERE v.vec_id % {QUERY_MOD} = 0
+  ) WHERE rn <= {NPROBE}
+),
+queries AS (
+  SELECT vec_id AS query_id, {_PQ_LUT_SQL} AS lut
+  FROM embeddings CROSS JOIN cb
+  WHERE vec_id % {QUERY_MOD} = 0
+)
+SELECT query_id, neighbor_id, est_dist2, rank FROM (
+  SELECT query_id, neighbor_id, est_dist2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY est_dist2 ASC, neighbor_id ASC)
+           AS rank
+  FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id, {_PQ_EST_SQL} AS est_dist2
+    FROM queries q
+    JOIN probes p ON q.query_id = p.vec_id
+    JOIN corpus c ON p.cell = c.cell AND q.query_id <> c.vec_id
+  )
+)
+WHERE rank <= {TOP_K}
+"""
+
+QUERIES["ann_topk_ivfpq"] = ann_topk_ivfpq
+ORACLES["ann_topk_ivfpq"] = ANN_TOPK_IVFPQ_SQL

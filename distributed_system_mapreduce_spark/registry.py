@@ -129,9 +129,10 @@ _PRIORITY = [
     "compression_ratio", "kmeans_embed", "approx_price_quantiles",
     "freq_items_sketch", "bpe_train_merges", "bpe_vocab_stats",
     "bpe_token_count",
-    # -- slots 51-52: NEW this round (oracle-backed sketch
-    # certifications) — first in line for the r7 gate --------------
+    # -- slots 51+: NEW this round (oracle-backed) — first in line
+    # for the r7 gate ----------------------------------------------
     "approx_quantiles_certify", "freq_items_certify",
+    "ann_topk_ivfpq", "filestore_snapshot_diff",
     # -- driver-confirmed in r5 (re-confirmation tail) ------------
     "filestore_bucketed_join", "filestore_snapshot_read",
     "filestore_keyed_merge", "filestore_zorder_pruned",

@@ -7,6 +7,8 @@ bit-for-bit; these tests prove the *approximation quality* — the part
 a hash-match can't see (the LSH oracle runs the same sketch, so a
 useless sketch would still hash-match)."""
 
+from pyspark.sql import functions as F
+
 from distributed_system_mapreduce_spark.operators.similarity import (
     PANEL_SIZE,
     QUERY_MOD,
@@ -96,6 +98,37 @@ def test_pq_recall_beats_chance(spark):
     recall by a wide margin (measured 0.16 at this SF)."""
     r = _recall_vs_brute(spark, "ann_topk_pq")
     assert r >= 0.10, r
+
+
+def test_ivfpq_recall_beats_chance(spark):
+    """IVF-PQ composes both approximations (probe pruning x coarse
+    PQ ordering) on UNclustered random data — recall is the product
+    of the two filters' hit rates, but must still beat the ~2%
+    chance bar (measured ~0.11 at this SF: ~ivf 0.77 x pq 0.16)."""
+    r = _recall_vs_brute(spark, "ann_topk_ivfpq")
+    assert r >= 0.05, r
+
+
+def test_ivfpq_results_subset_of_probed_cells(spark):
+    """Every IVF-PQ neighbor must come from one of its query's probed
+    cells (the pruning invariant — a result outside a probed cell
+    means the cell join leaked)."""
+    from distributed_system_mapreduce_spark.operators.similarity import (
+        _query_probes,
+        _with_cell,
+    )
+
+    res = QUERIES["ann_topk_ivfpq"](spark, SF_DIR).select(
+        "query_id", "neighbor_id")
+    probes = _query_probes(spark, SF_DIR).withColumnRenamed(
+        "vec_id", "query_id")
+    cells = _with_cell(spark, SF_DIR).select(
+        F.col("vec_id").alias("neighbor_id"), "cell")
+    leaked = (
+        res.join(cells, "neighbor_id")
+        .join(probes, ["query_id", "cell"], "left_anti")
+    )
+    assert leaked.count() == 0
 
 
 def test_ann_recall_eval_covers_all_paths_with_floors(spark):
