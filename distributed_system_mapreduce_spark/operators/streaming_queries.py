@@ -424,6 +424,79 @@ WHERE rn = 1 AND op = 'U'
 """
 
 
+# ------------------------------------------- stream_snapshot_append
+def stream_snapshot_append(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """The VERSIONED snapshot sink certified exactly-once under the
+    worst replay case: the event stream lands through
+    snapshot_sink_stream (every micro-batch commits as an
+    append_snapshot tagged with its batch id — one immutable,
+    time-travelable version per batch), then the CHECKPOINT IS
+    DELETED and the whole feed re-runs: every batch re-delivers, and
+    the version ledger's tags must detect and skip each one BEFORE
+    any data is written. The final latest version is rolled up per
+    event type and must hash-match the SINGLE-copy batch SQL — a
+    duplicated version would double every count. Completes the
+    exactly-once trio: dedup_census (watermarked row dedup),
+    cdc_materialize (keyed merge sink), this (versioned append sink
+    + idempotence ledger).
+
+    Scale: the ledger check is O(versions) driver-side metadata per
+    batch; data files are written once, replays cost zero writes."""
+    import os
+    import shutil
+
+    from distributed_system_mapreduce_spark.operators.filestore_queries import (
+        scratch_root,
+    )
+    from distributed_system_mapreduce_spark.sources.filestore import (
+        FileStore,
+    )
+    from distributed_system_mapreduce_spark.streaming import (
+        read_events_stream,
+    )
+    from distributed_system_mapreduce_spark.streaming.jobs import (
+        snapshot_sink_stream,
+    )
+
+    sf = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    root = os.path.join(scratch_root(), "snapsink", sf)
+    shutil.rmtree(root, ignore_errors=True)
+    fs = FileStore(spark, os.path.join(root, "store"))
+    name = "ev_snap"
+    snapshot_sink_stream(read_events_stream(spark, sf_dir), fs, name,
+                         os.path.join(root, "ckpt"))
+    n_before = len(fs.versions(name))
+    # crash-replay worst case: lose the checkpoint, re-run the feed
+    shutil.rmtree(os.path.join(root, "ckpt"), ignore_errors=True)
+    snapshot_sink_stream(read_events_stream(spark, sf_dir), fs, name,
+                         os.path.join(root, "ckpt"))
+    if len(fs.versions(name)) != n_before:  # ledger failed to skip
+        raise RuntimeError(
+            f"replay wrote {len(fs.versions(name)) - n_before} "
+            "duplicate version(s) past the tag ledger")
+    return (
+        fs.read_snapshot(name)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double").alias("sum_value"),
+        )
+    )
+
+
+STREAM_SNAPSHOT_APPEND_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "stream_windowed_rollup": stream_windowed_rollup,
     "stream_topk_users_daily": stream_topk_users_daily,
@@ -432,6 +505,7 @@ QUERIES = {
     "stream_funnel_join": stream_funnel_join,
     "stream_abandoned_views": stream_abandoned_views,
     "stream_cdc_materialize": stream_cdc_materialize,
+    "stream_snapshot_append": stream_snapshot_append,
 }
 
 ORACLES = {
@@ -442,4 +516,5 @@ ORACLES = {
     "stream_funnel_join": STREAM_FUNNEL_JOIN_SQL,
     "stream_abandoned_views": STREAM_ABANDONED_VIEWS_SQL,
     "stream_cdc_materialize": STREAM_CDC_MATERIALIZE_SQL,
+    "stream_snapshot_append": STREAM_SNAPSHOT_APPEND_SQL,
 }
