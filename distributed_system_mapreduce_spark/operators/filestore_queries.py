@@ -406,6 +406,54 @@ GROUP BY op
 """
 
 
+# -------------------------------------- filestore_schema_evolution
+def filestore_schema_evolution(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Additive schema evolution certified by oracle: v1 commits the
+    pre-cutoff orders WITHOUT the priority column, a later append
+    adds the post-cutoff rows WITH it (nothing rewritten — the new
+    column exists only in the new files), and the merged-schema read
+    of the latest version rolls revenue up by whether the column is
+    present. The oracle derives presence straight from the cutoff
+    over the original table, so a hash match proves the schema union
+    surfaces the new column, NULLs it for pre-evolution files, and
+    loses no rows — the Iceberg add-column story on plain parquet.
+
+    Scale: mergeSchema costs one footer pass over the version's file
+    list (metadata-scale); no data file is touched by evolution."""
+    fs = _store(spark, sf_dir)
+    name = "fs_demo_orders_evo"
+    fs.delete(name)
+    orders = load_table(spark, "orders", sf_dir)
+    cut = F.lit(_SNAP_CUTOFF).cast("timestamp")
+    fs.write_snapshot(
+        orders.filter(F.col("o_orderdate") < cut)
+        .select("o_orderkey", "o_totalprice"), name)
+    fs.append_snapshot(
+        orders.filter(F.col("o_orderdate") >= cut)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority"), name)
+    return (
+        fs.read_snapshot(name, merge_schema=True)
+        .groupBy(F.col("o_orderpriority").isNotNull()
+                 .alias("has_priority"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double").alias("revenue"),
+        )
+    )
+
+
+FILESTORE_SCHEMA_EVOLUTION_SQL = f"""
+SELECT o_orderdate >= TIMESTAMP '{_SNAP_CUTOFF}' AS has_priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue
+FROM orders
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "filestore_bucketed_join": filestore_bucketed_join,
     "filestore_snapshot_read": filestore_snapshot_read,
@@ -413,6 +461,7 @@ QUERIES = {
     "filestore_zorder_pruned": filestore_zorder_pruned,
     "filestore_concurrent_commit": filestore_concurrent_commit,
     "filestore_snapshot_diff": filestore_snapshot_diff,
+    "filestore_schema_evolution": filestore_schema_evolution,
 }
 
 ORACLES = {
@@ -422,4 +471,5 @@ ORACLES = {
     "filestore_zorder_pruned": FILESTORE_ZORDER_PRUNED_SQL,
     "filestore_concurrent_commit": FILESTORE_CONCURRENT_COMMIT_SQL,
     "filestore_snapshot_diff": FILESTORE_SNAPSHOT_DIFF_SQL,
+    "filestore_schema_evolution": FILESTORE_SCHEMA_EVOLUTION_SQL,
 }

@@ -133,7 +133,7 @@ _PRIORITY = [
     # for the r7 gate ----------------------------------------------
     "approx_quantiles_certify", "freq_items_certify",
     "ann_topk_ivfpq", "filestore_snapshot_diff",
-    "stream_snapshot_append",
+    "stream_snapshot_append", "filestore_schema_evolution",
     # -- driver-confirmed in r5 (re-confirmation tail) ------------
     "filestore_bucketed_join", "filestore_snapshot_read",
     "filestore_keyed_merge", "filestore_zorder_pruned",

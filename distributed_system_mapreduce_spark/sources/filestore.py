@@ -721,10 +721,18 @@ class FileStore:
             f"could not commit {name!r} after "
             f"{self._COMMIT_RETRIES} attempts")
 
-    def read_snapshot(self, name: str,
-                      version: int | None = None) -> DataFrame:
+    def read_snapshot(self, name: str, version: int | None = None,
+                      merge_schema: bool = False) -> DataFrame:
         """Read a committed version (default: latest) — time travel
-        is just planning the scan over that version's file list."""
+        is just planning the scan over that version's file list.
+
+        merge_schema=True unions the file schemas across the
+        version's file list (columns added by later appends read as
+        NULL in older files — Iceberg-style additive schema
+        evolution; parquet's mergeSchema pays one footer pass over
+        the version's files, metadata-scale). Old versions keep
+        reading with their own schema either way — evolution never
+        rewrites data."""
         vs = self._snapshot_versions(name)
         if not vs:
             raise FileNotFoundError(f"no snapshots for {name!r}")
@@ -734,7 +742,10 @@ class FileStore:
         files = self._read_manifest(name, v)["files"]
         if not files:
             raise FileNotFoundError(f"{name!r} v{v} is empty")
-        return self.spark.read.parquet(*files)
+        r = self.spark.read
+        if merge_schema:
+            r = r.option("mergeSchema", True)
+        return r.parquet(*files)
 
     def restore_snapshot(self, name: str, version: int) -> int:
         """Roll back: commit a NEW version whose file list is the old

@@ -731,3 +731,56 @@ def test_crash_mid_commit_leaves_previous_version_readable(fs, spark):
         spark.createDataFrame([(3, "next")], "k long, v string"), "ds")
     assert v2 == v1 + 1
     assert {r["v"] for r in fs.read_snapshot("ds").collect()} == {"next"}
+
+
+def test_snapshot_schema_evolution_merged_and_versioned(fs, spark):
+    """Additive evolution: an append introduces a new column without
+    rewriting v1's files. merge_schema=True reads the union (NULLs
+    for pre-evolution files); the OLD version still reads with its
+    own narrower schema — evolution never touches committed data."""
+    v1 = fs.write_snapshot(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)],
+                              "k long, val double"), "evo")
+    fs.append_snapshot(
+        spark.createDataFrame([(3, 30.0, "x")],
+                              "k long, val double, tag string"), "evo")
+    merged = fs.read_snapshot("evo", merge_schema=True)
+    assert set(merged.columns) == {"k", "val", "tag"}
+    rows = {r["k"]: r["tag"] for r in merged.collect()}
+    assert rows == {1: None, 2: None, 3: "x"}
+    old = fs.read_snapshot("evo", version=v1)
+    assert set(old.columns) == {"k", "val"}
+    assert old.count() == 2
+
+
+def test_concurrent_appends_survive_on_hadoop_backend(spark, tmp_path):
+    """The CAS commit holds on the Hadoop IO path too (file:// routes
+    every namespace op through the JVM FileSystem client — the
+    cluster posture): two barrier-raced appenders, all versions
+    survive."""
+    import threading
+
+    fs = FileStore(spark, f"file://{tmp_path}/hcas")
+    frames = [
+        spark.createDataFrame([(w, f"w{w}")], "k long, who string")
+        for w in range(2)
+    ]
+    barrier = threading.Barrier(2)
+    errs: list[Exception] = []
+
+    def work(w: int) -> None:
+        try:
+            barrier.wait(timeout=60)
+            fs.append_snapshot(frames[w], "shared")
+        except Exception as exc:
+            errs.append(exc)
+
+    ts = [threading.Thread(target=work, args=(w,)) for w in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not errs, errs
+    assert fs.versions("shared") == [1, 2]
+    got = {(r["k"], r["who"]) for r in fs.read_snapshot("shared").collect()}
+    assert got == {(0, "w0"), (1, "w1")}
