@@ -342,7 +342,15 @@ class FileStore:
         Refuses keyed (write_keyed) datasets: their bucket dirs and
         _n_buckets sidecar ARE the layout merge() depends on — for
         those, rewrite via write_keyed, or rely on merge()'s
-        bucket-local rewrites staying bucket-sized."""
+        bucket-local rewrites staying bucket-sized.
+
+        Serialized behind the dataset's advisory write lock, like
+        every in-place rewriter here."""
+        with self.write_lock(name):
+            return self._compact_unlocked(name, target_bytes)
+
+    def _compact_unlocked(self, name: str,
+                          target_bytes: int = 128 << 20) -> int:
         import math
 
         p = self._path(name)
@@ -473,6 +481,70 @@ class FileStore:
             out = out.where((F.col(c) >= lo) & (F.col(c) <= hi))
         return out
 
+    # ----------------------------------------------- advisory write lock
+    # The snapshot layouts need no lock (their commit is one CAS
+    # rename); the KEYED layouts rewrite bucket dirs in place, so two
+    # concurrent writers could interleave destructively. This is the
+    # SDFS write-lock parity (request_write, file_system.go:279),
+    # built on the same rename_noreplace CAS as the snapshot ledger:
+    # holder identity + acquire time live in the lock file, a crashed
+    # holder's lock is reclaimed after stale_sec, and merge()/
+    # write_keyed()/compact() take it automatically.
+
+    def _lock_path(self, name: str) -> str:
+        return f"{self.root.rstrip('/')}/.locks/{name}.lock"
+
+    def write_lock(self, name: str, timeout_sec: float = 120.0,
+                   stale_sec: float = 600.0):
+        """Context manager: exclusive advisory writer lock on a
+        dataset. Raises TimeoutError if another live holder keeps it
+        past timeout_sec."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _held():
+            self._acquire_lock(name, timeout_sec, stale_sec)
+            try:
+                yield
+            finally:
+                self._io.delete(self._lock_path(name))
+
+        return _held()
+
+    def _acquire_lock(self, name: str, timeout_sec: float,
+                      stale_sec: float) -> None:
+        import json
+        import os as _os
+        import time
+        import uuid
+
+        lock = self._lock_path(name)
+        deadline = time.monotonic() + timeout_sec
+        held = None
+        while True:
+            tmp = f"{lock}.{uuid.uuid4().hex[:8]}.tmp"
+            self._io.write_text(tmp, json.dumps(
+                {"pid": _os.getpid(), "ts": time.time()}))
+            try:
+                self._io.rename_noreplace(tmp, lock)
+                return
+            except FileExistsError:
+                self._io.delete(tmp)
+            # held: reclaim if stale (crashed holder), else wait
+            try:
+                held = json.loads(self._io.read_text(lock))
+                if time.time() - held.get("ts", 0) > stale_sec:
+                    self._io.delete(lock)
+                    continue
+            except Exception:
+                # racing release between exists-check and read: retry
+                pass
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"write lock on {name!r} held past {timeout_sec}s "
+                    f"(holder: {held})")
+            time.sleep(0.05)
+
     # ------------------------------------------- keyed incremental merge
     _MERGE_BUCKET = "_kbucket"
 
@@ -484,24 +556,38 @@ class FileStore:
         per update (PutFile, file_system.go:825) — here an update
         rewrites 1/n_buckets of the data, not all of it. Size
         n_buckets so one bucket ~ one comfortable task (at 100 TB:
-        thousands)."""
+        thousands). Takes the dataset's write lock (a concurrent
+        merge racing the re-layout would interleave destructively)."""
         from pyspark.sql import functions as F
 
-        (
-            df.withColumn(
-                self._MERGE_BUCKET, F.pmod(F.xxhash64(key), n_buckets))
-            .write.format("parquet").mode("overwrite")
-            .partitionBy(self._MERGE_BUCKET)
-            .save(self._path(name))
-        )
-        # sidecar: the bucket count can't be inferred from the data
-        # (top buckets may be empty) and a wrong modulus on merge
-        # would silently strand old row versions in other buckets
-        self._io.write_text(self._path(name) + "/_n_buckets",
-                            str(n_buckets))
+        with self.write_lock(name):
+            (
+                df.withColumn(
+                    self._MERGE_BUCKET, F.pmod(F.xxhash64(key), n_buckets))
+                .write.format("parquet").mode("overwrite")
+                .partitionBy(self._MERGE_BUCKET)
+                .save(self._path(name))
+            )
+            # sidecar: the bucket count can't be inferred from the
+            # data (top buckets may be empty) and a wrong modulus on
+            # merge would silently strand old row versions elsewhere
+            self._io.write_text(self._path(name) + "/_n_buckets",
+                                str(n_buckets))
 
     def merge(self, changes: DataFrame, name: str, key: str,
               delete_col: str | None = None) -> None:
+        """Serialized behind the dataset's advisory write lock (see
+        write_lock): the keyed layout's commit is an in-place bucket
+        rewrite, not an atomic rename, so two concurrent mergers must
+        take turns — with the lock, BOTH land (second reads the
+        first's result), the SDFS write-lock behavior
+        (file_system.go:279) rather than the old documented
+        single-writer caveat."""
+        with self.write_lock(name):
+            self._merge_unlocked(changes, name, key, delete_col)
+
+    def _merge_unlocked(self, changes: DataFrame, name: str, key: str,
+                        delete_col: str | None = None) -> None:
         """Upsert `changes` into a write_keyed dataset by key; rows
         with `delete_col` true are deletes. Only the hash partitions
         containing changed keys are read back (partition pruning
@@ -511,9 +597,8 @@ class FileStore:
         100 TB table a 0.1%-ish job rather than a full rewrite.
 
         Last-writer-wins within `changes` is the caller's problem
-        (pre-dedup by key); concurrent mergers need an external lock —
-        the reference's SDFS write-lock (file_system.go) delegated to
-        the platform like the rest of its consistency story."""
+        (pre-dedup by key); concurrent mergers are serialized by the
+        advisory write lock taken in merge() above."""
         from pyspark.sql import functions as F
 
         p = self._path(name)

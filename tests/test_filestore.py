@@ -784,3 +784,57 @@ def test_concurrent_appends_survive_on_hadoop_backend(spark, tmp_path):
     assert fs.versions("shared") == [1, 2]
     got = {(r["k"], r["who"]) for r in fs.read_snapshot("shared").collect()}
     assert got == {(0, "w0"), (1, "w1")}
+
+
+def test_concurrent_merges_serialize_and_both_land(fs, spark):
+    """Two mergers racing one keyed dataset (the in-place rewrite the
+    CAS can't protect): the advisory write lock serializes them and
+    BOTH deltas land — the SDFS write-lock behavior, not the old
+    single-writer caveat."""
+    import threading
+
+    base = spark.createDataFrame(
+        [(k, 0.0) for k in range(20)], "k long, v double")
+    fs.write_keyed(base, "kd", "k", n_buckets=4)
+    deltas = [
+        spark.createDataFrame([(w, 1.0 + w)], "k long, v double")
+        for w in (3, 7)
+    ]
+    barrier = threading.Barrier(2)
+    errs: list[Exception] = []
+
+    def work(df) -> None:
+        try:
+            barrier.wait(timeout=60)
+            fs.merge(df, "kd", "k")
+        except Exception as exc:
+            errs.append(exc)
+
+    ts = [threading.Thread(target=work, args=(d,)) for d in deltas]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not errs, errs
+    got = {r["k"]: r["v"] for r in fs.read("kd").collect()}
+    assert got[3] == 4.0 and got[7] == 8.0      # both deltas applied
+    assert len(got) == 20                        # nothing lost
+
+
+def test_write_lock_timeout_and_stale_reclaim(fs, spark):
+    """A live holder blocks a second writer until timeout; a crashed
+    holder's lock (stale ts) is reclaimed and the writer proceeds."""
+    import json
+    import time
+
+    import pytest as _pytest
+
+    with fs.write_lock("busy"):
+        with _pytest.raises(TimeoutError):
+            with fs.write_lock("busy", timeout_sec=0.3):
+                pass
+    # crashed holder: lock file with an ancient timestamp
+    fs._io.write_text(fs._lock_path("dead"), json.dumps(
+        {"pid": 1, "ts": time.time() - 10_000}))
+    with fs.write_lock("dead", stale_sec=600.0):
+        pass  # acquired by reclaiming the stale lock
