@@ -76,6 +76,10 @@ QUERIES_UNDER_TEST = [
     "filestore_bucketed_join", "filestore_snapshot_read",
     "filestore_keyed_merge", "mr_contact_trace", "embedding_cos_hist",
     "dedup_cross_lang",
+    # round-6 additions: the IVF-PQ composition (probe join + ADC
+    # fold — the new ANN shape) and the MG certification's vocabulary
+    # rollup (the one new full-vocab shuffle)
+    "ann_topk_ivfpq", "freq_items_certify",
 ]
 
 # Queries whose RESULT grows faster than the input under this corpus
