@@ -26,6 +26,14 @@ from pyspark.sql import DataFrame, SparkSession
 _FORMATS = ("parquet", "orc", "csv", "json", "text")
 
 
+class LockLost(RuntimeError):
+    """An advisory write lock was reclaimed while its holder still
+    believed it held it (the holder stalled past stale_sec without a
+    lease renewal). Raised at release instead of deleting the
+    reclaimer's live lock: the tail of the critical section may have
+    raced the new holder, and that must surface, not pass silently."""
+
+
 class SnapshotConflict(RuntimeError):
     """A concurrent writer committed a version this operation's result
     was NOT derived from (e.g. an append landed while a compaction was
@@ -37,6 +45,10 @@ class SnapshotConflict(RuntimeError):
 
 class _LocalIO:
     """os/shutil fast path for plain local roots."""
+
+    # link(2) gives a true atomic create-if-absent, so the CAS commit
+    # protocol holds without any external lock
+    atomic_cas = True
 
     def __init__(self, spark: SparkSession, root: str):
         self.root = root
@@ -96,6 +108,13 @@ class _LocalIO:
         os.link(src, dst)
         os.unlink(src)
 
+    def move_unique(self, src: str, dst: str) -> None:
+        # atomic move to a caller-unique destination, arbitrated on
+        # the SOURCE: rename(2) of a vanished src raises FileNotFound,
+        # so of N concurrent movers exactly one wins (the stale-lock
+        # reclaim primitive — dst uniqueness is the caller's job)
+        os.rename(src, dst)
+
     def file_sizes(self, p: str) -> list[int]:
         return [os.path.getsize(f) for f in self.ls_files(p)]
 
@@ -117,14 +136,34 @@ class _HadoopIO:
     Hadoop conf can reach, the FileStore namespace can too. (The
     file:// scheme exercises this code path in local tests.)"""
 
+    # Schemes whose namespace gives a REAL create-if-absent CAS:
+    # file:// rides the local os.link path below; the HDFS family's
+    # rename is a namenode metadata op that FAILS when dst exists.
+    # Everything else (s3a/gs/abfs/... object stores without
+    # conditional put wired through the Hadoop client) is exists()+
+    # rename — NOT atomic — so atomic_cas is False and FileStore
+    # serializes ledger commits behind the advisory write lock
+    # instead (the reference's universal write-lock posture,
+    # file_system.go:279).
+    _CAS_SCHEMES = ("file", "hdfs", "viewfs", "webhdfs", "swebhdfs")
+
     def __init__(self, spark: SparkSession, root: str):
         self.root = root
+        self._scheme = root.split("://", 1)[0].lower()
+        self.atomic_cas = self._scheme in self._CAS_SCHEMES
         jvm = spark._jvm
         self._Path = jvm.org.apache.hadoop.fs.Path
         self._fs = self._Path(root).getFileSystem(
             spark._jsc.hadoopConfiguration())
         self._jvm = jvm
         self._fs.mkdirs(self._Path(root))
+
+    @staticmethod
+    def _local(p: str) -> str:
+        """file:// URI -> local filesystem path (for the os.link CAS)."""
+        from urllib.parse import urlparse
+
+        return urlparse(p).path
 
     def exists(self, p: str) -> bool:
         return self._fs.exists(self._Path(p))
@@ -203,16 +242,38 @@ class _HadoopIO:
             raise OSError(f"rename failed: {src} -> {dst}")
 
     def rename_noreplace(self, src: str, dst: str) -> None:
-        # HDFS rename(2)-style semantics: rename FAILS (returns false)
-        # when dst exists, which is exactly the CAS the commit needs.
-        # On object stores without atomic rename (S3 pre-conditional-
-        # put), deployments pin commits behind an external lock — the
-        # same caveat Delta carries (LogStore per-filesystem).
+        # file://: RawLocalFileSystem's rename is File.renameTo ->
+        # POSIX rename(2), which SILENTLY REPLACES dst — an exists()
+        # precheck is a TOCTOU, not a CAS. Route through link(2) on
+        # the underlying local paths instead (true atomic
+        # create-if-absent, same primitive as _LocalIO).
+        if self._scheme == "file":
+            os.link(self._local(src), self._local(dst))
+            os.unlink(self._local(src))
+            return
+        # HDFS family: rename is a namenode metadata op that FAILS
+        # (returns false) when dst exists — a real CAS; the precheck
+        # is only a fast-path. Object stores without conditional put:
+        # this exists()+rename is best-effort ONLY (atomic_cas is
+        # False) and FileStore wraps the commit in the advisory write
+        # lock — the same caveat Delta carries (LogStore
+        # per-filesystem).
         if self._fs.exists(self._Path(dst)):
             raise FileExistsError(dst)
         if not self._fs.rename(self._Path(src), self._Path(dst)):
             if self._fs.exists(self._Path(dst)):
                 raise FileExistsError(dst)  # lost the race post-check
+            raise OSError(f"rename failed: {src} -> {dst}")
+
+    def move_unique(self, src: str, dst: str) -> None:
+        # atomic move to a caller-unique destination, arbitrated on
+        # the source (see _LocalIO.move_unique)
+        if self._scheme == "file":
+            os.rename(self._local(src), self._local(dst))
+            return
+        if not self._fs.rename(self._Path(src), self._Path(dst)):
+            if not self._fs.exists(self._Path(src)):
+                raise FileNotFoundError(src)
             raise OSError(f"rename failed: {src} -> {dst}")
 
     def file_sizes(self, p: str) -> list[int]:
@@ -482,14 +543,18 @@ class FileStore:
         return out
 
     # ----------------------------------------------- advisory write lock
-    # The snapshot layouts need no lock (their commit is one CAS
-    # rename); the KEYED layouts rewrite bucket dirs in place, so two
-    # concurrent writers could interleave destructively. This is the
-    # SDFS write-lock parity (request_write, file_system.go:279),
-    # built on the same rename_noreplace CAS as the snapshot ledger:
-    # holder identity + acquire time live in the lock file, a crashed
-    # holder's lock is reclaimed after stale_sec, and merge()/
-    # write_keyed()/compact() take it automatically.
+    # The snapshot layouts need no lock on CAS-capable backends
+    # (their commit is one rename_noreplace); the KEYED layouts
+    # rewrite bucket dirs in place, so two concurrent writers could
+    # interleave destructively — merge()/write_keyed()/compact() take
+    # the lock automatically. On non-CAS backends (atomic_cas False:
+    # object stores) the snapshot ledger commit ALSO serializes
+    # behind this lock (see _publish). This is the SDFS write-lock
+    # parity (request_write, file_system.go:279): holder token +
+    # acquire time live in the lock file, the lease is renewed while
+    # held, a crashed holder's lock is reclaimed after stale_sec by
+    # moving it aside (never deleting), and release is
+    # token-verified.
 
     def _lock_path(self, name: str) -> str:
         return f"{self.root.rstrip('/')}/.locks/{name}.lock"
@@ -498,52 +563,157 @@ class FileStore:
                    stale_sec: float = 600.0):
         """Context manager: exclusive advisory writer lock on a
         dataset. Raises TimeoutError if another live holder keeps it
-        past timeout_sec."""
+        past timeout_sec.
+
+        Holder safety: the lock body carries a unique holder token
+        (pid+uuid); while held, a daemon thread REFRESHES the ts every
+        stale_sec/3 so a long merge is not silently reclaimed as
+        stale, and release verifies the token before deleting — a
+        holder that somehow lost the lock (renewal stalled past
+        stale_sec, e.g. a suspended process) raises LockLost instead
+        of deleting the reclaimer's live lock. Lease reasoning as
+        usual: mutual exclusion assumes the renewal thread is never
+        paused longer than stale_sec - stale_sec/3."""
         import contextlib
+        import threading
 
         @contextlib.contextmanager
         def _held():
-            self._acquire_lock(name, timeout_sec, stale_sec)
+            token = self._acquire_lock(name, timeout_sec, stale_sec)
+            stop = threading.Event()
+            lost = threading.Event()
+            renewer = threading.Thread(
+                target=self._renew_lock,
+                args=(name, token, stale_sec, stop, lost),
+                daemon=True)
+            renewer.start()
             try:
                 yield
             finally:
-                self._io.delete(self._lock_path(name))
+                stop.set()
+                renewer.join(timeout=10)
+                self._release_lock(name, token, lost.is_set())
 
         return _held()
 
     def _acquire_lock(self, name: str, timeout_sec: float,
-                      stale_sec: float) -> None:
+                      stale_sec: float) -> str:
+        """CAS-acquire the advisory lock; returns the holder token.
+
+        On backends whose rename_noreplace is a true CAS (atomic_cas)
+        a successful rename IS ownership. On object-store backends it
+        can silently replace a racer, so ownership is confirmed by
+        reading the lock back after a settle interval and checking the
+        token — exactly one racer sees its own token survive."""
         import json
         import os as _os
         import time
         import uuid
 
         lock = self._lock_path(name)
+        cas = getattr(self._io, "atomic_cas", True)
+        token = f"{_os.getpid()}-{uuid.uuid4().hex}"
         deadline = time.monotonic() + timeout_sec
         held = None
         while True:
-            tmp = f"{lock}.{uuid.uuid4().hex[:8]}.tmp"
-            self._io.write_text(tmp, json.dumps(
-                {"pid": _os.getpid(), "ts": time.time()}))
-            try:
-                self._io.rename_noreplace(tmp, lock)
-                return
-            except FileExistsError:
-                self._io.delete(tmp)
-            # held: reclaim if stale (crashed holder), else wait
-            try:
-                held = json.loads(self._io.read_text(lock))
-                if time.time() - held.get("ts", 0) > stale_sec:
-                    self._io.delete(lock)
+            if not self._io.exists(lock):
+                tmp = f"{lock}.{uuid.uuid4().hex[:8]}.tmp"
+                self._io.write_text(tmp, json.dumps(
+                    {"pid": _os.getpid(), "token": token,
+                     "ts": time.time()}))
+                try:
+                    self._io.rename_noreplace(tmp, lock)
+                    if cas:
+                        return token
+                    time.sleep(0.05)  # settle: let racing writes land
+                    try:
+                        body = json.loads(self._io.read_text(lock))
+                        if body.get("token") == token:
+                            return token
+                    except Exception:
+                        pass  # racer mid-write: treat as lost, retry
+                except FileExistsError:
+                    self._io.delete(tmp)
+            else:
+                try:
+                    held = json.loads(self._io.read_text(lock))
+                except Exception:
+                    held = None  # racing release/refresh: retry
+                if (held is not None
+                        and time.time() - held.get("ts", 0) > stale_sec):
+                    self._reclaim_stale(lock)
                     continue
-            except Exception:
-                # racing release between exists-check and read: retry
-                pass
             if time.monotonic() > deadline:
                 raise TimeoutError(
                     f"write lock on {name!r} held past {timeout_sec}s "
                     f"(holder: {held})")
             time.sleep(0.05)
+
+    def _reclaim_stale(self, lock: str) -> None:
+        """Reclaim a crashed holder's stale lock by atomically MOVING
+        it aside to a unique tombstone — never by deleting it. The
+        move arbitrates on the source (of N racing reclaimers exactly
+        one wins; the losers' moves find it gone), so a delayed
+        reclaimer can never remove a FRESH lock CAS'd after the
+        winner's reclaim (the delete-based TOCTOU this replaces). A
+        tombstone orphaned by a crash mid-reclaim is inert garbage
+        under .locks/."""
+        import uuid
+
+        tomb = f"{lock}.rip.{uuid.uuid4().hex[:8]}"
+        try:
+            self._io.move_unique(lock, tomb)
+        except (FileNotFoundError, OSError):
+            return  # another reclaimer won (or the holder released)
+        self._io.delete(tomb)
+
+    def _renew_lock(self, name: str, token: str, stale_sec: float,
+                    stop, lost) -> None:
+        """Lease renewal loop (daemon thread while the lock is held):
+        refresh ts every stale_sec/3 so a long-running holder never
+        looks stale to waiters. Verifies the token before every
+        refresh — if the lock was reclaimed anyway (this thread
+        stalled past the lease), it flags `lost` and stops rather
+        than resurrecting a stale claim over the new holder."""
+        import json
+        import os as _os
+        import time
+
+        lock = self._lock_path(name)
+        while not stop.wait(stale_sec / 3):
+            try:
+                body = json.loads(self._io.read_text(lock))
+            except Exception:
+                continue  # transient unreadable (racing reader): retry
+            if body.get("token") != token:
+                lost.set()
+                return
+            self._io.write_text(lock, json.dumps(
+                {"pid": _os.getpid(), "token": token,
+                 "ts": time.time()}))
+
+    def _release_lock(self, name: str, token: str,
+                      known_lost: bool) -> None:
+        """Token-verified release: delete the lock ONLY if the body
+        still carries this holder's token. A mismatch means the lock
+        was reclaimed while held (mutual exclusion may have been
+        violated for the tail of this critical section) — surface
+        that loudly instead of silently deleting the new holder's
+        live lock."""
+        import json
+
+        lock = self._lock_path(name)
+        try:
+            body = json.loads(self._io.read_text(lock))
+        except Exception:
+            body = None
+        if known_lost or body is None or body.get("token") != token:
+            raise LockLost(
+                f"write lock on {name!r} was reclaimed while held — "
+                f"the holder exceeded stale_sec without renewal; "
+                f"operations in this critical section may have raced "
+                f"the reclaimer (current holder: {body})")
+        self._io.delete(lock)
 
     # ------------------------------------------- keyed incremental merge
     _MERGE_BUCKET = "_kbucket"
@@ -712,7 +882,14 @@ class FileStore:
         hand-rolled distributed write locks, file_system.go:279).
         A crash before the rename leaves only an invisible .tmp and
         orphan data files — the previous version stays the readable
-        latest, and vacuum reclaims the orphans."""
+        latest, and vacuum reclaims the orphans.
+
+        On backends whose rename_noreplace is NOT a real CAS (object
+        stores without conditional put — atomic_cas False on the IO),
+        the commit is serialized behind the dataset's advisory ledger
+        lock instead: exists-check + rename under mutual exclusion,
+        the reference's universal write-lock posture
+        (file_system.go:279) applied to snapshot commits."""
         import json
         import uuid
 
@@ -723,11 +900,19 @@ class FileStore:
         # staging file either
         tmp = f"{vd}/.v{version}-{uuid.uuid4().hex[:8]}.json.tmp"
         self._io.write_text(tmp, body)
-        try:
-            self._io.rename_noreplace(tmp, f"{vd}/v{version}.json")
-        except FileExistsError:
-            self._io.delete(tmp)
-            raise
+        dst = f"{vd}/v{version}.json"
+        if getattr(self._io, "atomic_cas", True):
+            try:
+                self._io.rename_noreplace(tmp, dst)
+            except FileExistsError:
+                self._io.delete(tmp)
+                raise
+        else:
+            with self.write_lock(name + ".ledger"):
+                if self._io.exists(dst):
+                    self._io.delete(tmp)
+                    raise FileExistsError(dst)
+                self._io.rename(tmp, dst)
 
     def snapshot_tags(self, name: str) -> set[str]:
         """Tags of every committed version — the idempotence ledger a

@@ -838,3 +838,232 @@ def test_write_lock_timeout_and_stale_reclaim(fs, spark):
         {"pid": 1, "ts": time.time() - 10_000}))
     with fs.write_lock("dead", stale_sec=600.0):
         pass  # acquired by reclaiming the stale lock
+
+
+# ------------------------------------------------------------------
+# Object-store posture: a backend whose rename_noreplace SILENTLY
+# REPLACES (S3 without conditional put). FileStore must detect it
+# (atomic_cas False) and serialize ledger commits behind the
+# advisory lock; the lock itself must arbitrate by token readback.
+# ------------------------------------------------------------------
+
+
+def _make_noncas_fs(spark, tmp_path):
+    from distributed_system_mapreduce_spark.sources.filestore import (
+        _LocalIO,
+    )
+
+    class _ReplaceOnRenameIO(_LocalIO):
+        """The S3 failure mode: 'rename' is copy-over — it replaces an
+        existing destination without erroring, so exists()+rename is a
+        TOCTOU, not a CAS."""
+
+        atomic_cas = False
+
+        def rename_noreplace(self, src: str, dst: str) -> None:
+            os.replace(src, dst)
+
+    fs = FileStore(spark, str(tmp_path / "s3ish"))
+    fs._io = _ReplaceOnRenameIO(spark, fs.root)
+    return fs
+
+
+def test_snapshot_commits_survive_replace_on_rename_backend(
+        spark, tmp_path):
+    """Two racing snapshot appenders on a backend with NO atomic
+    create-if-absent: both commits land (or one cleanly retries onto
+    the next version) because _publish serializes behind the advisory
+    ledger lock — no manifest is silently overwritten and no rows
+    vanish."""
+    import threading
+
+    fs = _make_noncas_fs(spark, tmp_path)
+    frames = [
+        spark.createDataFrame([(w, f"w{w}")], "k long, who string")
+        for w in range(2)
+    ]
+    barrier = threading.Barrier(2)
+    errs: list[Exception] = []
+
+    def work(w: int) -> None:
+        try:
+            barrier.wait(timeout=60)
+            fs.append_snapshot(frames[w], "shared")
+        except Exception as exc:
+            errs.append(exc)
+
+    ts = [threading.Thread(target=work, args=(w,)) for w in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not errs, errs
+    assert fs.versions("shared") == [1, 2]
+    got = {(r["k"], r["who"]) for r in fs.read_snapshot("shared").collect()}
+    assert got == {(0, "w0"), (1, "w1")}
+
+
+def test_noncas_write_lock_mutual_exclusion(spark, tmp_path):
+    """On the replace-on-rename backend the lock CAS can be silently
+    overwritten, so ownership is arbitrated by token readback: racing
+    acquirers never overlap inside the critical section."""
+    import threading
+    import time
+
+    fs = _make_noncas_fs(spark, tmp_path)
+    guard = threading.Lock()
+    active: list[int] = []
+    overlaps: list[int] = []
+    errs: list[Exception] = []
+
+    def work(i: int) -> None:
+        try:
+            with fs.write_lock("mx", timeout_sec=60.0):
+                with guard:
+                    if active:
+                        overlaps.append(i)
+                    active.append(i)
+                time.sleep(0.15)
+                with guard:
+                    active.remove(i)
+        except Exception as exc:
+            errs.append(exc)
+
+    ts = [threading.Thread(target=work, args=(i,)) for i in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=120)
+    assert not errs, errs
+    assert not overlaps, f"lock holders overlapped: {overlaps}"
+
+
+def test_stale_reclaim_single_winner_no_fresh_lock_deleted(fs, spark):
+    """N waiters racing one stale lock: reclaim moves the lock aside
+    (source-arbitrated, exactly one mover wins), so a delayed waiter
+    can never delete the FRESH lock the winner CAS'd — all N proceed
+    strictly sequentially."""
+    import json
+    import threading
+    import time
+
+    fs._io.write_text(fs._lock_path("stale"), json.dumps(
+        {"pid": 1, "token": "crashed", "ts": time.time() - 10_000}))
+    guard = threading.Lock()
+    active: list[int] = []
+    overlaps: list[int] = []
+    errs: list[Exception] = []
+
+    def work(i: int) -> None:
+        try:
+            with fs.write_lock("stale", timeout_sec=60.0):
+                with guard:
+                    if active:
+                        overlaps.append(i)
+                    active.append(i)
+                time.sleep(0.1)
+                with guard:
+                    active.remove(i)
+        except Exception as exc:
+            errs.append(exc)
+
+    ts = [threading.Thread(target=work, args=(i,)) for i in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=120)
+    assert not errs, errs
+    assert not overlaps, f"reclaim raced into overlap: {overlaps}"
+
+
+def test_release_after_reclaim_raises_locklost_not_delete(fs, spark):
+    """A holder that stalled past stale_sec (renewal never ran — the
+    crashed-or-suspended case) and got reclaimed must NOT delete the
+    reclaimer's live lock on release: token verification raises
+    LockLost and the new holder's lock survives."""
+    import json
+    import time
+
+    from distributed_system_mapreduce_spark.sources.filestore import (
+        LockLost,
+    )
+
+    # A acquires via the private API (no renewal thread), then stalls
+    token_a = fs._acquire_lock("rl", timeout_sec=5.0, stale_sec=0.2)
+    time.sleep(0.4)
+    # B reclaims the now-stale lock
+    token_b = fs._acquire_lock("rl", timeout_sec=5.0, stale_sec=0.2)
+    assert token_a != token_b
+    # A's release must refuse to touch B's live lock
+    with pytest.raises(LockLost):
+        fs._release_lock("rl", token_a, False)
+    body = json.loads(fs._io.read_text(fs._lock_path("rl")))
+    assert body["token"] == token_b  # B's lock untouched
+    fs._release_lock("rl", token_b, False)  # B releases cleanly
+    assert not fs._io.exists(fs._lock_path("rl"))
+
+
+def test_lease_renewal_prevents_stale_reclaim_of_long_holder(fs, spark):
+    """A holder running LONGER than stale_sec keeps the lock: the
+    renewal thread refreshes ts every stale_sec/3, so a waiter sees a
+    live (never stale) lock and times out instead of reclaiming —
+    long merges are not silently reclaimed mid-write."""
+    import threading
+    import time
+
+    t0 = time.monotonic()
+    waiter_result: list[str] = []
+
+    def waiter() -> None:
+        time.sleep(0.2)  # let the holder acquire first
+        try:
+            with fs.write_lock("long", timeout_sec=1.5, stale_sec=1.0):
+                waiter_result.append("acquired")
+        except TimeoutError:
+            waiter_result.append("timeout")
+
+    w = threading.Thread(target=waiter)
+    with fs.write_lock("long", stale_sec=1.0):
+        w.start()
+        time.sleep(2.5)  # hold well past stale_sec
+    w.join(timeout=30)
+    assert waiter_result == ["timeout"], waiter_result
+    assert time.monotonic() - t0 >= 2.5
+    # after release the dataset is lockable again immediately
+    with fs.write_lock("long", timeout_sec=5.0):
+        pass
+
+
+def test_file_scheme_cas_is_atomic_under_race(spark, tmp_path):
+    """file:// rename_noreplace rides link(2) (RawLocalFileSystem's
+    rename would silently replace): 8 threads racing unique sources
+    onto ONE destination — exactly one wins, content is the winner's."""
+    import threading
+
+    fs = FileStore(spark, f"file://{tmp_path}/atomic")
+    io = fs._io
+    n = 8
+    for i in range(n):
+        io.write_text(fs._path(f"src{i}.tmp"), f"writer-{i}")
+    barrier = threading.Barrier(n)
+    wins: list[int] = []
+    errs: list[Exception] = []
+
+    def work(i: int) -> None:
+        try:
+            barrier.wait(timeout=60)
+            io.rename_noreplace(fs._path(f"src{i}.tmp"), fs._path("dst"))
+            wins.append(i)
+        except FileExistsError:
+            pass
+        except Exception as exc:
+            errs.append(exc)
+
+    ts = [threading.Thread(target=work, args=(i,)) for i in range(n)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=60)
+    assert not errs, errs
+    assert len(wins) == 1, f"CAS let {len(wins)} writers win: {wins}"
+    assert io.read_text(fs._path("dst")) == f"writer-{wins[0]}"
