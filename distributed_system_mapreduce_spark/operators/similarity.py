@@ -1242,91 +1242,36 @@ def _recall_row(gold: DataFrame, approx: DataFrame,
 
 
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k of ALL THREE approximate ANN paths (LSH, IVF, PQ)
-    against the brute-force gold standard, as an ORACLE-CHECKED table
-    (the recall floors in tests/test_similarity_quality.py promoted
-    into the driver gate): per method, panel size, gold/hit counts,
-    the weakest query's hit count, and micro-averaged recall. Every
-    approximate result set is deterministic and hash-matched by its
-    own oracle, so the intersection with gold is deterministic too;
-    DuckDB recomputes all four result sets from scratch and must land
-    on the same recall to the last bit. Floors: LSH/IVF 0.60 (pruning
-    indexes), PQ 0.10 (a 64x-compression coarse quantizer on
-    unclustered random data — must beat ~2% chance recall, measured
-    ~0.16; enforced in tests/test_similarity_quality.py).
+    """Recall@k of ALL FOUR approximate ANN paths (LSH, IVF, PQ, and
+    the composed IVF-PQ) against the brute-force gold standard, as an
+    ORACLE-CHECKED table (the recall floors in
+    tests/test_similarity_quality.py promoted into the driver gate):
+    per method, panel size, gold/hit counts, the weakest query's hit
+    count, and micro-averaged recall. Every approximate result set is
+    deterministic and hash-matched by its own oracle, so the
+    intersection with gold is deterministic too; DuckDB recomputes
+    all five result sets from scratch and must land on the same
+    recall to the last bit. Floors: LSH/IVF 0.60 (pruning indexes),
+    PQ 0.10, IVF-PQ 0.05 (compound pruning x 64x compression on
+    unclustered random data — must beat ~2% chance recall; enforced
+    in tests/test_similarity_quality.py).
 
-    Scale: the eval is four existing ANN plans plus aggregates over
+    Scale: the eval is five existing ANN plans plus aggregates over
     a 64-query panel — the panel, not the corpus, bounds the eval
     cost beyond the index builds themselves."""
     gold = ann_topk_brute(spark, sf_dir)
     lsh_row = _recall_row(gold, ann_topk_lsh(spark, sf_dir), "lsh")
     ivf_row = _recall_row(gold, ann_topk_ivf(spark, sf_dir), "ivf")
     pq_row = _recall_row(gold, ann_topk_pq(spark, sf_dir), "pq")
-    return lsh_row.unionByName(ivf_row).unionByName(pq_row)
+    ivfpq_row = _recall_row(
+        gold, ann_topk_ivfpq(spark, sf_dir), "ivfpq")
+    return (lsh_row.unionByName(ivf_row).unionByName(pq_row)
+            .unionByName(ivfpq_row))
 
-
-ANN_RECALL_EVAL_SQL = f"""
-WITH gold AS ({ANN_TOPK_BRUTE_SQL}),
-lsh AS ({ANN_TOPK_LSH_SQL}),
-ivf AS ({ANN_TOPK_IVF_SQL}),
-pq AS ({ANN_TOPK_PQ_SQL}),
-lsh_pq AS (
-  SELECT g.query_id,
-         CAST(COUNT(*) AS BIGINT) AS n_gold_q,
-         CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits_q
-  FROM gold g
-  LEFT JOIN lsh l ON g.query_id = l.query_id
-                 AND g.neighbor_id = l.neighbor_id
-  GROUP BY g.query_id
-),
-ivf_pq AS (
-  SELECT g.query_id,
-         CAST(COUNT(*) AS BIGINT) AS n_gold_q,
-         CAST(COUNT(v.neighbor_id) AS BIGINT) AS n_hits_q
-  FROM gold g
-  LEFT JOIN ivf v ON g.query_id = v.query_id
-                 AND g.neighbor_id = v.neighbor_id
-  GROUP BY g.query_id
-),
-pq_pq AS (
-  SELECT g.query_id,
-         CAST(COUNT(*) AS BIGINT) AS n_gold_q,
-         CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_hits_q
-  FROM gold g
-  LEFT JOIN pq p ON g.query_id = p.query_id
-                AND g.neighbor_id = p.neighbor_id
-  GROUP BY g.query_id
-)
-SELECT 'lsh' AS method,
-       CAST(COUNT(*) AS BIGINT) AS n_queries,
-       CAST(SUM(n_gold_q) AS BIGINT) AS n_gold,
-       CAST(SUM(n_hits_q) AS BIGINT) AS n_hits,
-       CAST(MIN(n_hits_q) AS BIGINT) AS min_hits,
-       CAST(CAST(SUM(n_hits_q) AS BIGINT) AS DOUBLE)
-         / CAST(CAST(SUM(n_gold_q) AS BIGINT) AS DOUBLE) AS recall
-FROM lsh_pq
-UNION ALL
-SELECT 'ivf' AS method,
-       CAST(COUNT(*) AS BIGINT) AS n_queries,
-       CAST(SUM(n_gold_q) AS BIGINT) AS n_gold,
-       CAST(SUM(n_hits_q) AS BIGINT) AS n_hits,
-       CAST(MIN(n_hits_q) AS BIGINT) AS min_hits,
-       CAST(CAST(SUM(n_hits_q) AS BIGINT) AS DOUBLE)
-         / CAST(CAST(SUM(n_gold_q) AS BIGINT) AS DOUBLE) AS recall
-FROM ivf_pq
-UNION ALL
-SELECT 'pq' AS method,
-       CAST(COUNT(*) AS BIGINT) AS n_queries,
-       CAST(SUM(n_gold_q) AS BIGINT) AS n_gold,
-       CAST(SUM(n_hits_q) AS BIGINT) AS n_hits,
-       CAST(MIN(n_hits_q) AS BIGINT) AS min_hits,
-       CAST(CAST(SUM(n_hits_q) AS BIGINT) AS DOUBLE)
-         / CAST(CAST(SUM(n_gold_q) AS BIGINT) AS DOUBLE) AS recall
-FROM pq_pq
-"""
 
 QUERIES["ann_recall_eval"] = ann_recall_eval
-ORACLES["ann_recall_eval"] = ANN_RECALL_EVAL_SQL
+# ANN_RECALL_EVAL_SQL and its ORACLES entry are defined after the
+# ivfpq block below (the SQL embeds ANN_TOPK_IVFPQ_SQL).
 
 
 def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1437,3 +1382,43 @@ WHERE rank <= {TOP_K}
 
 QUERIES["ann_topk_ivfpq"] = ann_topk_ivfpq
 ORACLES["ann_topk_ivfpq"] = ANN_TOPK_IVFPQ_SQL
+
+
+def _recall_method_sql(method: str, cte: str) -> str:
+    """One method's per-query hit CTE + summary row (the DuckDB twin
+    of _recall_row) — generated so the four methods cannot drift."""
+    return f"""
+SELECT '{method}' AS method,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(n_gold_q) AS BIGINT) AS n_gold,
+       CAST(SUM(n_hits_q) AS BIGINT) AS n_hits,
+       CAST(MIN(n_hits_q) AS BIGINT) AS min_hits,
+       CAST(CAST(SUM(n_hits_q) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(SUM(n_gold_q) AS BIGINT) AS DOUBLE) AS recall
+FROM (
+  SELECT g.query_id,
+         CAST(COUNT(*) AS BIGINT) AS n_gold_q,
+         CAST(COUNT(x.neighbor_id) AS BIGINT) AS n_hits_q
+  FROM gold g
+  LEFT JOIN {cte} x ON g.query_id = x.query_id
+                   AND g.neighbor_id = x.neighbor_id
+  GROUP BY g.query_id
+)"""
+
+
+ANN_RECALL_EVAL_SQL = f"""
+WITH gold AS ({ANN_TOPK_BRUTE_SQL}),
+lsh AS ({ANN_TOPK_LSH_SQL}),
+ivf AS ({ANN_TOPK_IVF_SQL}),
+pq AS ({ANN_TOPK_PQ_SQL}),
+ivfpq AS ({ANN_TOPK_IVFPQ_SQL})
+{_recall_method_sql("lsh", "lsh")}
+UNION ALL
+{_recall_method_sql("ivf", "ivf")}
+UNION ALL
+{_recall_method_sql("pq", "pq")}
+UNION ALL
+{_recall_method_sql("ivfpq", "ivfpq")}
+"""
+
+ORACLES["ann_recall_eval"] = ANN_RECALL_EVAL_SQL

