@@ -157,8 +157,8 @@ def approx_quantiles_certify(spark: SparkSession, sf_dir: str
     ann_recall_eval / approx_distinct_users_by_type pattern: sketch
     outputs are engine-specific (approx_price_quantiles stays
     rows-only), so this entry emits the EXACT per-group quantiles
-    (DuckDB recomputes them with quantile_cont — interpolation
-    matches Spark's percentile bit-for-bit) plus ONE within-bound
+    (DuckDB recomputes them with quantile_cont; both sides round to
+    4 decimals — see the note at the select) plus ONE within-bound
     verdict over all four approx_percentile estimates (the oracle
     asserts TRUE). A sketch drift past {APPROX_Q_REL_ERR:.0%} of
     truth flips the flag and the gate goes red.
@@ -184,9 +184,15 @@ def approx_quantiles_certify(spark: SparkSession, sf_dir: str
         t = (F.abs(F.col("ap")[i] - F.col("ex")[i])
              <= F.abs(F.col("ex")[i]) * APPROX_Q_REL_ERR)
         ok = t if ok is None else (ok & t)
+    # Output percentiles ROUNDED to 4 decimals on BOTH sides (the q1
+    # money-column discipline): Spark's percentile interpolates as
+    # (1-g)*a + g*b while DuckDB's quantile_cont uses a + (b-a)*g —
+    # algebraically equal, last-ULP different for some inputs. The
+    # true interpolated value of 2-decimal prices at these quantiles
+    # has <= 4 decimals, so rounding is exact and never tie-breaks.
     return both.select(
         "l_returnflag",
-        *[F.col("ex")[i].alias(f"p{int(q * 100)}")
+        *[F.round(F.col("ex")[i], 4).alias(f"p{int(q * 100)}")
           for i, q in enumerate(qs)],
         ok.alias("within_bound"),
     )
@@ -194,13 +200,86 @@ def approx_quantiles_certify(spark: SparkSession, sf_dir: str
 
 APPROX_QUANTILES_CERTIFY_SQL = """
 SELECT l_returnflag,
-       quantile_cont(l_extendedprice, 0.25) AS p25,
-       quantile_cont(l_extendedprice, 0.50) AS p50,
-       quantile_cont(l_extendedprice, 0.75) AS p75,
-       quantile_cont(l_extendedprice, 0.99) AS p99,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
        TRUE AS within_bound
 FROM lineitem
 GROUP BY l_returnflag
+"""
+
+
+def kmeans_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means promoted into the ORACLE GATE (the
+    approx_quantiles_certify pattern): the FINAL float centroids are
+    not SQL-reproducible (kmeans_embed stays rows-only), but two facts
+    about the algorithm are exact and independently recomputable —
+
+    1. the ROUND-1 assignment under the deterministic seed centroids
+       (the K lowest vec_ids — actual data rows, so DuckDB recomputes
+       the argmin with the same left-fold dist2 that makes the ANN
+       results hash-matchable, bit-for-bit);
+    2. Lloyd's monotonicity: total within-cluster cost never
+       increases round over round, so final_cost <= round1_cost.
+
+    Emits per-seed-cluster exact integers (count, sum of member
+    vec_ids — any assignment bug perturbs them) plus ONE monotone_ok
+    flag the oracle asserts TRUE. A broken update step (cost rising)
+    or a broken assignment (wrong argmin / tie-break) flips a value
+    and the gate goes red.
+
+    Shape: one broadcast-K argmin pass for round 1 (same plan as
+    _assign), the full kmeans run for the flag; the only driver state
+    is two scalar costs."""
+    vecs = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding")
+    seeds = (
+        vecs.filter(F.col("vec_id") < K_CLUSTERS)
+        .select(F.col("vec_id").alias("cid"),
+                F.col("embedding").alias("cemb"))
+    )
+    r1 = _assign(vecs, seeds)
+    r1_cost = r1.agg(F.sum("dist2")).collect()[0][0]
+    final_cost = (
+        kmeans_embed(spark, sf_dir).agg(F.sum("dist2")).collect()[0][0]
+    )
+    # tiny relative slack: the two costs are float sums; monotonicity
+    # holds mathematically round over round, the slack only guards
+    # summation-order noise when the algorithm has already converged
+    monotone = bool(final_cost <= r1_cost * (1 + 1e-9))
+    return (
+        r1.groupBy("cluster")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_assigned"),
+             F.sum("vec_id").cast("long").alias("sum_vec_id"))
+        .select(F.col("cluster").cast("long").alias("cluster"),
+                "n_assigned", "sum_vec_id",
+                F.lit(monotone).alias("monotone_ok"))
+    )
+
+
+KMEANS_CERTIFY_SQL = f"""
+WITH seeds AS (
+  SELECT vec_id AS cid, embedding AS cemb
+  FROM embeddings WHERE vec_id < {K_CLUSTERS}
+),
+d AS (
+  SELECT e.vec_id, s.cid,
+         {V.dist2_sql("e.embedding", "s.cemb")} AS d2
+  FROM embeddings e CROSS JOIN seeds s
+),
+a AS (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY d2 ASC, cid ASC) AS rn
+  FROM d
+)
+SELECT CAST(cid AS BIGINT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_assigned,
+       CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id,
+       TRUE AS monotone_ok
+FROM a WHERE rn = 1
+GROUP BY cid
 """
 
 
@@ -208,6 +287,7 @@ QUERIES = {
     "kmeans_embed": kmeans_embed,
     "approx_price_quantiles": approx_price_quantiles,
     "approx_quantiles_certify": approx_quantiles_certify,
+    "kmeans_certify": kmeans_certify,
 }
 
 # kmeans_embed / approx_price_quantiles are rows-only: kmeans is
@@ -217,4 +297,5 @@ QUERIES = {
 # quantile sketch's error bound into the driver gate.
 ORACLES: dict[str, str] = {
     "approx_quantiles_certify": APPROX_QUANTILES_CERTIFY_SQL,
+    "kmeans_certify": KMEANS_CERTIFY_SQL,
 }

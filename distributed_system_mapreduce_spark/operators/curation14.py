@@ -171,11 +171,74 @@ def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread(load_table(spark, "documents", sf_dir)))
 
 
+def compression_ratio_certify(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """The DEFLATE kernel promoted into the ORACLE GATE (the
+    freq_items_certify pattern): zlib output bytes are not
+    SQL-expressible (compression_ratio stays rows-only), but three
+    facts hold for EVERY document by construction and are exactly
+    recomputable — the raw utf-8 byte count (DuckDB recomputes it),
+    zlib's worst-case expansion bound (compressBound: stored-block
+    overhead ~n/1000 + constant; checked against a generous
+    n/100 + 64), and losslessness (decompress(compress(x)) == x,
+    verified inside the Arrow stage). Emits per-source exact counts
+    plus violation tallies guaranteed 0 — a kernel bug that truncates,
+    corrupts, or blows up a payload flips a tally and the gate goes
+    red.
+
+    Shape: one Arrow-batched narrow map (the certification adds a
+    decompress per row — paid here because certification needs the
+    roundtrip; production runs compression_scores alone), then one
+    partial-agg shuffle on source (bounded group count)."""
+    import zlib
+
+    docs = spread(load_table(spark, "documents", sf_dir)).select(
+        "source", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            raw = [t.encode("utf-8") for t in b["text"]]
+            z = [zlib.compress(r, ZLIB_LEVEL) for r in raw]
+            yield pd.DataFrame({
+                "source": b["source"].values,
+                "n_bytes": [len(r) for r in raw],
+                "bound_viol": [
+                    int(len(zz) > len(r) + len(r) // 100 + 64)
+                    for zz, r in zip(z, raw)],
+                "rt_fail": [
+                    int(zlib.decompress(zz) != r)
+                    for zz, r in zip(z, raw)],
+            })
+
+    scored = docs.mapInPandas(
+        run, schema=("source string, n_bytes long, "
+                     "bound_viol long, rt_fail long"))
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_bytes").cast("long").alias("raw_bytes"),
+        F.sum("bound_viol").cast("long").alias("bound_violations"),
+        F.sum("rt_fail").cast("long").alias("roundtrip_failures"),
+    )
+
+
+COMPRESSION_RATIO_CERTIFY_SQL = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS raw_bytes,
+       CAST(0 AS BIGINT) AS bound_violations,
+       CAST(0 AS BIGINT) AS roundtrip_failures
+FROM documents
+GROUP BY source
+"""
+
+
 QUERIES = {
     "dedup_estimator_pr": dedup_estimator_pr,
     "compression_ratio": compression_ratio,
+    "compression_ratio_certify": compression_ratio_certify,
 }
 
 ORACLES = {
     "dedup_estimator_pr": DEDUP_ESTIMATOR_PR_SQL,
+    "compression_ratio_certify": COMPRESSION_RATIO_CERTIFY_SQL,
 }

@@ -97,50 +97,61 @@ if _extra:
 # Registration order = the order external consumers (the driver's
 # correctness gate) iterate queries() in. The gate budget covers a
 # prefix of the list (~50 entries per round), so order by evidence
-# value: the r1-r5 gates cumulatively confirmed 224 keys; the r6
-# prefix is the FINAL rotation — the 47 keys no driver gate has ever
-# run (40 oracle-backed first, then the 7 rows-only whose driver
-# check is weaker by design) plus the three entries whose contract
-# CHANGED this round (the new concurrent-commit certification, the
-# PQ-extended recall eval, and the sketch promoted out of
-# no_oracle). After this gate, cumulative driver coverage is
-# 272/272 — every key driver-confirmed at least once.
+# value. The r1-r6 gates cumulatively drove 272/278 pre-r7 keys
+# green; the r7 prefix finishes the rotation (the six r6 additions,
+# slots 1-6 after the three NEW r7 keys and contract-changed
+# entries) — after this gate every key has been driver-confirmed at
+# least once — and then spends the rest of the budget
+# RE-confirming, oldest driver evidence first.
 _PRIORITY = [
-    # -- r6 gate head, slots 1-3: new or contract-changed ---------
-    "filestore_concurrent_commit", "ann_recall_eval",
-    "approx_distinct_users_by_type",
-    # -- slots 4-43: oracle-backed, never driver-gated ------------
-    "source_boilerplate", "late_arrival_census",
-    "order_total_audit", "bootstrap_ci", "lifecycle_conformance",
-    "ann_maxsim", "hybrid_rank_fusion", "query_expansion_prf",
-    "snippet_extract",
-    "weighted_median_price", "dedup_agreement", "bot_rule_census",
-    "entity_canonicalize", "seasonal_strength", "multimodal_decode",
-    "multimodal_frame_sample", "multimodal_resize",
-    "multimodal_audio_segments", "dsir_importance", "doc_lm_typicality",
-    "multimodal_codec_roundtrip", "semdedup_prune", "lang_source_pmi",
-    "user_traj_topk", "doc_token_entropy", "token_js_divergence",
-    "user_markov_entropy", "zipf_exponent", "t_closeness",
-    "events_changepoint", "benford_audit", "weighted_sample", "ndcg_eval",
-    "kmv_set_ops", "keyphrase_rake", "clustering_coeff", "mannwhitney_qty",
-    "theil_sen_trend", "wilson_ci_rates", "hits_scores",
-    # -- slots 44-50: rows-only (no oracle by design; the driver's
-    # weaker rows-only check is still their first driver signal) --
+    # -- r7 gate head, slots 1-12: NEW keys (kmeans/compression
+    # certification twins, the MJPG compressed-video decode), the
+    # six r6 additions never yet driver-gated, and the entries
+    # whose CONTRACT or implementation changed this round (the
+    # ivfpq-extended recall eval; the lock/CAS rework under the
+    # filestore commit paths) ------------------------------------
+    "approx_quantiles_certify", "freq_items_certify", "ann_topk_ivfpq",
+    "filestore_snapshot_diff", "stream_snapshot_append",
+    "filestore_schema_evolution", "kmeans_certify",
+    "compression_ratio_certify", "multimodal_video_mjpg", "ann_recall_eval",
+    "filestore_concurrent_commit", "filestore_keyed_merge",
+    # -- slots 13-50: re-confirmation, OLDEST driver evidence
+    # first (r1 gates, then early r2) -----------------------------
+    "wordcount", "vote_winner", "split_by_key", "range_partition_hist",
+    "mr_wordcount", "mr_wordcount_range", "mr_vote_winner",
+    "q2_best_supplier", "q6_forecast_revenue", "q13_order_count_dist",
+    "q16_supplier_counts", "q20_heavy_shippers", "q21_sole_supplier_returns",
+    "order_priority_count", "distinct_users_by_type", "events_pivot",
+    "price_quantiles", "token_count", "lang_id", "quality_score",
+    "quality_filter", "term_doc_freq", "doc_fingerprint", "tfidf_topterms",
+    "bm25_rank",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q10_returned_items", "top_customers", "events_daily_rollup",
+    "events_running_total", "events_sessionize", "q7_nation_volume",
+    "q14_promo_revenue", "q15_top_supplier", "q17_small_qty_revenue",
+    "q18_large_orders",
+    # -- re-confirmation tail: everything else, most-recent
+    # evidence last (r6 head keys were all green in r6) -----------
+    "approx_distinct_users_by_type", "source_boilerplate",
+    "late_arrival_census", "order_total_audit", "bootstrap_ci",
+    "lifecycle_conformance", "ann_maxsim", "hybrid_rank_fusion",
+    "query_expansion_prf", "snippet_extract", "weighted_median_price",
+    "dedup_agreement", "bot_rule_census", "entity_canonicalize",
+    "seasonal_strength", "multimodal_decode", "multimodal_frame_sample",
+    "multimodal_resize", "multimodal_audio_segments", "dsir_importance",
+    "doc_lm_typicality", "multimodal_codec_roundtrip", "semdedup_prune",
+    "lang_source_pmi", "user_traj_topk", "doc_token_entropy",
+    "token_js_divergence", "user_markov_entropy", "zipf_exponent",
+    "t_closeness", "events_changepoint", "benford_audit", "weighted_sample",
+    "ndcg_eval", "kmv_set_ops", "keyphrase_rake", "clustering_coeff",
+    "mannwhitney_qty", "theil_sen_trend", "wilson_ci_rates", "hits_scores",
     "compression_ratio", "kmeans_embed", "approx_price_quantiles",
     "freq_items_sketch", "bpe_train_merges", "bpe_vocab_stats",
-    "bpe_token_count",
-    # -- slots 51+: NEW this round (oracle-backed) — first in line
-    # for the r7 gate ----------------------------------------------
-    "approx_quantiles_certify", "freq_items_certify",
-    "ann_topk_ivfpq", "filestore_snapshot_diff",
-    "stream_snapshot_append", "filestore_schema_evolution",
-    # -- driver-confirmed in r5 (re-confirmation tail) ------------
-    "filestore_bucketed_join", "filestore_snapshot_read",
-    "filestore_keyed_merge", "filestore_zorder_pruned",
-    "stream_windowed_rollup", "stream_topk_users_daily",
-    "stream_enriched_rollup", "stream_dedup_census", "stream_funnel_join",
-    "stream_abandoned_views", "stream_cdc_materialize",
-    "mr_contact_trace", "dedup_cross_lang",
+    "bpe_token_count", "filestore_bucketed_join", "filestore_snapshot_read",
+    "filestore_zorder_pruned", "stream_windowed_rollup",
+    "stream_topk_users_daily", "stream_enriched_rollup",
+    "stream_dedup_census", "stream_funnel_join", "stream_abandoned_views",
+    "stream_cdc_materialize", "mr_contact_trace", "dedup_cross_lang",
     "embedding_cos_hist", "retrieval_pr_eval", "skipgram_lift",
     "source_length_moments", "dataset_card", "lsh_bucket_balance",
     "charset_census", "bigram_entropy_rate", "orders_seasonal_index",
@@ -148,13 +159,11 @@ _PRIORITY = [
     "doc_prefix_dup", "dedup_estimator_pr", "graph_modularity",
     "graph_assortativity", "quality_pareto_frontier",
     "source_sampling_weights", "rank_tau_eval", "graph_bfs_reach",
-    "assoc_rules", "ab_test_zstat", "lsh_param_sweep",
-    "events_grouping_sets", "kcore_census", "attribution_credit",
-    "dedup_components_star", "decayed_popularity", "kfold_assign",
-    "revenue_trend_ols", "events_chi2_dow", "events_mad_outliers",
-    "audience_overlap", "events_throttle", "customer_decile_migration",
-    "embedding_dim_variance",
-    # -- driver-confirmed in r1-r4 gates (re-confirmation tail) ---
+    "assoc_rules", "ab_test_zstat", "lsh_param_sweep", "events_grouping_sets",
+    "kcore_census", "attribution_credit", "dedup_components_star",
+    "decayed_popularity", "kfold_assign", "revenue_trend_ols",
+    "events_chi2_dow", "events_mad_outliers", "audience_overlap",
+    "events_throttle", "customer_decile_migration", "embedding_dim_variance",
     "pagerank_parts", "training_batches_digest", "user_survival_km",
     "events_hour_heatmap", "multimodal_dedup", "embedding_stats",
     "events_skew_join", "fk_integrity", "events_ewma", "abandoned_views",
@@ -191,24 +200,11 @@ _PRIORITY = [
     "ann_topk_brute", "ann_topk_lsh", "ann_topk_ivf", "dedup_embedding",
     "multimodal_meta", "repetition_score", "ngram_counts",
     "contamination_check", "domain_mix", "mix_rebalance_sample",
-    "packing_stats", "train_val_split", "quality_topk_per_group",
-    "pii_scrub", "events_cube", "vote_round1", "corpus_stats",
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
-    "q10_returned_items", "top_customers", "events_daily_rollup",
-    "events_running_total", "events_sessionize", "q7_nation_volume",
-    "q14_promo_revenue", "q15_top_supplier", "q17_small_qty_revenue",
-    "q18_large_orders", "q19_bracket_revenue", "q22_idle_customers",
-    "events_rollup", "customer_cohort_ltv", "events_funnel",
-    "q8_market_share", "q9_product_profit", "q11_part_value_concentration",
-    "q12_late_shipments", "kmv_distinct", "wordcount", "vote_winner",
-    "split_by_key", "range_partition_hist", "mr_wordcount",
-    "mr_wordcount_range", "mr_vote_winner", "q2_best_supplier",
-    "q6_forecast_revenue", "q13_order_count_dist", "q16_supplier_counts",
-    "q20_heavy_shippers", "q21_sole_supplier_returns",
-    "order_priority_count", "distinct_users_by_type", "events_pivot",
-    "price_quantiles", "token_count", "lang_id", "quality_score",
-    "quality_filter", "term_doc_freq", "doc_fingerprint", "tfidf_topterms",
-    "bm25_rank",
+    "packing_stats", "train_val_split", "quality_topk_per_group", "pii_scrub",
+    "events_cube", "vote_round1", "corpus_stats", "q19_bracket_revenue",
+    "q22_idle_customers", "events_rollup", "customer_cohort_ltv",
+    "events_funnel", "q8_market_share", "q9_product_profit",
+    "q11_part_value_concentration", "q12_late_shipments", "kmv_distinct",
 ]
 if set(_PRIORITY) != set(_MERGED) or len(_PRIORITY) != len(_MERGED):
     _missing = set(_MERGED) - set(_PRIORITY)

@@ -171,12 +171,17 @@ def test_decode_real_avi_rejects_corruption_and_compression():
     bad = payload[:idx] + struct.pack("<I", 99) + payload[idx + 4:]
     with pytest.raises(ValueError):
         M.decode_real(bad, "video")
-    # compressed stream (MJPG fourcc in strf biCompression) is the
-    # explicit plug-in point, not silently wrong output
+    # MJPG fourcc now routes to the real JPEG decoder — raw DIB bytes
+    # are not valid JPEG frames, so corruption surfaces, never silent
+    # wrong output
     idx = payload.find(b"strf") + 8 + 16
     mjpg = payload[:idx] + b"MJPG" + payload[idx + 4:]
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         M.decode_real(mjpg, "video")
+    # inter-frame codecs (H.264) stay the explicit pyav plug-in point
+    h264 = payload[:idx] + b"H264" + payload[idx + 4:]
+    with pytest.raises(NotImplementedError):
+        M.decode_real(h264, "video")
 
 
 def test_decode_real_avi_audio_first_and_truncated_headers():
@@ -246,3 +251,93 @@ def test_decode_features_with_real_kernel(spark):
             aud["duration_ms"]) == (8000, 2000, 250)
     w7, h7, nf7 = M._rt_vid_params(7)
     assert (vid["width"], vid["height"], vid["n_frames"]) == (w7, h7, nf7)
+
+
+# ------------------------------------------------- baseline JPEG / MJPG
+def test_jpeg_constant_blocks_roundtrip_lossless():
+    """The property the oracle gate rides on: an image of CONSTANT 8x8
+    blocks survives encode->decode bit-exactly (only the DC term is
+    nonzero and its quantizer divides it exactly — functions/jpeg.py
+    docstring)."""
+    import numpy as np
+
+    from distributed_system_mapreduce_spark.functions import jpeg
+
+    h, w = 16, 24
+    px = np.zeros((h, w), dtype=np.uint8)
+    bi = 0
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            px[by:by + 8, bx:bx + 8] = (37 + bi * 17) % 256
+            bi += 1
+    out = jpeg.decode_gray(jpeg.encode_gray(px))
+    assert out["width"] == w and out["height"] == h
+    assert out["n_channels"] == 1
+    assert (out["raster"] == px).all()
+    assert out["pixel_sum"] == int(px.astype(int).sum())
+
+
+def test_jpeg_arbitrary_content_bounded_error_and_odd_dims():
+    """Real content roundtrips within quantization error (flat AC step
+    16 -> worst-case block error well under 32 even on noise), and
+    non-multiple-of-8 dims pad to the block grid and crop back."""
+    import numpy as np
+
+    from distributed_system_mapreduce_spark.functions import jpeg
+
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, size=(24, 40), dtype=np.int64
+                         ).astype(np.uint8)
+    out = jpeg.decode_gray(jpeg.encode_gray(noise))
+    err = np.abs(out["raster"].astype(int) - noise.astype(int))
+    assert err.max() <= 32, err.max()
+
+    gy, gx = np.mgrid[0:19, 0:21]
+    smooth = np.clip(gy * 5 + gx * 3, 0, 255).astype(np.uint8)
+    out2 = jpeg.decode_gray(jpeg.encode_gray(smooth))
+    assert out2["width"] == 21 and out2["height"] == 19
+    err2 = np.abs(out2["raster"].astype(int) - smooth.astype(int))
+    assert err2.max() <= 16, err2.max()
+
+
+def test_jpeg_decoder_rejects_malformed():
+    import numpy as np
+
+    from distributed_system_mapreduce_spark.functions import jpeg
+
+    with pytest.raises(ValueError):
+        jpeg.decode_gray(b"not a jpeg")
+    enc = jpeg.encode_gray(np.full((8, 8), 7, dtype=np.uint8))
+    with pytest.raises(ValueError):
+        jpeg.decode_gray(enc[:-4])  # EOI gone -> truncated
+
+
+def test_decode_real_mjpg_avi_matches_closed_form():
+    """The compressed-video path end to end: encode an MJPG AVI,
+    demux + JPEG-decode every frame through decode_real, and the
+    decoded mean equals the closed-form block mean (losslessness of
+    the constant-block construction)."""
+    for did in (0, 1, 2, 3, 4, 5, 11, 17):
+        nbx, nby, nf = M._mjpg_params(did)
+        out = M.decode_real(M._encode_avi_mjpg(did), "video")
+        assert out["width"] == 8 * nbx and out["height"] == 8 * nby
+        assert out["n_channels"] == 1
+        assert out["n_frames"] == nf
+        assert out["duration_ms"] == nf * 100
+        want = sum(
+            (did * 37 + f * 29 + bi * 17) % 256
+            for f in range(nf) for bi in range(nbx * nby)
+        ) / (nf * nbx * nby)
+        assert out["mean_pixel"] == want, (did, out["mean_pixel"], want)
+
+
+def test_decode_real_mjpg_rejects_frame_geometry_lies():
+    """An MJPG container whose strf dims disagree with the encoded
+    frames must raise, not return wrong geometry."""
+    import struct
+
+    payload = M._encode_avi_mjpg(4)
+    idx = payload.find(b"strf") + 8 + 4
+    bad = payload[:idx] + struct.pack("<i", 999) + payload[idx + 4:]
+    with pytest.raises(ValueError):
+        M.decode_real(bad, "video")
