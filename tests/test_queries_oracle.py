@@ -65,32 +65,42 @@ def test_approx_distinct_within_error_bound(spark):
 
 def test_registry_prefix_is_oracle_dense():
     """The driver's correctness gate covers a ~50-entry prefix of the
-    registry. r6 is the FINAL rotation: the prefix holds every key no
-    earlier gate has run — oracle-backed slots FIRST (the strong
-    check), the 7 rows-only keys last (their weaker rows-only run is
-    still their first driver signal), and no slot wasted on an
-    already-driver-confirmed query."""
+    registry. The r6 rotation finished first-time coverage, so the r7
+    prefix leads with the keys that still need a FIRST or FRESH driver
+    signal — the three new r7 queries, the six r6 additions (only
+    locally gated so far), and the contract-/implementation-changed
+    entries — then spends the rest of the budget re-confirming,
+    oldest driver evidence first. Every prefix slot is oracle-backed:
+    all 7 rows-only keys already have their driver signal, so none may
+    waste a strong-check slot."""
     ks = list(QUERIES)
-    # oracle-backed prefix block, rows-only block strictly after it
-    first_rows_only = next(
-        i for i, k in enumerate(ks[:50]) if k not in ORACLES)
-    assert all(k in ORACLES for k in ks[:first_rows_only])
-    assert all(k not in ORACLES for k in ks[first_rows_only:50]), [
-        k for k in ks[first_rows_only:50] if k in ORACLES]
-    assert first_rows_only >= 43, first_rows_only
-    # no slot wasted on an already-driver-confirmed query (spot-check
-    # against the r1/r2 confirmations; the changed-contract entries
-    # filestore_concurrent_commit / ann_recall_eval /
-    # approx_distinct_users_by_type are deliberate re-gates)
-    confirmed_r1_r2 = {
-        "mr_wordcount_exe", "events_asof_order", "purchase_attribution",
-        "dedup_exact", "dedup_minhash", "q1_pricing_summary",
-        "q8_market_share", "q9_product_profit", "kmv_distinct",
-        "wordcount", "vote_winner", "mr_wordcount", "q2_best_supplier",
-        "corpus_stats", "vote_round1", "events_sessionize",
+    head_new_or_changed = [
+        # never driver-gated: the six r6 additions + three r7 additions
+        "approx_quantiles_certify", "freq_items_certify",
+        "ann_topk_ivfpq", "filestore_snapshot_diff",
+        "stream_snapshot_append", "filestore_schema_evolution",
+        "kmeans_certify", "compression_ratio_certify",
+        "multimodal_video_mjpg",
+        # changed this round: ivfpq row added to the recall eval; the
+        # CAS/lock rework sits under both filestore commit paths
+        "ann_recall_eval", "filestore_concurrent_commit",
+        "filestore_keyed_merge",
+    ]
+    assert ks[:12] == head_new_or_changed, ks[:12]
+    assert all(k in ORACLES for k in ks[:50]), [
+        k for k in ks[:50] if k not in ORACLES]
+    # the refresh block re-gates OLDEST evidence first: every slot
+    # after the head must be a key first gated in r1/r2 (per the
+    # VERDICT r6 evidence table), not a recently-confirmed one
+    refreshed = set(ks[12:50])
+    recently_gated_r5_r6 = {
+        "order_total_audit", "weighted_median_price", "bot_rule_census",
+        "dedup_agreement", "seasonal_strength", "multimodal_decode",
+        "semdedup_prune", "t_closeness", "benford_audit", "hits_scores",
+        "ann_maxsim", "late_arrival_census", "entity_canonicalize",
     }
-    overlap = confirmed_r1_r2 & set(ks[:50])
-    assert not overlap, overlap
+    assert not (refreshed & recently_gated_r5_r6), (
+        refreshed & recently_gated_r5_r6)
 
 
 def test_load_table_repins_utc_session_tz(spark):
