@@ -52,14 +52,19 @@ def t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     value buckets s. Per type: worst cell TVD, cells above T_CLOSE,
     and the share of observations in those cells.
 
-    Shape: one partial agg to (type, day, sens) counts; the bounded
-    (type, sens) global margin and (type, day) cell totals BROADCAST
-    onto the cell x bucket grid (a cell contributes |0 - g| for
-    buckets it lacks, so the grid is cells x per-type buckets — both
-    factors bounded: calendar x value-range/50); the per-cell TVD
-    folds over the SORTED bounded bucket-term list (a plain SUM of
-    doubles would be order-dependent in the last ulp), like every
-    other double-sum oracle in this repo."""
+    Shape: ONE events scan and ONE wide shuffle — the partial agg to
+    (type, day, sens) counts (r7: the previous shape scanned events
+    4x, once per margin, then zero-filled a cell x bucket grid; at
+    100 TB the margins are free, the scans are not). The zero-fill
+    grid is unnecessary: a bucket ABSENT from a cell contributes
+    g/N to the TVD sum, and those absent contributions total
+    1 - sum_present(g/N), so TVD = 0.5 * (1 + sum_present(|c/n - g/N|
+    - g/N)) over only the buckets the cell actually has. All three
+    margins become window sums over the bounded cell table (calendar
+    x value-range/50 rows, never the raw events). The per-cell fold
+    runs over the SORTED bounded term list (a plain SUM of doubles
+    would be order-dependent in the last ulp), like every other
+    double-sum oracle in this repo."""
     ev = load_table(spark, "events", sf_dir)
     obs = ev.select(
         "event_type", F.to_date("ts").alias("day"),
@@ -67,27 +72,24 @@ def t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cell_s = obs.groupBy("event_type", "day", "sens").agg(
         F.count("*").alias("c"))
-    glob_s = obs.groupBy("event_type", "sens").agg(
-        F.count("*").alias("g"))
-    cell_n = obs.groupBy("event_type", "day").agg(
-        F.count("*").alias("n_cell"))
-    type_n = obs.groupBy("event_type").agg(F.count("*").alias("n_type"))
-    # cells x per-type buckets grid (both bounded), zero-filled
-    grid = (
-        cell_n.join(F.broadcast(glob_s), "event_type")
-        .join(cell_s, ["event_type", "day", "sens"], "left")
-        .join(F.broadcast(type_n), "event_type")
-        .withColumn(
-            "term",
-            F.expr("abs(CAST(coalesce(c, 0) AS DOUBLE) / n_cell "
-                   "- CAST(g AS DOUBLE) / n_type)"),
-        )
+    enr = cell_s.select(
+        "event_type", "day", "c",
+        F.expr("sum(c) OVER (PARTITION BY event_type, day)")
+        .alias("n_cell"),
+        F.expr("sum(c) OVER (PARTITION BY event_type, sens)")
+        .alias("g"),
+        F.expr("sum(c) OVER (PARTITION BY event_type)").alias("n_type"),
+    ).withColumn(
+        "term",
+        F.expr("abs(CAST(c AS DOUBLE) / n_cell "
+               "- CAST(g AS DOUBLE) / n_type) "
+               "- CAST(g AS DOUBLE) / n_type"),
     )
-    tvd = grid.groupBy("event_type", "day").agg(
+    tvd = enr.groupBy("event_type", "day").agg(
         F.first("n_cell").alias("n_obs"),
-        (F.expr("aggregate(sort_array(collect_list(term)), "
-                "CAST(0 AS DOUBLE), (acc, t) -> acc + t)") * 0.5)
-        .alias("tvd"),
+        ((F.expr("aggregate(sort_array(collect_list(term)), "
+                 "CAST(0 AS DOUBLE), (acc, t) -> acc + t)") + F.lit(1.0))
+         * 0.5).alias("tvd"),
     )
     weak = F.col("tvd") > T_CLOSE
     return (
@@ -116,27 +118,25 @@ WITH obs AS (
 ),
 cell_s AS (SELECT event_type, day, sens, COUNT(*) AS c
            FROM obs GROUP BY event_type, day, sens),
-glob_s AS (SELECT event_type, sens, COUNT(*) AS g
-           FROM obs GROUP BY event_type, sens),
-cell_n AS (SELECT event_type, day, COUNT(*) AS n_cell
-           FROM obs GROUP BY event_type, day),
-type_n AS (SELECT event_type, COUNT(*) AS n_type
-           FROM obs GROUP BY event_type),
-grid AS (
-  SELECT cn.event_type, cn.day, cn.n_cell,
-         abs(CAST(coalesce(cs.c, 0) AS DOUBLE) / cn.n_cell
-             - CAST(gs.g AS DOUBLE) / tn.n_type) AS term
-  FROM cell_n cn
-  JOIN glob_s gs ON cn.event_type = gs.event_type
-  LEFT JOIN cell_s cs ON cs.event_type = cn.event_type
-                     AND cs.day = cn.day AND cs.sens = gs.sens
-  JOIN type_n tn ON tn.event_type = cn.event_type
+enr AS (
+  SELECT event_type, day, c,
+         SUM(c) OVER (PARTITION BY event_type, day) AS n_cell,
+         SUM(c) OVER (PARTITION BY event_type, sens) AS g,
+         SUM(c) OVER (PARTITION BY event_type) AS n_type
+  FROM cell_s
+),
+terms AS (
+  SELECT event_type, day, n_cell,
+         abs(CAST(c AS DOUBLE) / n_cell
+             - CAST(g AS DOUBLE) / n_type)
+           - CAST(g AS DOUBLE) / n_type AS term
+  FROM enr
 ),
 tvd AS (
   SELECT event_type, day, ANY_VALUE(n_cell) AS n_obs,
-         0.5 * list_reduce(list_sort(list(term)),
-                           (acc, t) -> acc + t) AS tvd
-  FROM grid GROUP BY event_type, day
+         (list_reduce(list_sort(list(term)), (acc, t) -> acc + t)
+          + 1.0) * 0.5 AS tvd
+  FROM terms GROUP BY event_type, day
 )
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_cells,
