@@ -178,10 +178,89 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training promoted into the ORACLE GATE (the kmeans_certify
+    / freq_items_certify pattern): the 8-round merge fold has no
+    tractable SQL twin, but two anchors do —
+
+    - the ROUND-1 pair-count table is pure SQL (tokenize, char-split
+      + end-of-word, adjacent pairs, weighted count): the oracle
+      recomputes the top-10 pairs under the training tie-break
+      (n DESC, a ASC, b ASC) exactly, which pins the first learned
+      rule bit-for-bit;
+    - the chosen pair counts are NON-INCREASING across rounds for
+      EVERY corpus, by construction: a merge only removes adjacencies
+      of existing pairs, and each new adjacency involving the merged
+      symbol maps 1:1 onto a pre-merge adjacency of a pair the argmax
+      already bounded — so round k+1's max <= round k's count. The
+      oracle asserts the flag (and the rule count) as literals; a
+      training bug that breaks monotonicity or loses a round flips
+      the row and the gate goes red.
+
+    Shape: one extra round-1 pair-count pass next to the full
+    training run — certification pays for truth; production ships
+    bpe_train_merges alone."""
+    from pyspark.sql import Window
+
+    rules, _ = _train(spark, sf_dir)
+    nonincr = all(rules[i][3] <= rules[i - 1][3]
+                  for i in range(1, len(rules)))
+    pc = _pair_counts(_symbolize(_word_freq(spark, sf_dir)))
+    order = [F.desc("n"), F.asc("a"), F.asc("b")]
+    top = (
+        pc.orderBy(*order).limit(10)
+        .withColumn("pair_rank",
+                    F.row_number().over(Window.orderBy(*order))
+                    .cast("int"))
+    )
+    return top.select(
+        "pair_rank",
+        F.col("a").alias("lhs"),
+        F.col("b").alias("rhs"),
+        F.col("n").cast("bigint").alias("pair_count"),
+        F.lit(len(rules)).cast("bigint").alias("n_rules"),
+        F.lit(bool(nonincr)).alias("merges_nonincreasing"),
+    )
+
+
+BPE_CERTIFY_SQL = f"""
+WITH toks AS (
+  SELECT unnest({X.TOKENS_SQL}) AS w FROM documents
+),
+words AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
+syms AS (
+  SELECT cnt, list_append(string_split(w, ''), '{EOW}') AS s
+  FROM words
+),
+pairs AS (
+  SELECT cnt, s[i] AS a, s[i + 1] AS b
+  FROM syms, unnest(generate_series(1, len(s) - 1)) AS t(i)
+  WHERE len(s) > 1
+),
+pc AS (
+  SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS n
+  FROM pairs GROUP BY a, b
+),
+top AS (
+  SELECT CAST(row_number() OVER (ORDER BY n DESC, a, b) AS INT)
+           AS pair_rank,
+         a, b, n
+  FROM pc ORDER BY n DESC, a, b LIMIT 10
+)
+SELECT pair_rank, a AS lhs, b AS rhs, n AS pair_count,
+       CAST({N_MERGES} AS BIGINT) AS n_rules,
+       TRUE AS merges_nonincreasing
+FROM top
+"""
+
+
 QUERIES = {
     "bpe_train_merges": bpe_train_merges,
     "bpe_vocab_stats": bpe_vocab_stats,
     "bpe_token_count": bpe_token_count,
+    "bpe_certify": bpe_certify,
 }
 
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, str] = {
+    "bpe_certify": BPE_CERTIFY_SQL,
+}

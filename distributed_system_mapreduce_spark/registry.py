@@ -115,6 +115,13 @@ _PRIORITY = [
     "filestore_schema_evolution", "kmeans_certify",
     "compression_ratio_certify", "multimodal_video_mjpg", "ann_recall_eval",
     "filestore_concurrent_commit", "filestore_keyed_merge",
+    # r7 watch-item rewrite: closed-form TVD (one scan) replaced the
+    # zero-filled grid — the oracle changed with it, so re-gate
+    "t_closeness",
+    # r7 NEW: BPE training promoted into the oracle gate (round-1
+    # top-10 pair table recomputed exactly + the non-increasing
+    # merge-count theorem as a literal) — rows-only family shrinks
+    "bpe_certify",
     # -- slots 13-50: re-confirmation, OLDEST driver evidence
     # first (r1 gates, then early r2) -----------------------------
     "wordcount", "vote_winner", "split_by_key", "range_partition_hist",
@@ -142,7 +149,7 @@ _PRIORITY = [
     "doc_lm_typicality", "multimodal_codec_roundtrip", "semdedup_prune",
     "lang_source_pmi", "user_traj_topk", "doc_token_entropy",
     "token_js_divergence", "user_markov_entropy", "zipf_exponent",
-    "t_closeness", "events_changepoint", "benford_audit", "weighted_sample",
+    "events_changepoint", "benford_audit", "weighted_sample",
     "ndcg_eval", "kmv_set_ops", "keyphrase_rake", "clustering_coeff",
     "mannwhitney_qty", "theil_sen_trend", "wilson_ci_rates", "hits_scores",
     "compression_ratio", "kmeans_embed", "approx_price_quantiles",

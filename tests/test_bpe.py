@@ -139,3 +139,24 @@ def test_pair_counts_survives_single_symbol_words(spark):
     assert rows["a"] == ["a</w>"]
     got = {(r["a"], r["b"]): r["n"] for r in _pair_counts(m1).collect()}
     assert got == {("a", "b"): 2, ("b", "</w>"): 2}
+
+
+def test_bpe_certify_pins_round1_and_monotonicity(spark):
+    """bpe_certify's rank-1 row must BE the first learned rule (same
+    tie-break, same data), the top-10 must be rank-dense and ordered,
+    and the monotonicity flag must hold (it is theorem-guaranteed, so
+    FALSE means a training bug)."""
+    from distributed_system_mapreduce_spark.operators.bpe import (
+        bpe_certify,
+        bpe_train_merges,
+    )
+
+    rows = bpe_certify(spark, SF_DIR).orderBy("pair_rank").collect()
+    assert [r["pair_rank"] for r in rows] == list(range(1, len(rows) + 1))
+    counts = [r["pair_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(r["merges_nonincreasing"] for r in rows)
+    assert rows[0]["n_rules"] == 8
+    r1 = bpe_train_merges(spark, SF_DIR).orderBy("merge_rank").first()
+    assert (rows[0]["lhs"], rows[0]["rhs"], rows[0]["pair_count"]) == (
+        r1["left"], r1["right"], r1["pair_count"])

@@ -82,21 +82,24 @@ def test_registry_prefix_is_oracle_dense():
         "kmeans_certify", "compression_ratio_certify",
         "multimodal_video_mjpg",
         # changed this round: ivfpq row added to the recall eval; the
-        # CAS/lock rework sits under both filestore commit paths
+        # CAS/lock rework sits under both filestore commit paths; the
+        # closed-form TVD rewrite changed t_closeness's oracle
         "ann_recall_eval", "filestore_concurrent_commit",
-        "filestore_keyed_merge",
+        "filestore_keyed_merge", "t_closeness",
+        # new r7 key: the BPE oracle-promotion twin
+        "bpe_certify",
     ]
-    assert ks[:12] == head_new_or_changed, ks[:12]
+    assert ks[:14] == head_new_or_changed, ks[:14]
     assert all(k in ORACLES for k in ks[:50]), [
         k for k in ks[:50] if k not in ORACLES]
     # the refresh block re-gates OLDEST evidence first: every slot
     # after the head must be a key first gated in r1/r2 (per the
     # VERDICT r6 evidence table), not a recently-confirmed one
-    refreshed = set(ks[12:50])
+    refreshed = set(ks[14:50])
     recently_gated_r5_r6 = {
         "order_total_audit", "weighted_median_price", "bot_rule_census",
         "dedup_agreement", "seasonal_strength", "multimodal_decode",
-        "semdedup_prune", "t_closeness", "benford_audit", "hits_scores",
+        "semdedup_prune", "benford_audit", "hits_scores",
         "ann_maxsim", "late_arrival_census", "entity_canonicalize",
     }
     assert not (refreshed & recently_gated_r5_r6), (
