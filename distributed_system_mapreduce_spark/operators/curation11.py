@@ -164,9 +164,13 @@ def skipgram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lift, not PMI, for the same reason as bigram_lift: it is one
     fixed-order double expression over exact integer counts (all
     products done in doubles — the lang_source_pmi overflow lesson).
-    Plan: pair generation is an in-array transform over the
-    materialized tokens column (constant w-fold fan-out, no self
-    join), one map-side-combined count per table, top-30 FIRST
+    Plan: ONE corpus scan — pair generation is an in-array transform
+    over the materialized tokens column (constant w-fold fan-out, no
+    self join) concatenated with the NULL-tagged unigram structs so
+    both count tables come out of a single Generate + one
+    map-side-combined shuffle (the two-branch shape re-tokenized the
+    corpus five times — r7 scan audit); the bounded count table is
+    localCheckpointed before its five consumers. Top-30 FIRST
     (TakeOrderedAndProject with full tie-break), then broadcast
     unigram counts + 1-row totals onto 30 rows."""
     docs = spread(load_table(spark, "documents", sf_dir))
@@ -178,15 +182,18 @@ def skipgram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"i -> transform(slice(t, i + 1, {SKIP_W}), "
         "x -> struct(element_at(t, i) AS a, x AS b)))) END"
     )
-    pairs = (
-        toks.select(F.explode(F.expr(pair_expr)).alias("p"))
+    counted = (
+        toks.select(F.explode(F.expr(
+            "concat(transform(t, x -> struct(x AS a, "
+            f"CAST(NULL AS STRING) AS b)), {pair_expr})"
+        )).alias("p"))
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .groupBy("a", "b").agg(F.count("*").alias("c"))
+        .localCheckpoint()
     )
-    uni = (
-        toks.select(F.explode("t").alias("tok"))
-        .groupBy("tok").agg(F.count("*").alias("cu"))
-    )
+    pairs = counted.filter(F.col("b").isNotNull())
+    uni = counted.filter(F.col("b").isNull()).select(
+        F.col("a").alias("tok"), F.col("c").alias("cu"))
     tot = pairs.groupBy().agg(F.sum("c").cast("long").alias("np")) \
         .crossJoin(uni.groupBy().agg(
             F.sum("cu").cast("long").alias("nt")))

@@ -129,23 +129,34 @@ def bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lift instead of PMI on purpose: PMI needs ln(), and libm ln is
     not bit-portable across engines; lift is a ratio of exact integer
     counts, computed as ONE fixed-order double expression, so it
-    hashes identically. Plan: one explode + partial-agg shuffle each
-    for bigram and unigram counts; top-30 bigrams picked FIRST
-    (TakeOrderedAndProject, full tie-break) and only those 30 rows are
-    broadcast-joined to the unigram table and the 1-row totals — the
-    lift arithmetic is O(30), never corpus-sized.
+    hashes identically. Plan: ONE corpus scan — each doc explodes its
+    unigrams and bigrams through a single Generate (tokenize once,
+    kind-tagged terms), one partial-agg shuffle, and the bounded
+    vocabulary-scale count table is localCheckpointed before its five
+    consumers (totals, top-30, u1, u2) — the per-branch shape
+    re-tokenized the corpus five times (r7 scan audit). Top-30
+    bigrams picked FIRST (TakeOrderedAndProject, full tie-break) and
+    only those 30 rows are broadcast-joined to the unigram table and
+    the 1-row totals — the lift arithmetic is O(30), never
+    corpus-sized.
     """
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(tokens().alias("toks"))
-    uni = (
-        toks.select(F.explode("toks").alias("w"))
-        .groupBy("w").agg(F.count("*").alias("c_w"))
+    counted = (
+        toks.select(F.explode(F.expr(
+            "concat("
+            "transform(toks, w -> struct('u' AS kind, w AS term)), "
+            f"transform({shingles_from('toks')}, "
+            "b -> struct('b' AS kind, b AS term)))"
+        )).alias("e"))
+        .groupBy("e.kind", "e.term")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
     )
-    big = (
-        toks.select(
-            F.explode(F.expr(shingles_from("toks"))).alias("bigram"))
-        .groupBy("bigram").agg(F.count("*").alias("c_xy"))
-    )
+    uni = counted.filter(F.col("kind") == "u").select(
+        F.col("term").alias("w"), F.col("c").alias("c_w"))
+    big = counted.filter(F.col("kind") == "b").select(
+        F.col("term").alias("bigram"), F.col("c").alias("c_xy"))
     totals = F.broadcast(
         uni.agg(
             F.sum("c_w").cast("long").alias("n_uni"),

@@ -486,6 +486,12 @@ def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n", F.expr(_SIZE_BUCKET_EXPR).alias("bucket"),
         (F.col("doc_id") % _SHARD_SALTS).alias("salt"),
     )
+    # per is consumed by both the class-count table and the ranked
+    # deal; without a barrier each consumer replays the scan AND the
+    # tokenizer regex over the full corpus (r7 scan audit: 6 scans in
+    # the static plan). The checkpoint holds 4 ints/doc — tiny next
+    # to re-tokenizing 100 TB of text.
+    per = per.localCheckpoint()
     counts = per.groupBy("bucket", "salt").agg(
         F.count("*").cast("long").alias("cnt"))
     # one integer orders the (bucket DESC, salt ASC) deal sequence, so
@@ -512,7 +518,7 @@ def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ranked.groupBy("shard").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n").cast("long").alias("total_tokens"),
-    )
+    ).localCheckpoint()  # N_SHARDS rows; grand-total + final both read it
     tot = agg.agg(F.sum("total_tokens").cast("long").alias("grand"))
     return (
         agg.crossJoin(F.broadcast(tot))

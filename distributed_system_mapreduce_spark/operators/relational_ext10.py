@@ -190,7 +190,15 @@ def user_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions/vectors discipline applied to time instead of dims).
     Shape: one per-user partial-agg shuffle; everything after lives
     on the BOUNDED day grid (triangular broadcast joins — the
-    split_ks_check discipline; never a global window over users)."""
+    split_ks_check discipline; never a global window over users).
+    The day grid is localCheckpointed: every downstream branch
+    (at-risk, steps, the final fold) references it, and without the
+    barrier Catalyst replays the per-user subtree — and its events
+    scan — under each reference (r7 scan audit measured 12 scans in
+    the static plan; it is 2 with the barrier: the endcap max and
+    the per-user agg). n_users is derived from the grid itself
+    (every user lands on exactly one day row, so sum(d + c) counts
+    users exactly) instead of re-aggregating per_user."""
     ev = load_table(spark, "events", sf_dir).select(
         "user_id", "event_type",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
@@ -220,9 +228,10 @@ def user_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_event").cast("long").alias("d"),
             F.sum(1 - F.col("is_event")).cast("long").alias("c"),
         )
+        .localCheckpoint()
     )
-    n_total = F.broadcast(per_user.agg(
-        F.count(F.lit(1)).cast("long").alias("n_users")))
+    n_total = F.broadcast(days.agg(
+        F.sum(F.col("d") + F.col("c")).cast("long").alias("n_users")))
     b = F.broadcast(days.select(F.col("t").alias("s"),
                                 F.col("d").alias("ds"),
                                 F.col("c").alias("cs")))

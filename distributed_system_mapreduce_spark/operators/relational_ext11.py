@@ -211,39 +211,47 @@ def join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     at-or-above that p99 — the diagnostic that decides whether a join
     needs salting (functions/skew.py) before it ships.
 
-    Shape: one column-pruned scan + partial-agg shuffle per key (the
-    per-key count table), a 1-row exact-percentile aggregate
+    Shape: ONE column-pruned scan for all keys — each row explodes
+    into (key_col, key_val) pairs so the three per-key count tables
+    come out of a single shuffle (same shuffled bytes as three
+    per-key jobs, a third of the fact-table reads — r7 scan audit
+    measured 6 scans in the per-key-loop shape, this is 1). The
+    bounded count table is localCheckpointed (its two consumers — the
+    exact-percentile stats and the heavy-rows sum — would each replay
+    the scan otherwise); per-key p99 is a grouped exact percentile
     (interpolation parity with quantile_cont; swap approx_percentile
-    when the KEY cardinality itself is unbounded), the p99 threshold
-    broadcast back onto the count table. Counts exact; the share is
-    one double division."""
+    when the KEY cardinality itself is unbounded) broadcast back onto
+    the count table. Counts exact; the share is one double
+    division."""
     li = load_table(spark, "lineitem", sf_dir)
-    outs = []
-    for k in _SKEW_KEYS:
-        counts = li.groupBy(k).agg(F.count(F.lit(1)).alias("cnt"))
-        stats = F.broadcast(counts.agg(
-            F.count(F.lit(1)).cast("long").alias("n_keys"),
-            F.sum("cnt").cast("long").alias("n_rows"),
-            F.max("cnt").cast("long").alias("max_cnt"),
-            F.expr("percentile(cnt, 0.99)").alias("p99_cnt"),
-        ))
-        outs.append(
-            counts.crossJoin(stats)
-            .groupBy("n_keys", "n_rows", "max_cnt", "p99_cnt")
-            .agg(F.sum(F.when(F.col("cnt") >= F.col("p99_cnt"),
-                              F.col("cnt")).otherwise(0))
-                 .cast("long").alias("heavy_rows"))
-            .select(
-                F.lit(k).alias("key_col"), "n_keys", "n_rows",
-                "max_cnt", "p99_cnt",
-                (F.col("heavy_rows").cast("double")
-                 / F.col("n_rows").cast("double")).alias("heavy_share"),
-            )
+    pairs = li.select(F.explode(F.array(*[
+        F.struct(F.lit(k).alias("key_col"),
+                 F.col(k).cast("long").alias("key_val"))
+        for k in _SKEW_KEYS
+    ])).alias("e")).select("e.*")
+    counts = (
+        pairs.groupBy("key_col", "key_val")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+    stats = F.broadcast(counts.groupBy("key_col").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.expr("percentile(cnt, 0.99)").alias("p99_cnt"),
+    ))
+    return (
+        counts.join(stats, "key_col")
+        .groupBy("key_col", "n_keys", "n_rows", "max_cnt", "p99_cnt")
+        .agg(F.sum(F.when(F.col("cnt") >= F.col("p99_cnt"),
+                          F.col("cnt")).otherwise(0))
+             .cast("long").alias("heavy_rows"))
+        .select(
+            "key_col", "n_keys", "n_rows", "max_cnt", "p99_cnt",
+            (F.col("heavy_rows").cast("double")
+             / F.col("n_rows").cast("double")).alias("heavy_share"),
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    )
 
 
 def _skew_block_sql(k: str) -> str:

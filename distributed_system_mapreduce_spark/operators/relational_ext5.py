@@ -523,10 +523,15 @@ def fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     row count and how many child rows have NO parent — the ingest
     gate that catches broken joins before queries silently drop rows.
 
-    Shape: one left-anti join per edge (dims broadcast; the fact-fact
-    edge shuffles on its key with AQE), counts unioned into a bounded
-    long-form report. Orphan probes are independent so Spark runs the
-    branches in parallel.
+    Shape: ONE pass per child table, not one per edge — lineitem's
+    three FK edges resolve in a single scan via left joins with
+    null-marker counting (dims broadcast; the fact-fact edge shuffles
+    on its key with AQE), so the 100 TB fact table is read once where
+    the per-edge anti-join shape read it six times (r7 scan audit).
+    The 1-row wide aggregates are localCheckpointed before fanning
+    into the long-form report — each of the three lineitem rows
+    references the same aggregate, and without the barrier Catalyst
+    replays the scan under each reference.
     """
     li = load_table(spark, "lineitem", sf_dir)
     o = load_table(spark, "orders", sf_dir)
@@ -535,29 +540,62 @@ def fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, "supplier", sf_dir)
     n = load_table(spark, "nation", sf_dir)
 
-    def edge(name, child, ck, parent, pk, bcast):
-        par = parent.select(pk).distinct()
-        if bcast:
-            par = F.broadcast(par)
-        orphans = child.select(F.col(ck).alias(pk)).join(
-            par, pk, "left_anti")
-        return (
-            child.agg(F.count("*").alias("n_child"))
-            .crossJoin(F.broadcast(
-                orphans.agg(F.count("*").alias("n_orphans"))))
-            .select(F.lit(name).alias("fk_edge"), "n_child", "n_orphans")
+    def parent_keys(parent, pk, ck, bcast):
+        keys = parent.select(F.col(pk).alias(ck)).distinct() \
+            .withColumn(f"{ck}_hit", F.lit(1))
+        return F.broadcast(keys) if bcast else keys
+
+    def orphan_sum(ck):
+        return F.sum(
+            F.when(F.col(f"{ck}_hit").isNull(), 1).otherwise(0)
+        ).cast("long")
+
+    li_row = (
+        li.select("l_orderkey", "l_partkey", "l_suppkey")
+        .join(parent_keys(o, "o_orderkey", "l_orderkey", False),
+              "l_orderkey", "left")
+        .join(parent_keys(p, "p_partkey", "l_partkey", True),
+              "l_partkey", "left")
+        .join(parent_keys(s, "s_suppkey", "l_suppkey", True),
+              "l_suppkey", "left")
+        .agg(
+            F.count("*").alias("n_child"),
+            orphan_sum("l_orderkey").alias("orph_orders"),
+            orphan_sum("l_partkey").alias("orph_part"),
+            orphan_sum("l_suppkey").alias("orph_supplier"),
         )
+        .localCheckpoint()
+    )
+    o_row = (
+        o.select("o_custkey")
+        .join(parent_keys(c, "c_custkey", "o_custkey", True),
+              "o_custkey", "left")
+        .agg(F.count("*").alias("n_child"),
+             orphan_sum("o_custkey").alias("n_orphans"))
+    )
+    c_row = (
+        c.select("c_nationkey")
+        .join(parent_keys(n, "n_nationkey", "c_nationkey", True),
+              "c_nationkey", "left")
+        .agg(F.count("*").alias("n_child"),
+             orphan_sum("c_nationkey").alias("n_orphans"))
+    )
+
+    def li_edge(name, col):
+        return li_row.select(
+            F.lit(name).alias("fk_edge"), "n_child",
+            F.col(col).alias("n_orphans"))
 
     return (
-        edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey", False)
-        .unionByName(edge("lineitem->part", li, "l_partkey",
-                          p, "p_partkey", True))
-        .unionByName(edge("lineitem->supplier", li, "l_suppkey",
-                          s, "s_suppkey", True))
-        .unionByName(edge("orders->customer", o, "o_custkey",
-                          c, "c_custkey", True))
-        .unionByName(edge("customer->nation", c, "c_nationkey",
-                          n, "n_nationkey", True))
+        li_edge("lineitem->orders", "orph_orders")
+        .unionByName(li_edge("lineitem->part", "orph_part"))
+        .unionByName(li_edge("lineitem->supplier", "orph_supplier"))
+        .unionByName(o_row.select(
+            F.lit("orders->customer").alias("fk_edge"),
+            "n_child", "n_orphans"))
+        .unionByName(c_row.select(
+            F.lit("customer->nation").alias("fk_edge"),
+            "n_child", "n_orphans"))
     )
 
 
