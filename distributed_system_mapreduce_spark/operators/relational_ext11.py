@@ -224,30 +224,38 @@ def join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     the count table. Counts exact; the share is one double
     division."""
     li = load_table(spark, "lineitem", sf_dir)
+    # int tag in the shuffle (a third the tag bytes of the column
+    # name); mapped back to the name on the bounded post-agg rows
     pairs = li.select(F.explode(F.array(*[
-        F.struct(F.lit(k).alias("key_col"),
+        F.struct(F.lit(i).cast("int").alias("kid"),
                  F.col(k).cast("long").alias("key_val"))
-        for k in _SKEW_KEYS
+        for i, k in enumerate(_SKEW_KEYS)
     ])).alias("e")).select("e.*")
     counts = (
-        pairs.groupBy("key_col", "key_val")
+        pairs.groupBy("kid", "key_val")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint()
     )
-    stats = F.broadcast(counts.groupBy("key_col").agg(
+    # both consumers below sit on the IDENTICAL (kid, key_val)
+    # exchange, so AQE plans the second as a ReusedExchange — no
+    # barrier needed (the fk_integrity-style checkpoint measured
+    # slower here: materializing the 170k-row count table costs more
+    # than the reused shuffle read)
+    stats = F.broadcast(counts.groupBy("kid").agg(
         F.count(F.lit(1)).cast("long").alias("n_keys"),
         F.sum("cnt").cast("long").alias("n_rows"),
         F.max("cnt").cast("long").alias("max_cnt"),
         F.expr("percentile(cnt, 0.99)").alias("p99_cnt"),
     ))
+    name = F.array(*[F.lit(k) for k in _SKEW_KEYS])
     return (
-        counts.join(stats, "key_col")
-        .groupBy("key_col", "n_keys", "n_rows", "max_cnt", "p99_cnt")
+        counts.join(stats, "kid")
+        .groupBy("kid", "n_keys", "n_rows", "max_cnt", "p99_cnt")
         .agg(F.sum(F.when(F.col("cnt") >= F.col("p99_cnt"),
                           F.col("cnt")).otherwise(0))
              .cast("long").alias("heavy_rows"))
         .select(
-            "key_col", "n_keys", "n_rows", "max_cnt", "p99_cnt",
+            F.element_at(name, F.col("kid") + 1).alias("key_col"),
+            "n_keys", "n_rows", "max_cnt", "p99_cnt",
             (F.col("heavy_rows").cast("double")
              / F.col("n_rows").cast("double")).alias("heavy_share"),
         )
