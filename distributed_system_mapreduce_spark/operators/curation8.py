@@ -66,20 +66,32 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln is the deterministic nested-sqrt approximation (~5e-5 absolute
     — far below any meaningful weight difference) and the per-doc sum
     folds over numerically sorted terms, so the weights hash-match
-    the DuckDB oracle bit-for-bit."""
+    the DuckDB oracle bit-for-bit.
+
+    Shape: ONE tokenize+explode pass to the per-(doc, lang, bucket)
+    count table — the sufficient statistic every consumer needs; the
+    background/target bucket margins and the 1-row totals are toy
+    re-aggregates of it (the four-branch shape re-tokenized the
+    corpus four times under genuinely different exchanges — r7 scan
+    audit — so AQE reuse could never fire). localCheckpointed:
+    doc x distinct-bucket rows of 4 ints, tiny next to the token
+    stream it replaces."""
     docs = spread(load_table(spark, "documents", sf_dir))
     tok = docs.select(
         "doc_id", "lang", F.explode(X.tokens()).alias("tok")
     ).select("doc_id", "lang", F.expr(_BUCKET_EXPR).alias("b"))
-    # raw (background) and target bucket counts — two partial aggs of
-    # the same exploded table; B rows each, broadcast back
-    n_r = tok.groupBy("b").agg(F.count("*").alias("nr"))
-    n_t = (tok.filter(F.col("lang") == DSIR_TARGET_LANG)
-           .groupBy("b").agg(F.count("*").alias("nt")))
-    tot = tok.groupBy().agg(
-        F.count("*").alias("tr"),
-        F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)
-              .otherwise(0)).alias("tt"))
+    cxl = (
+        tok.groupBy("doc_id", "lang", "b")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    is_t = F.col("lang") == DSIR_TARGET_LANG
+    n_r = cxl.groupBy("b").agg(F.sum("c").alias("nr"))
+    n_t = (cxl.filter(is_t)
+           .groupBy("b").agg(F.sum("c").alias("nt")))
+    tot = cxl.groupBy().agg(
+        F.sum("c").alias("tr"),
+        F.sum(F.when(is_t, F.col("c")).otherwise(0)).alias("tt"))
     model = (
         n_r.join(n_t, "b", "left")
         .crossJoin(F.broadcast(tot))
@@ -90,7 +102,7 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("delta"),
         )
     )
-    cx = tok.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    cx = cxl.select("doc_id", "b", "c")
     return (
         cx.join(F.broadcast(model), "b")
         .withColumn("term", F.col("c").cast("double") * F.col("delta"))
@@ -233,12 +245,19 @@ def lang_source_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact-oracle discipline: counts are integers; the PMI is ONE
     per-row deterministic-ln of an exact rational — no sums of
-    doubles anywhere, so no fold is needed."""
+    doubles anywhere, so no fold is needed.
+
+    Shape: ONE scan to the bounded (lang, source) cell table
+    (localCheckpointed); the language/source margins and the 1-row
+    total are toy re-aggregates of it — the four-branch shape
+    scanned documents four times (r7 scan audit, the t_closeness
+    margins pattern)."""
     docs = load_table(spark, "documents", sf_dir)
-    cell = docs.groupBy("lang", "source").agg(F.count("*").alias("n"))
-    nl = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
-    ns = docs.groupBy("source").agg(F.count("*").alias("n_src"))
-    tot = docs.groupBy().agg(F.count("*").alias("n_tot"))
+    cell = docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n")).localCheckpoint()
+    nl = cell.groupBy("lang").agg(F.sum("n").alias("n_lang"))
+    ns = cell.groupBy("source").agg(F.sum("n").alias("n_src"))
+    tot = cell.groupBy().agg(F.sum("n").alias("n_tot"))
     return (
         cell.join(F.broadcast(nl), "lang")
         .join(F.broadcast(ns), "source")

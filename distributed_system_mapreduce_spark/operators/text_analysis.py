@@ -338,28 +338,37 @@ def rare_token_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency distribution — the OOV/typo-noise quality signal a
     curation pass thresholds on (CCNet-style rare-vocab filtering).
 
-    Plan shape at 100 TB: tokenize+explode is narrow; the vocabulary
-    rollup is a partial-agg shuffle whose OUTPUT is vocab-sized («
-    corpus); the percentile threshold is an aggregate over that small
-    table, broadcast back as a 1-row cross join; the rare-token SET is
-    broadcast into the exploded token stream (vocab-bounded — switch
-    to a shuffle equi-join on token if the vocab outgrows broadcast);
-    the per-doc rollup shuffles on doc_id. Rates are a single division
-    of exact ints -> deterministic double.
+    Plan shape at 100 TB: ONE tokenize+explode pass to the
+    per-(doc, token) count table (localCheckpointed — it is the
+    sufficient statistic for the vocabulary rollup, the rare set, and
+    the per-doc rare count, which previously each re-tokenized the
+    corpus; r7 scan audit), plus one narrow pass for the doc universe
+    (zero-token docs have no count rows). The vocabulary rollup is a
+    toy re-agg whose OUTPUT is vocab-sized (« corpus); the percentile
+    threshold is an aggregate over that small table, broadcast back
+    as a 1-row cross join; the rare-token SET is broadcast into the
+    count table (vocab-bounded — switch to a shuffle equi-join on
+    token if the vocab outgrows broadcast); the per-doc rollup
+    shuffles on doc_id. Rates are a single division of exact ints ->
+    deterministic double.
     """
     docs = load_table(spark, "documents", sf_dir)
     base = docs.select(
         "doc_id", X.n_tokens().cast("long").alias("n_tokens"))
-    tok = docs.select(
-        "doc_id", F.explode(F.expr(X.TOKENS_EXPR)).alias("t"))
-    cf = tok.groupBy("t").agg(F.count("*").alias("cf"))
+    cx = (
+        docs.select(
+            "doc_id", F.explode(F.expr(X.TOKENS_EXPR)).alias("t"))
+        .groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    cf = cx.groupBy("t").agg(F.sum("c").alias("cf"))
     thr = cf.agg(F.expr("percentile(cf, 0.25)").alias("thr"))
     rare = cf.join(F.broadcast(thr), F.col("cf") < F.col("thr")) \
              .select("t")
     rc = (
-        tok.join(F.broadcast(rare), "t")
+        cx.join(F.broadcast(rare), "t")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_rare"))
+        .agg(F.sum("c").alias("n_rare"))
     )
     return (
         base.join(rc, "doc_id", "left")

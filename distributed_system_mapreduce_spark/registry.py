@@ -104,7 +104,7 @@ if _extra:
 # least once — and then spends the rest of the budget
 # RE-confirming, oldest driver evidence first.
 _PRIORITY = [
-    # -- r7 gate head, slots 1-12: NEW keys (kmeans/compression
+    # -- r7 gate head: NEW keys (kmeans/compression
     # certification twins, the MJPG compressed-video decode), the
     # six r6 additions never yet driver-gated, and the entries
     # whose CONTRACT or implementation changed this round (the
@@ -122,7 +122,14 @@ _PRIORITY = [
     # top-10 pair table recomputed exactly + the non-increasing
     # merge-count theorem as a literal) — rows-only family shrinks
     "bpe_certify",
-    # -- slots 13-50: re-confirmation, OLDEST driver evidence
+    # r7 scan-reduction rewrites (single-pass margins / tagged
+    # Generates / checkpointed bounded intermediates) — oracles
+    # unchanged, implementations changed, so re-gate
+    "user_survival_km", "fk_integrity", "join_key_skew",
+    "bigram_lift", "skipgram_lift", "shard_assignment",
+    "dsir_importance", "lang_source_pmi", "rare_token_rate",
+    # -- remaining slots to 50: re-confirmation, OLDEST driver
+    # evidence
     # first (r1 gates, then early r2) -----------------------------
     "wordcount", "vote_winner", "split_by_key", "range_partition_hist",
     "mr_wordcount", "mr_wordcount_range", "mr_vote_winner",
@@ -145,9 +152,9 @@ _PRIORITY = [
     "query_expansion_prf", "snippet_extract", "weighted_median_price",
     "dedup_agreement", "bot_rule_census", "entity_canonicalize",
     "seasonal_strength", "multimodal_decode", "multimodal_frame_sample",
-    "multimodal_resize", "multimodal_audio_segments", "dsir_importance",
-    "doc_lm_typicality", "multimodal_codec_roundtrip", "semdedup_prune",
-    "lang_source_pmi", "user_traj_topk", "doc_token_entropy",
+    "multimodal_resize", "multimodal_audio_segments", "doc_lm_typicality",
+    "multimodal_codec_roundtrip", "semdedup_prune",
+    "user_traj_topk", "doc_token_entropy",
     "token_js_divergence", "user_markov_entropy", "zipf_exponent",
     "events_changepoint", "benford_audit", "weighted_sample",
     "ndcg_eval", "kmv_set_ops", "keyphrase_rake", "clustering_coeff",
@@ -159,8 +166,8 @@ _PRIORITY = [
     "stream_topk_users_daily", "stream_enriched_rollup",
     "stream_dedup_census", "stream_funnel_join", "stream_abandoned_views",
     "stream_cdc_materialize", "mr_contact_trace", "dedup_cross_lang",
-    "embedding_cos_hist", "retrieval_pr_eval", "skipgram_lift",
-    "source_length_moments", "dataset_card", "lsh_bucket_balance",
+    "embedding_cos_hist", "retrieval_pr_eval", "source_length_moments",
+    "dataset_card", "lsh_bucket_balance",
     "charset_census", "bigram_entropy_rate", "orders_seasonal_index",
     "supplier_volume_skew", "priority_share_shift", "dedup_threshold_sweep",
     "doc_prefix_dup", "dedup_estimator_pr", "graph_modularity",
@@ -171,32 +178,32 @@ _PRIORITY = [
     "decayed_popularity", "kfold_assign", "revenue_trend_ols",
     "events_chi2_dow", "events_mad_outliers", "audience_overlap",
     "events_throttle", "customer_decile_migration", "embedding_dim_variance",
-    "pagerank_parts", "training_batches_digest", "user_survival_km",
-    "events_hour_heatmap", "multimodal_dedup", "embedding_stats",
-    "events_skew_join", "fk_integrity", "events_ewma", "abandoned_views",
+    "pagerank_parts", "training_batches_digest", "events_hour_heatmap",
+    "multimodal_dedup", "embedding_stats",
+    "events_skew_join", "events_ewma", "abandoned_views",
     "quality_dup_correlation", "tokenizer_fertility", "lang_confusion",
     "chunk_overlap", "dedup_cluster_stats", "embedding_quantize",
     "text_integrity", "k_anonymity", "user_growth", "link_prediction",
-    "join_size_estimate", "gopher_rules", "shard_assignment",
-    "events_autocorr", "funnel_latency", "customer_repeat_cohort",
+    "join_size_estimate", "gopher_rules", "events_autocorr",
+    "funnel_latency", "customer_repeat_cohort",
     "minhash_containment", "semantic_outliers", "token_rank_curve",
     "nation_share_yoy", "user_behavior_gini", "ngram_novelty",
     "split_ks_check", "user_churn", "l_diversity", "events_dow_profile",
     "top_returned_parts", "stratified_reservoir", "dedup_survivorship",
     "tokenizer_oov_rate", "hard_negative_mining", "embedding_margin",
     "session_lengths", "returns_mix_shift", "events_cusum",
-    "discount_qty_elasticity", "join_key_skew", "revenue_gini",
+    "discount_qty_elasticity", "revenue_gini",
     "events_holt_forecast", "events_daily_quantiles", "bloom_semi_filter",
     "events_concurrency", "cdc_apply", "skyline_parts", "winsorized_stats",
     "events_twap", "fuzzy_name_pairs", "ann_incremental",
     "multimodal_phash_dedup", "source_hhi", "community_lpa", "events_drift",
     "cross_source_overlap", "dedup_substring", "curation_pipeline",
     "events_anomaly", "events_props_stats", "events_retention",
-    "events_sliding_window", "events_path_trigrams", "rare_token_rate",
-    "events_skew_rollup", "quality_adaptive_filter", "token_budget_sample",
+    "events_sliding_window", "events_path_trigrams", "events_skew_rollup",
+    "quality_adaptive_filter", "token_budget_sample",
     "embedding_components", "basket_pairs", "events_dau_wau", "ann_topk_pq",
     "events_transition_matrix", "events_inter_arrival", "pack_chunks",
-    "bigram_lift", "dedup_incremental", "triangle_count", "profile_orders",
+    "dedup_incremental", "triangle_count", "profile_orders",
     "events_ohlc", "events_gap_fill", "orders_backlog", "events_streaks",
     "supplier_lead_time", "embedding_dedup_apply", "events_rolling_median",
     "vocab_growth", "graph_degree_dist", "orders_mom_growth",
