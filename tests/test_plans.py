@@ -99,6 +99,9 @@ _BOUNDED_GLOBAL_WINDOWS = {
     # rank-sum over the <= 50-row (group x quantile) grid
     # (mlstats2.py:112)
     "mannwhitney_qty",
+    # pair_rank over the 10-row round-1 top-pair head (bpe.py) —
+    # limit(10) runs before the window
+    "bpe_certify",
 }
 
 
@@ -488,8 +491,32 @@ def test_wave13_plan_shapes(spark):
         df = QUERIES[name](spark, SF_DIR)
         assert plan_lacks(df, "BatchEvalPython"), name
         assert plan_lacks(df, "CartesianProduct"), name
+    # r7: the tagged pair+unigram Generate sits BEHIND the count
+    # table's localCheckpoint, so the final plan reads the
+    # materialized RDD — assert the Generate on the pre-checkpoint
+    # fragment and the consumer shape on the final plan
+    from pyspark.sql import functions as F
+
+    from distributed_system_mapreduce_spark.functions import text as X
+    from distributed_system_mapreduce_spark.operators.curation11 import (
+        SKIP_W,
+    )
+    from distributed_system_mapreduce_spark.tables import load_table
+
+    toks = load_table(spark, "documents", SF_DIR).select(
+        F.expr(X.TOKENS_EXPR).alias("t"))
+    pair_expr = (
+        "CASE WHEN size(t) < 2 THEN "
+        "CAST(array() AS array<struct<a:string,b:string>>) ELSE "
+        "flatten(transform(sequence(1, size(t) - 1), "
+        f"i -> transform(slice(t, i + 1, {SKIP_W}), "
+        "x -> struct(element_at(t, i) AS a, x AS b)))) END"
+    )
+    frag = formatted_plan(
+        toks.select(F.explode(F.expr(pair_expr)).alias("p")))
+    assert "Generate" in frag
+    assert "CartesianProduct" not in frag and "Join" not in frag
     sk = formatted_plan(QUERIES["skipgram_lift"](spark, SF_DIR))
-    assert "Generate" in sk
     assert "TakeOrderedAndProject" in sk
     assert "BroadcastHashJoin" in sk
     assert "SortMergeJoin" not in sk
