@@ -37,11 +37,13 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-5 terms by TF-IDF.
 
     Plan shape for 100 TB: explode -> (doc_id, term) count (one
-    partial-aggregating shuffle); document frequency is a groupBy over
-    that SAME table (no second pass over raw text) and comes back as a
-    broadcast join (vocab << corpus); corpus size N is a one-row agg
-    cross-joined in. The per-doc top-k window partitions by doc_id —
-    never a global window.
+    partial-aggregating shuffle, localCheckpointed — document
+    frequency and the scoring join both reference it, and each
+    re-tokenized the corpus otherwise; r7 scan audit); document
+    frequency is a groupBy over that SAME materialized table and
+    comes back as a broadcast join (vocab << corpus); corpus size N
+    is a one-row agg cross-joined in. The per-doc top-k window
+    partitions by doc_id — never a global window.
 
     idf is the rational form (N + 1) / (df + 1) — order-preserving
     with log-idf for ranking, and exactly reproducible cross-engine
@@ -51,6 +53,7 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(X.tokens()).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
     )
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.select(F.count("*").alias("n_docs"))

@@ -428,19 +428,23 @@ def quality_adaptive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a global cut empties clean-but-terse domains and keeps the best
     of a spammy one).
 
-    Plan: per-row quality (narrow), per-source exact percentile (one
-    partial shuffle over bounded groups — switch to approx_percentile
-    if sources are unbounded), thresholds broadcast back onto an
-    un-shuffled scan, conditional counts in one more partial agg.
-    Median interpolation matches DuckDB quantile_cont bit-for-bit
-    (same guarantee price_quantiles relies on)."""
+    Plan: per-row quality (narrow), joined to (doc_id, source) ONCE
+    and localCheckpointed — the per-source median and the gating
+    counts both reference the scored table, and each replayed the
+    quality-feature regexes over the corpus otherwise (r7 scan
+    audit: 4 scans, now 1); per-source exact percentile (one partial
+    shuffle over bounded groups — switch to approx_percentile if
+    sources are unbounded), thresholds broadcast back, conditional
+    counts in one more partial agg. Median interpolation matches
+    DuckDB quantile_cont bit-for-bit (same guarantee price_quantiles
+    relies on)."""
     from distributed_system_mapreduce_spark.operators.text_analysis import (
         quality_score,
     )
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
     scored = quality_score(spark, sf_dir).select("doc_id", "quality")
-    sq = docs.join(scored, "doc_id")
+    sq = docs.join(scored, "doc_id").localCheckpoint()
     thr = sq.groupBy("source").agg(
         F.expr("percentile(quality, 0.5)").alias("thr"))
     return (

@@ -247,23 +247,31 @@ def quality_dup_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     decides whether dedup should run before or after the quality
     gate.
 
-    Shape: the quality features and the md5 dup-group counts are two
-    partial-agg passes over one corpus scan; quartile cutoffs are ONE
-    array-percentile aggregate broadcast back (the rfm/concentration
-    pattern — global ranking as threshold compares, no window); final
-    rollup is 4 groups. The rate is one division of exact ints.
+    Shape: TWO corpus scans — the quality features
+    (localCheckpointed: the quartile cutoffs and the final join both
+    reference the table, and each replayed the feature regexes
+    otherwise) and the md5 pass, whose dup-group count is an
+    h-partitioned window instead of a groupBy + self-join (one scan,
+    one shuffle; r7 scan audit measured 4 scans in the old shape);
+    quartile cutoffs are ONE array-percentile aggregate broadcast
+    back (the rfm/concentration pattern — global ranking as threshold
+    compares, no window); final rollup is 4 groups. The rate is one
+    division of exact ints.
     """
+    from pyspark.sql import Window
+
     from distributed_system_mapreduce_spark.operators.text_analysis import (
         quality_score,
     )
 
-    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    q = quality_score(spark, sf_dir).select(
+        "doc_id", "quality").localCheckpoint()
     docs = load_table(spark, "documents", sf_dir).select(
         "doc_id", F.md5("text").alias("h"))
-    grp = docs.groupBy("h").agg(F.count("*").alias("c"))
-    flagged = (
-        docs.join(grp, "h")
-        .select("doc_id", (F.col("c") > 1).cast("int").alias("is_dup"))
+    flagged = docs.select(
+        "doc_id",
+        (F.count("*").over(Window.partitionBy("h")) > 1)
+        .cast("int").alias("is_dup"),
     )
     cuts = F.broadcast(q.agg(
         F.expr("percentile(quality, array(0.25, 0.5, 0.75))").alias("qq")))

@@ -219,17 +219,22 @@ def token_rank_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     decides how much mass a stopword list or a tokenizer's top-vocab
     actually covers.
 
-    Shape: one map-side-combined token count shuffle, global top-k as
-    TakeOrderedAndProject (never a global sort), then rank + prefix
-    sum over the BOUNDED 50-row head via the broadcast triangular
-    self-join (the triangular_cumsum discipline — no single-partition
-    window); the corpus total is a broadcast 1-row aggregate. Counts
-    are exact BIGINTs; shares are fixed-order double divisions."""
+    Shape: one map-side-combined token count shuffle to the
+    vocab-scale count table (localCheckpointed — the corpus total
+    and both sides of the triangular head join reference it, each
+    re-tokenizing the corpus otherwise; r7 scan audit: 3 scans, now
+    1), global top-k as TakeOrderedAndProject (never a global sort),
+    then rank + prefix sum over the BOUNDED 50-row head via the
+    broadcast triangular self-join (the triangular_cumsum discipline
+    — no single-partition window); the corpus total is a broadcast
+    1-row aggregate. Counts are exact BIGINTs; shares are
+    fixed-order double divisions."""
     docs = load_table(spark, "documents", sf_dir)
     counts = (
         docs.select(F.explode(X.tokens()).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint()
     )
     total = F.broadcast(
         counts.agg(F.sum("cnt").cast("long").alias("total")))
@@ -293,13 +298,16 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: the exploded shingle table joins the (doc_id, source) map
     on doc_id (shuffle), reduces to distinct (shingle, source) — one
-    partial-agg shuffle keyed by the shingle — then per-shingle
-    source cardinality and a bounded per-source census. All counts
-    exact BIGINTs; one double division at output. Linear in corpus
-    shingles; no pairwise source comparison anywhere."""
+    partial-agg shuffle keyed by the shingle — localCheckpointed:
+    the per-shingle source cardinality and the per-source census
+    both reference it, and each replayed the shingle explode + join
+    + distinct otherwise (r7 scan audit: 4 scans, now 1). Then a
+    bounded per-source census. All counts exact BIGINTs; one double
+    division at output. Linear in corpus shingles; no pairwise
+    source comparison anywhere."""
     docs = load_table(spark, "documents", sf_dir).select(
         "doc_id", "source")
-    sh = _shingle_src(spark, sf_dir, docs)
+    sh = _shingle_src(spark, sf_dir, docs).localCheckpoint()
     per_sh = sh.groupBy("s").agg(
         F.count(F.lit(1)).alias("n_sources"))
     return (
@@ -359,9 +367,12 @@ def split_ks_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     the eval set is biased.
 
     Shape: one partial-agg shuffle to the BOUNDED distinct-length
-    table with per-bucket counts, prefix sums via the broadcast
-    triangular self-join (triangular_cumsum discipline — lengths are
-    bounded, so O(levels²) fan-out is fine), then a 1-row argmax via
+    table with per-bucket counts — localCheckpointed: both sides of
+    the triangular prefix join and the totals reference it, and each
+    replayed the documents scan otherwise (r7 scan audit: 3 scans,
+    now 1) — prefix sums via the broadcast triangular self-join
+    (triangular_cumsum discipline — lengths are bounded, so
+    O(levels²) fan-out is fine), then a 1-row argmax via
     min(struct). Exactness: the KS sup is taken over the exact
     integer |cum_t·N_h − cum_h·N_t| (ties broken to the smallest
     length), divided by N_t·N_h once at output. The BIGINT products
@@ -379,6 +390,7 @@ def split_ks_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("is_train").cast("long")).alias("ct"),
             F.sum((~F.col("is_train")).cast("long")).alias("ch"),
         )
+        .localCheckpoint()
     )
     b = F.broadcast(lv.select(F.col("v").alias("bv"),
                               F.col("ct").alias("bct"),

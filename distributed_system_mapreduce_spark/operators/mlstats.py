@@ -179,7 +179,10 @@ def events_chi2_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     and contribution (o-e)^2/e are per-cell fixed-order double
     expressions; the per-type sum folds its <= 7 cells in dow order
     (user_survival_km discipline). One partial-agg shuffle to the
-    grid; totals ride broadcast joins."""
+    grid — localCheckpointed: row/column/grand totals and the cell
+    join all reference it, and each replayed the events scan
+    otherwise (r7 scan audit: 4 scans, now 1); totals ride broadcast
+    joins."""
     ev = load_table(spark, "events", sf_dir).select(
         "event_type",
         (F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {_DAY_US}") % 7)
@@ -187,6 +190,7 @@ def events_chi2_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = (
         ev.groupBy("event_type", "dow")
         .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        .localCheckpoint()
     )
     rows = grid.groupBy("event_type").agg(
         F.sum("o").cast("long").alias("r"))

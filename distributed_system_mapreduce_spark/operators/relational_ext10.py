@@ -96,7 +96,10 @@ def returns_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: TVD accumulates 0.5·Σ|c_cur·N_prev − c_prev·N_cur| in
     exact DECIMAL integer arithmetic with ONE double division per
     year (the events_drift discipline). Shape: one partial-agg
-    shuffle to the bounded (year, flag, status) table; the lag
+    shuffle to the bounded (year, flag, status) table —
+    localCheckpointed, since the lag self-join references it twice
+    and the year totals a third time, each replaying the lineitem
+    scan otherwise (r7 scan audit: 4 scans, now 1); the lag
     alignment is a broadcast self-join on that bounded table. A
     category absent in one year still contributes — the full outer
     join keeps both sides' categories with zero fills."""
@@ -107,6 +110,7 @@ def returns_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag", "l_linestatus",
         )
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
     cur = yc.select("yr", "l_returnflag", "l_linestatus",
                     F.col("c").alias("c_cur"))

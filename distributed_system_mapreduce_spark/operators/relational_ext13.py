@@ -254,8 +254,11 @@ def user_traj_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break.
 
     Shape: one events shuffle to per-user ordered sequences
-    (sort_array over (us, event_id) — exact arrival order, no window),
-    trigram explode only for the candidate join, set algebra
+    (sort_array over (us, event_id) — exact arrival order, no window)
+    — localCheckpointed: the panel filter, the candidate explode, and
+    both verify sides all reference it, and each replayed the events
+    scan + sequence shuffle otherwise (r7 scan audit: 4 scans, now
+    1); trigram explode only for the candidate join, set algebra
     (array_intersect sizes) for the exact verify — candidates->verify,
     never user x user. The panel is a constant 32 users, so the plan
     is linear in users at any scale."""
@@ -277,6 +280,7 @@ def user_traj_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "element_at(types, i+1), '>', "
                 "element_at(types, i+2))))").alias("trig"),
         )
+        .localCheckpoint()
     )
     qpanel = seq.filter(
         (F.col("user_id") % TRAJ_PANEL_MOD == 0)

@@ -95,17 +95,20 @@ def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     audience size, and the Jaccard overlap — the cross-sell /
     cannibalization readout.
 
-    Shape: ONE shuffle to per-user sorted type sets, then pairs
-    expand IN-ARRAY (bounded by the handful of types a user can
-    have — the graphs.py co-purchase idiom, never a distinct x
-    distinct self-join whose hot types would explode); per-type
-    audience sizes come off the same set table and ride a broadcast
-    join. Jaccard is one fixed-order double division over exact
-    BIGINTs."""
+    Shape: ONE shuffle to per-user sorted type sets
+    (localCheckpointed — the pair expansion and the audience-size
+    rollup both reference it and each replayed the events scan
+    otherwise; r7 scan audit: 3 scans, now 1), then pairs expand
+    IN-ARRAY (bounded by the handful of types a user can have — the
+    graphs.py co-purchase idiom, never a distinct x distinct
+    self-join whose hot types would explode); per-type audience
+    sizes come off the same set table and ride a broadcast join.
+    Jaccard is one fixed-order double division over exact BIGINTs."""
     ev = load_table(spark, "events", sf_dir)
     sets = (
         ev.groupBy("user_id")
         .agg(F.sort_array(F.collect_set("event_type")).alias("types"))
+        .localCheckpoint()
     )
     pairs = (
         sets.select(F.explode(F.expr(
@@ -243,8 +246,11 @@ def customer_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue strictly exceeds — value-based, deterministic under ties,
     and NO global rank window (the boundary array is a broadcast
     1-row aggregate; assignment is a narrow filter-count over a
-    9-element array). Two partial-agg shuffles per half + one equi-
-    join on custkey."""
+    9-element array). ONE fact join + ONE partial-agg shuffle to the
+    per-(customer, half) revenue table (localCheckpointed — 3 ints
+    per active customer-half); both halves' boundary percentiles and
+    decile assignments are toy re-reads of it. The per-half shape
+    scanned lineitem and orders four times each (r7 scan audit)."""
     orders = load_table(spark, "orders", sf_dir).select(
         "o_orderkey", "o_custkey", "o_orderdate")
     li = load_table(spark, "lineitem", sf_dir).select(
@@ -253,15 +259,18 @@ def customer_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
          * (F.lit(1).cast("decimal(18,2)")
             - F.col("l_discount").cast("decimal(18,2)")))
         .alias("rev"))
-    joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    cut = F.to_date(F.lit(_SPLIT_DATE))
+    per = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey",
+                 (F.col("o_orderdate") >= cut).alias("after"))
+        .agg((F.sum("rev") * 10000).cast("decimal(38,0)")
+             .cast("long").alias("v"))
+        .localCheckpoint()
+    )
 
-    def half(pred, tag):
-        per_cust = (
-            joined.filter(pred)
-            .groupBy("o_custkey")
-            .agg((F.sum("rev") * 10000).cast("decimal(38,0)")
-                 .cast("long").alias("v"))
-        )
+    def half(after, tag):
+        per_cust = per.filter(F.col("after") == after)
         bounds = F.broadcast(per_cust.agg(F.expr(
             "percentile(v, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
         ).alias("bs")))
@@ -271,9 +280,8 @@ def customer_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(tag),
         )
 
-    cut = F.to_date(F.lit(_SPLIT_DATE))
-    a = half(F.col("o_orderdate") < cut, "decile_before")
-    b = half(F.col("o_orderdate") >= cut, "decile_after")
+    a = half(False, "decile_before")
+    b = half(True, "decile_after")
     return (
         a.join(b, "custkey")
         .groupBy("decile_before", "decile_after")
@@ -618,7 +626,13 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the events_concurrency stitch); the answer is the MIN price
     whose cumulative weight reaches the lower-median threshold
     (W+1) DIV 2 — pure integer compares, deterministic under ties.
-    One double division (cents -> dollars) at output."""
+    One double division (cents -> dollars) at output.
+
+    ONE lineitem scan: the (flag, price) value grid is the
+    sufficient statistic (localCheckpointed) — bucket sums, the
+    triangular prefix, the in-bucket window, and the per-flag weight
+    totals are all re-aggregates of it (the four-branch shape
+    re-scanned lineitem four times, r7 scan audit)."""
     li = load_table(spark, "lineitem", sf_dir).select(
         "l_returnflag",
         F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100"
@@ -628,6 +642,7 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag", "pc")
         .agg(F.sum("w").cast("long").alias("sw"))
         .withColumn("b", F.expr(f"pc DIV {_WM_BUCKET}"))
+        .localCheckpoint()
     )
     bsum = grid.groupBy("l_returnflag", "b").agg(
         F.sum("sw").cast("long").alias("bw"))
@@ -644,8 +659,8 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     wcum = Window.partitionBy("l_returnflag", "b").orderBy("pc") \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tot = F.broadcast(
-        li.groupBy("l_returnflag")
-        .agg(F.sum("w").cast("long").alias("wtot")))
+        grid.groupBy("l_returnflag")
+        .agg(F.sum("sw").cast("long").alias("wtot")))
     cum = (
         grid.withColumn("inb", F.sum("sw").over(wcum))
         .join(F.broadcast(pre), ["l_returnflag", "b"])

@@ -292,13 +292,17 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer-value census behind retention/marketing splits.
 
     Shape: one partial-agg shuffle to the per-customer table
-    (customer-dim scale), then ONE array-percentile aggregate per
-    metric over that table (1-row result, broadcast back) and a
-    branchless 1 + (x>t1) + (x>t2) + (x>t3) scorer — no window
-    anywhere, no per-row sort. Percentile interpolation matches
-    DuckDB's quantile_cont bit-for-bit (same guarantee
-    price_quantiles relies on); monetary goes through the DECIMAL
-    accumulator, DOUBLE at output.
+    (customer-dim scale, localCheckpointed — the quartile aggregate
+    and the scorer both reference it, and each replayed the orders
+    scan otherwise; r7 scan audit: 4 orders scans, now 2 — the
+    date-endcap max and the per-customer agg), then ONE
+    array-percentile aggregate per metric over that table (1-row
+    result, broadcast back) and a branchless
+    1 + (x>t1) + (x>t2) + (x>t3) scorer — no window anywhere, no
+    per-row sort. Percentile interpolation matches DuckDB's
+    quantile_cont bit-for-bit (same guarantee price_quantiles relies
+    on); monetary goes through the DECIMAL accumulator, DOUBLE at
+    output.
     """
     o = load_table(spark, "orders", sf_dir)
     mx = F.broadcast(o.agg(F.max("o_orderdate").alias("mxd")))
@@ -317,6 +321,7 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("r_days"),
             "f_orders", "m_spend",
         )
+        .localCheckpoint()
     )
     qs = F.broadcast(per_cust.agg(
         F.expr("percentile(r_days, array(0.25, 0.5, 0.75))").alias("rq"),

@@ -459,7 +459,10 @@ def events_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.5·Σ|c1_i·N2 - c2_i·N1| / (N1·N2) keeps the entire accumulation
     in exact integer (DECIMAL) arithmetic; the single double division
     happens once per type at output. Shape: one scan bucketed by
-    width_bucket into a bounded (type, half, bucket) rollup; the
+    width_bucket into a bounded (type, half, bucket) rollup —
+    localCheckpointed, because the per-type totals and the TVD fold
+    both reference it and would each replay the events scan (r7 scan
+    audit: 4 scans, now 2 — the min/max endcap and the rollup); the
     split point is the observed midpoint timestamp, broadcast from a
     2-value aggregate.
     """
@@ -485,6 +488,7 @@ def events_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("first_half").cast("long")).alias("c1"),
             F.sum((~F.col("first_half")).cast("long")).alias("c2"),
         )
+        .localCheckpoint()
     )
     tot = b.groupBy("event_type").agg(
         F.sum("c1").cast("bigint").alias("n1"),

@@ -253,10 +253,13 @@ def nation_share_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: orders shuffle-joins customer on custkey (both fact-sized
     at scale), nation dim broadcast; one partial-agg shuffle to the
-    BOUNDED (nation, year) table; year totals and the year-1 lag are
-    broadcast self-joins on that bounded table — no window. Money
-    sums ride DECIMAL accumulators and cast to DOUBLE once at output
-    (q6 discipline); shares and deltas are fixed-order double
+    BOUNDED (nation, year) table — localCheckpointed, because the
+    year totals, the share projection, and the year-1 lag all
+    reference it and would each replay the fact join otherwise (r7
+    scan audit: 4 orders+customer scans; now 1); year totals and the
+    lag are broadcast self-joins on that bounded table — no window.
+    Money sums ride DECIMAL accumulators and cast to DOUBLE once at
+    output (q6 discipline); shares and deltas are fixed-order double
     expressions of those casts."""
     orders = load_table(spark, "orders", sf_dir).select(
         "o_custkey", "o_orderdate", "o_totalprice")
@@ -272,6 +275,7 @@ def nation_share_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.year("o_orderdate").alias("yr"))
         .agg(F.sum(F.col("o_totalprice").cast("decimal(38,2)"))
              .alias("rev"))
+        .localCheckpoint()
     )
     ytot = ny.groupBy("yr").agg(F.sum("rev").alias("yrev"))
     cur = (

@@ -128,6 +128,15 @@ _PRIORITY = [
     "user_survival_km", "fk_integrity", "join_key_skew",
     "bigram_lift", "skipgram_lift", "shard_assignment",
     "dsir_importance", "lang_source_pmi", "rare_token_rate",
+    # r7 scan-reduction wave 2 (checkpointed bounded/sufficient
+    # intermediates; window dup-count) — oracles unchanged,
+    # implementations changed, so re-gate
+    "customer_decile_migration", "nation_share_yoy", "customer_rfm",
+    "returns_mix_shift", "events_chi2_dow", "events_drift",
+    "user_traj_topk", "weighted_median_price", "audience_overlap",
+    "quality_dup_correlation", "ngram_novelty",
+    "quality_adaptive_filter", "split_ks_check", "token_rank_curve",
+    "tfidf_topterms",
     # -- remaining slots to 50: re-confirmation, OLDEST driver
     # evidence
     # first (r1 gates, then early r2) -----------------------------
@@ -137,8 +146,7 @@ _PRIORITY = [
     "q16_supplier_counts", "q20_heavy_shippers", "q21_sole_supplier_returns",
     "order_priority_count", "distinct_users_by_type", "events_pivot",
     "price_quantiles", "token_count", "lang_id", "quality_score",
-    "quality_filter", "term_doc_freq", "doc_fingerprint", "tfidf_topterms",
-    "bm25_rank",
+    "quality_filter", "term_doc_freq", "doc_fingerprint", "bm25_rank",
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q10_returned_items", "top_customers", "events_daily_rollup",
     "events_running_total", "events_sessionize", "q7_nation_volume",
@@ -149,12 +157,12 @@ _PRIORITY = [
     "approx_distinct_users_by_type", "source_boilerplate",
     "late_arrival_census", "order_total_audit", "bootstrap_ci",
     "lifecycle_conformance", "ann_maxsim", "hybrid_rank_fusion",
-    "query_expansion_prf", "snippet_extract", "weighted_median_price",
-    "dedup_agreement", "bot_rule_census", "entity_canonicalize",
+    "query_expansion_prf", "snippet_extract", "dedup_agreement",
+    "bot_rule_census", "entity_canonicalize",
     "seasonal_strength", "multimodal_decode", "multimodal_frame_sample",
     "multimodal_resize", "multimodal_audio_segments", "doc_lm_typicality",
     "multimodal_codec_roundtrip", "semdedup_prune",
-    "user_traj_topk", "doc_token_entropy",
+    "doc_token_entropy",
     "token_js_divergence", "user_markov_entropy", "zipf_exponent",
     "events_changepoint", "benford_audit", "weighted_sample",
     "ndcg_eval", "kmv_set_ops", "keyphrase_rake", "clustering_coeff",
@@ -176,38 +184,36 @@ _PRIORITY = [
     "assoc_rules", "ab_test_zstat", "lsh_param_sweep", "events_grouping_sets",
     "kcore_census", "attribution_credit", "dedup_components_star",
     "decayed_popularity", "kfold_assign", "revenue_trend_ols",
-    "events_chi2_dow", "events_mad_outliers", "audience_overlap",
-    "events_throttle", "customer_decile_migration", "embedding_dim_variance",
+    "events_mad_outliers", "events_throttle", "embedding_dim_variance",
     "pagerank_parts", "training_batches_digest", "events_hour_heatmap",
     "multimodal_dedup", "embedding_stats",
     "events_skew_join", "events_ewma", "abandoned_views",
-    "quality_dup_correlation", "tokenizer_fertility", "lang_confusion",
+    "tokenizer_fertility", "lang_confusion",
     "chunk_overlap", "dedup_cluster_stats", "embedding_quantize",
     "text_integrity", "k_anonymity", "user_growth", "link_prediction",
     "join_size_estimate", "gopher_rules", "events_autocorr",
     "funnel_latency", "customer_repeat_cohort",
-    "minhash_containment", "semantic_outliers", "token_rank_curve",
-    "nation_share_yoy", "user_behavior_gini", "ngram_novelty",
-    "split_ks_check", "user_churn", "l_diversity", "events_dow_profile",
+    "minhash_containment", "semantic_outliers", "user_behavior_gini",
+    "user_churn", "l_diversity", "events_dow_profile",
     "top_returned_parts", "stratified_reservoir", "dedup_survivorship",
     "tokenizer_oov_rate", "hard_negative_mining", "embedding_margin",
-    "session_lengths", "returns_mix_shift", "events_cusum",
+    "session_lengths", "events_cusum",
     "discount_qty_elasticity", "revenue_gini",
     "events_holt_forecast", "events_daily_quantiles", "bloom_semi_filter",
     "events_concurrency", "cdc_apply", "skyline_parts", "winsorized_stats",
     "events_twap", "fuzzy_name_pairs", "ann_incremental",
-    "multimodal_phash_dedup", "source_hhi", "community_lpa", "events_drift",
+    "multimodal_phash_dedup", "source_hhi", "community_lpa",
     "cross_source_overlap", "dedup_substring", "curation_pipeline",
     "events_anomaly", "events_props_stats", "events_retention",
     "events_sliding_window", "events_path_trigrams", "events_skew_rollup",
-    "quality_adaptive_filter", "token_budget_sample",
+    "token_budget_sample",
     "embedding_components", "basket_pairs", "events_dau_wau", "ann_topk_pq",
     "events_transition_matrix", "events_inter_arrival", "pack_chunks",
     "dedup_incremental", "triangle_count", "profile_orders",
     "events_ohlc", "events_gap_fill", "orders_backlog", "events_streaks",
     "supplier_lead_time", "embedding_dedup_apply", "events_rolling_median",
     "vocab_growth", "graph_degree_dist", "orders_mom_growth",
-    "text_normalize", "customer_rfm", "revenue_concentration",
+    "text_normalize", "revenue_concentration",
     "mr_wordcount_exe", "events_asof_order", "purchase_attribution",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_minhash_estimate", "dedup_components", "dedup_apply",

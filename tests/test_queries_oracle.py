@@ -93,14 +93,20 @@ def test_registry_prefix_is_oracle_dense():
         "user_survival_km", "fk_integrity", "join_key_skew",
         "bigram_lift", "skipgram_lift", "shard_assignment",
         "dsir_importance", "lang_source_pmi", "rare_token_rate",
+        "customer_decile_migration", "nation_share_yoy", "customer_rfm",
+        "returns_mix_shift", "events_chi2_dow", "events_drift",
+        "user_traj_topk", "weighted_median_price", "audience_overlap",
+        "quality_dup_correlation", "ngram_novelty",
+        "quality_adaptive_filter", "split_ks_check", "token_rank_curve",
+        "tfidf_topterms",
     ]
-    assert ks[:23] == head_new_or_changed, ks[:23]
+    assert ks[:38] == head_new_or_changed, ks[:38]
     assert all(k in ORACLES for k in ks[:50]), [
         k for k in ks[:50] if k not in ORACLES]
     # the refresh block re-gates OLDEST evidence first: every slot
     # after the head must be a key first gated in r1/r2 (per the
     # VERDICT r6 evidence table), not a recently-confirmed one
-    refreshed = set(ks[23:50])
+    refreshed = set(ks[38:50])
     recently_gated_r5_r6 = {
         "order_total_audit", "weighted_median_price", "bot_rule_census",
         "dedup_agreement", "seasonal_strength", "multimodal_decode",
