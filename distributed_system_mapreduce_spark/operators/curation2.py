@@ -337,11 +337,13 @@ def mix_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     document's fate. Per-source cutoffs ride in on a broadcast join;
     the filter itself is narrow."""
     docs = load_table(spark, "documents", sf_dir)
+    # bounded per-source cutoffs; materialize once so the broadcast
+    # below never replays domain_mix's corpus aggregates (r7 audit)
     cuts = domain_mix(spark, sf_dir).select(
         "source",
         F.floor(F.least(F.lit(1.0), F.col("weight")) * 65536)
         .cast("long").alias("cutoff"),
-    )
+    ).localCheckpoint()
     h16 = F.expr(_hex16_expr("'mix:' || CAST(doc_id AS STRING)")).cast("long")
     return (
         docs.select("doc_id", "source", h16.alias("h16"))

@@ -30,13 +30,18 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     lift — the full rule statistics a recommender shortlist needs
     beyond basket_pairs' raw co-occurrence top-k.
 
-    Shape: pair generation is the basket_pairs self-join (fan-out
-    bounded by lines-per-order, linear in orders); per-item basket
-    counts join back on the part keys (shuffle equi-joins); the
-    basket total is a broadcast 1-row aggregate. All counts exact;
-    confidences and lift are fixed-order double divisions."""
+    Shape: the distinct (order, part) basket table is the shared
+    input of every branch — localCheckpointed, because the basket
+    total, both per-item count sides, and the co-pair self-join all
+    reference it and each replayed the scan AND the distinct shuffle
+    otherwise (r7 scan audit: 4 lineitem scans, now 1). Pair
+    generation is the basket_pairs self-join (fan-out bounded by
+    lines-per-order, linear in orders); per-item basket counts join
+    back on the part keys (shuffle equi-joins); the basket total is
+    a broadcast 1-row aggregate. All counts exact; confidences and
+    lift are fixed-order double divisions."""
     li = load_table(spark, "lineitem", sf_dir).select(
-        "l_orderkey", "l_partkey").distinct()
+        "l_orderkey", "l_partkey").distinct().localCheckpoint()
     n_baskets = F.broadcast(
         li.agg(F.countDistinct("l_orderkey").cast("long").alias("nb")))
     item = li.groupBy("l_partkey").agg(

@@ -544,6 +544,9 @@ def lifecycle_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("event_type") == "purchase", F.col("us")))
             .alias("first_purchase"),
         )
+        # the violation-count join and the final census both read
+        # this; each replayed the events scan otherwise (r7 audit)
+        .localCheckpoint()
     )
     cls = (
         F.when(F.col("first_purchase").isNull(), "non_purchaser")

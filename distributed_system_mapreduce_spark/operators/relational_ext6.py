@@ -210,18 +210,39 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the arithmetic behind every CBO row estimate and skew alarm
     (max_fanout is the number AQE's skew-join threshold watches).
 
-    Shape per edge: two partial-agg count shuffles + a key-count
-    equi-join (broadcast for dimension sides under AQE), folded to a
+    Shape: lineitem carries THREE of the four edges' child keys, so
+    its per-key count tables come out of ONE scan — each row explodes
+    into int-tagged (edge, key) pairs and one shuffle counts all
+    three (the join_key_skew idiom; the per-edge-loop shape scanned
+    lineitem three times, r7 scan audit). Per edge: a key-count
+    equi-join (broadcast for dimension sides under AQE) folded to a
     1-row summary; the bounded edge summaries union. Products of
     per-key counts are BIGINT end-to-end."""
+    li_edges = [(i, e) for i, e in enumerate(_JOIN_EDGES)
+                if e[3] == "lineitem"]
+    li = load_table(spark, "lineitem", sf_dir)
+    li_counts = (
+        li.select(F.explode(F.array(*[
+            F.struct(F.lit(i).cast("int").alias("eid"),
+                     F.col(rk).cast("long").alias("k"))
+            for i, (_, _, _, _, rk) in li_edges
+        ])).alias("e")).select("e.*")
+        .groupBy("eid", "k").agg(F.count(F.lit(1)).alias("cb"))
+        # three edge branches read this; without the barrier each
+        # replays the explode + shuffle (and the scan with it)
+        .localCheckpoint()
+    )
     out = None
-    for edge, lt, lk, rt, rk in _JOIN_EDGES:
+    for i, (edge, lt, lk, rt, rk) in enumerate(_JOIN_EDGES):
         left = load_table(spark, lt, sf_dir).select(
             F.col(lk).alias("k"))
-        right = load_table(spark, rt, sf_dir).select(
-            F.col(rk).alias("k"))
         lc = left.groupBy("k").agg(F.count("*").alias("ca"))
-        rc = right.groupBy("k").agg(F.count("*").alias("cb"))
+        if rt == "lineitem":
+            rc = li_counts.filter(F.col("eid") == i).select("k", "cb")
+        else:
+            rc = load_table(spark, rt, sf_dir).select(
+                F.col(rk).alias("k")
+            ).groupBy("k").agg(F.count("*").alias("cb"))
         j = lc.join(rc, "k")
         row = j.agg(
             F.count("*").cast("long").alias("matching_keys"),

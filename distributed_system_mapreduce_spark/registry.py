@@ -137,6 +137,9 @@ _PRIORITY = [
     "quality_dup_correlation", "ngram_novelty",
     "quality_adaptive_filter", "split_ks_check", "token_rank_curve",
     "tfidf_topterms",
+    # r7 scan-reduction wave 3
+    "assoc_rules", "join_size_estimate", "lifecycle_conformance",
+    "mix_rebalance_sample",
     # -- remaining slots to 50: re-confirmation, OLDEST driver
     # evidence
     # first (r1 gates, then early r2) -----------------------------
@@ -156,7 +159,7 @@ _PRIORITY = [
     # evidence last (r6 head keys were all green in r6) -----------
     "approx_distinct_users_by_type", "source_boilerplate",
     "late_arrival_census", "order_total_audit", "bootstrap_ci",
-    "lifecycle_conformance", "ann_maxsim", "hybrid_rank_fusion",
+    "ann_maxsim", "hybrid_rank_fusion",
     "query_expansion_prf", "snippet_extract", "dedup_agreement",
     "bot_rule_census", "entity_canonicalize",
     "seasonal_strength", "multimodal_decode", "multimodal_frame_sample",
@@ -181,7 +184,7 @@ _PRIORITY = [
     "doc_prefix_dup", "dedup_estimator_pr", "graph_modularity",
     "graph_assortativity", "quality_pareto_frontier",
     "source_sampling_weights", "rank_tau_eval", "graph_bfs_reach",
-    "assoc_rules", "ab_test_zstat", "lsh_param_sweep", "events_grouping_sets",
+    "ab_test_zstat", "lsh_param_sweep", "events_grouping_sets",
     "kcore_census", "attribution_credit", "dedup_components_star",
     "decayed_popularity", "kfold_assign", "revenue_trend_ols",
     "events_mad_outliers", "events_throttle", "embedding_dim_variance",
@@ -191,7 +194,7 @@ _PRIORITY = [
     "tokenizer_fertility", "lang_confusion",
     "chunk_overlap", "dedup_cluster_stats", "embedding_quantize",
     "text_integrity", "k_anonymity", "user_growth", "link_prediction",
-    "join_size_estimate", "gopher_rules", "events_autocorr",
+    "gopher_rules", "events_autocorr",
     "funnel_latency", "customer_repeat_cohort",
     "minhash_containment", "semantic_outliers", "user_behavior_gini",
     "user_churn", "l_diversity", "events_dow_profile",
@@ -219,8 +222,8 @@ _PRIORITY = [
     "dedup_minhash_estimate", "dedup_components", "dedup_apply",
     "ann_topk_brute", "ann_topk_lsh", "ann_topk_ivf", "dedup_embedding",
     "multimodal_meta", "repetition_score", "ngram_counts",
-    "contamination_check", "domain_mix", "mix_rebalance_sample",
-    "packing_stats", "train_val_split", "quality_topk_per_group", "pii_scrub",
+    "contamination_check", "domain_mix", "packing_stats",
+    "train_val_split", "quality_topk_per_group", "pii_scrub",
     "events_cube", "vote_round1", "corpus_stats", "q19_bracket_revenue",
     "q22_idle_customers", "events_rollup", "customer_cohort_ltv",
     "events_funnel", "q8_market_share", "q9_product_profit",

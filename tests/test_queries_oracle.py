@@ -99,14 +99,16 @@ def test_registry_prefix_is_oracle_dense():
         "quality_dup_correlation", "ngram_novelty",
         "quality_adaptive_filter", "split_ks_check", "token_rank_curve",
         "tfidf_topterms",
+        "assoc_rules", "join_size_estimate", "lifecycle_conformance",
+        "mix_rebalance_sample",
     ]
-    assert ks[:38] == head_new_or_changed, ks[:38]
+    assert ks[:42] == head_new_or_changed, ks[:42]
     assert all(k in ORACLES for k in ks[:50]), [
         k for k in ks[:50] if k not in ORACLES]
     # the refresh block re-gates OLDEST evidence first: every slot
     # after the head must be a key first gated in r1/r2 (per the
     # VERDICT r6 evidence table), not a recently-confirmed one
-    refreshed = set(ks[38:50])
+    refreshed = set(ks[42:50])
     recently_gated_r5_r6 = {
         "order_total_audit", "weighted_median_price", "bot_rule_census",
         "dedup_agreement", "seasonal_strength", "multimodal_decode",
