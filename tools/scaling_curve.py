@@ -80,6 +80,12 @@ QUERIES_UNDER_TEST = [
     # fold — the new ANN shape) and the MG certification's vocabulary
     # rollup (the one new full-vocab shuffle)
     "ann_topk_ivfpq", "freq_items_certify",
+    # round-7 additions: the scan-reduction rewrites with the largest
+    # checkpointed intermediates — the at-scale claim (constant
+    # checkpoint job vs O(data) saved scans) measured, not asserted
+    "user_survival_km", "fk_integrity", "customer_decile_migration",
+    "tfidf_topterms", "audience_overlap", "user_traj_topk",
+    "bpe_certify",
 ]
 
 # Queries whose RESULT grows faster than the input under this corpus
