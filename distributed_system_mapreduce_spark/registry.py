@@ -98,11 +98,11 @@ if _extra:
 # correctness gate) iterate queries() in. The gate budget covers a
 # prefix of the list (~50 entries per round), so order by evidence
 # value. The r1-r6 gates cumulatively drove 272/278 pre-r7 keys
-# green; the r7 prefix finishes the rotation (the six r6 additions,
-# slots 1-6 after the three NEW r7 keys and contract-changed
-# entries) — after this gate every key has been driver-confirmed at
-# least once — and then spends the rest of the budget
-# RE-confirming, oldest driver evidence first.
+# green; the r7 head (42 keys) holds everything NEW or CHANGED this
+# round — the six r6 additions plus four new r7 keys (first driver
+# signal), the contract-changed entries, and the 28 scan-reduction
+# rewrites (oracles unchanged, implementations changed) — then the
+# remaining budget RE-confirms oldest driver evidence first.
 _PRIORITY = [
     # -- r7 gate head: NEW keys (kmeans/compression
     # certification twins, the MJPG compressed-video decode), the
