@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from distributed_system_mapreduce_spark.functions import text as X
 from distributed_system_mapreduce_spark.tables import load_table, spread
+from distributed_system_mapreduce_spark.lineage import cut
 
 TOP_TERMS_PER_DOC = 5
 
@@ -53,7 +54,7 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(X.tokens()).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
-        .localCheckpoint()
+        .transform(cut)
     )
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.select(F.count("*").alias("n_docs"))

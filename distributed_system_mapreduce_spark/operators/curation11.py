@@ -57,6 +57,7 @@ from distributed_system_mapreduce_spark.operators.curation import (
     bm25_rank,
 )
 from distributed_system_mapreduce_spark.tables import load_table, spread
+from distributed_system_mapreduce_spark.lineage import cut
 
 # ------------------------------------------------------ retrieval_pr_eval
 PR_CUTS = (5, 10, 20)
@@ -154,6 +155,17 @@ FROM ({cuts})
 SKIP_W = 4     # co-occurrence window: pairs (t[i], t[j]), i < j <= i+W
 SKIP_TOPK = 30
 
+# The in-array pair generator over the materialized `t` tokens column
+# (constant w-fold fan-out, no self join). Module-level so the plan
+# test exercises THIS expression, not a copy that can drift.
+SKIPGRAM_PAIR_EXPR = (
+    "CASE WHEN size(t) < 2 THEN "
+    "CAST(array() AS array<struct<a:string,b:string>>) ELSE "
+    "flatten(transform(sequence(1, size(t) - 1), "
+    f"i -> transform(slice(t, i + 1, {SKIP_W}), "
+    "x -> struct(element_at(t, i) AS a, x AS b)))) END"
+)
+
 
 def skipgram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-30 within-window ordered token pairs by frequency, with
@@ -175,21 +187,14 @@ def skipgram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram counts + 1-row totals onto 30 rows."""
     docs = spread(load_table(spark, "documents", sf_dir))
     toks = docs.select(F.expr(X.TOKENS_EXPR).alias("t"))
-    pair_expr = (
-        "CASE WHEN size(t) < 2 THEN "
-        "CAST(array() AS array<struct<a:string,b:string>>) ELSE "
-        "flatten(transform(sequence(1, size(t) - 1), "
-        f"i -> transform(slice(t, i + 1, {SKIP_W}), "
-        "x -> struct(element_at(t, i) AS a, x AS b)))) END"
-    )
     counted = (
         toks.select(F.explode(F.expr(
             "concat(transform(t, x -> struct(x AS a, "
-            f"CAST(NULL AS STRING) AS b)), {pair_expr})"
+            f"CAST(NULL AS STRING) AS b)), {SKIPGRAM_PAIR_EXPR})"
         )).alias("p"))
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .groupBy("a", "b").agg(F.count("*").alias("c"))
-        .localCheckpoint()
+        .transform(cut)
     )
     pairs = counted.filter(F.col("b").isNotNull())
     uni = counted.filter(F.col("b").isNull()).select(
@@ -445,7 +450,7 @@ def rank_tau_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     common = (
         bm25_ranked(spark, sf_dir)
         .join(tfidf_ranked(spark, sf_dir), "doc_id")
-        .localCheckpoint()  # <= 20 rows; both pair-join sides reuse it
+        .transform(cut)  # <= 20 rows; both pair-join sides reuse it
     )
     a, b = common.alias("a"), common.alias("b")
     pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(

@@ -43,6 +43,7 @@ from distributed_system_mapreduce_spark.operators.dedup import (
     _signatures,
 )
 from distributed_system_mapreduce_spark.tables import load_table, spread
+from distributed_system_mapreduce_spark.lineage import cut
 
 # ------------------------------------------------- dedup_threshold_sweep
 SWEEP_TAUS = (2, 4, 6, 8, 10, 12)  # in SIXTEENTHS of N_HASHES: the
@@ -58,7 +59,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer ratio: sum of matching counts / (N_HASHES * kept)).
     One signature store (localCheckpoint), one banded candidate
     join, ONE conditional aggregation folding every threshold."""
-    sig = _signatures(spark, sf_dir).localCheckpoint()
+    sig = _signatures(spark, sf_dir).transform(cut)
     cand = _candidates_from(_bands_from(sig)).select("doc_a", "doc_b")
     matches = None
     for i in range(N_HASHES):

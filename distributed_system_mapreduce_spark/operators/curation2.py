@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from distributed_system_mapreduce_spark.functions import text as X
 from distributed_system_mapreduce_spark.tables import load_table, spread
+from distributed_system_mapreduce_spark.lineage import cut
 
 
 # ----------------------------------------------------- repetition score
@@ -343,7 +344,7 @@ def mix_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.floor(F.least(F.lit(1.0), F.col("weight")) * 65536)
         .cast("long").alias("cutoff"),
-    ).localCheckpoint()
+    ).transform(cut)
     h16 = F.expr(_hex16_expr("'mix:' || CAST(doc_id AS STRING)")).cast("long")
     return (
         docs.select("doc_id", "source", h16.alias("h16"))
@@ -446,7 +447,7 @@ def quality_adaptive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
     scored = quality_score(spark, sf_dir).select("doc_id", "quality")
-    sq = docs.join(scored, "doc_id").localCheckpoint()
+    sq = docs.join(scored, "doc_id").transform(cut)
     thr = sq.groupBy("source").agg(
         F.expr("percentile(quality, 0.5)").alias("thr"))
     return (

@@ -20,6 +20,7 @@ from distributed_system_mapreduce_spark.functions.text import (
     tokens,
 )
 from distributed_system_mapreduce_spark.tables import load_table
+from distributed_system_mapreduce_spark.lineage import cut
 
 # Context-window budget (tokens per packed sequence) and the shard
 # fan-out. Packing is inherently sequential *within* a stream, so the
@@ -151,7 +152,7 @@ def bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )).alias("e"))
         .groupBy("e.kind", "e.term")
         .agg(F.count("*").alias("c"))
-        .localCheckpoint()
+        .transform(cut)
     )
     uni = counted.filter(F.col("kind") == "u").select(
         F.col("term").alias("w"), F.col("c").alias("c_w"))
@@ -265,7 +266,7 @@ def quality_dup_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     q = quality_score(spark, sf_dir).select(
-        "doc_id", "quality").localCheckpoint()
+        "doc_id", "quality").transform(cut)
     docs = load_table(spark, "documents", sf_dir).select(
         "doc_id", F.md5("text").alias("h"))
     flagged = docs.select(

@@ -27,6 +27,7 @@ from distributed_system_mapreduce_spark.functions.text import (
     n_tokens,
 )
 from distributed_system_mapreduce_spark.tables import load_table, spread
+from distributed_system_mapreduce_spark.lineage import cut
 
 
 # ------------------------------------------------- tokenizer fertility
@@ -491,7 +492,7 @@ def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenizer regex over the full corpus (r7 scan audit: 6 scans in
     # the static plan). The checkpoint holds 4 ints/doc — tiny next
     # to re-tokenizing 100 TB of text.
-    per = per.localCheckpoint()
+    per = per.transform(cut)
     counts = per.groupBy("bucket", "salt").agg(
         F.count("*").cast("long").alias("cnt"))
     # one integer orders the (bucket DESC, salt ASC) deal sequence, so
@@ -518,7 +519,7 @@ def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ranked.groupBy("shard").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n").cast("long").alias("total_tokens"),
-    ).localCheckpoint()  # N_SHARDS rows; grand-total + final both read it
+    ).transform(cut)  # N_SHARDS rows; grand-total + final both read it
     tot = agg.agg(F.sum("total_tokens").cast("long").alias("grand"))
     return (
         agg.crossJoin(F.broadcast(tot))

@@ -35,6 +35,7 @@ from distributed_system_mapreduce_spark.operators.dedup import (
     _SHINGLE_SQL,
 )
 from distributed_system_mapreduce_spark.tables import load_table, spread
+from distributed_system_mapreduce_spark.lineage import cut
 
 CONTAIN_TAU = 0.5
 
@@ -67,7 +68,7 @@ def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh{i}")
         for i in range(N_HASHES)
     ] + [F.collect_list("s").alias("sh")]
-    store = sh.groupBy("doc_id").agg(*aggs).localCheckpoint()
+    store = sh.groupBy("doc_id").agg(*aggs).transform(cut)
     cand = _candidates_from(_bands_from(store)).select("doc_a", "doc_b")
     ds = store.select("doc_id", "sh")
     pairs = (
@@ -234,7 +235,7 @@ def token_rank_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(X.tokens()).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .localCheckpoint()
+        .transform(cut)
     )
     total = F.broadcast(
         counts.agg(F.sum("cnt").cast("long").alias("total")))
@@ -307,7 +308,7 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     source comparison anywhere."""
     docs = load_table(spark, "documents", sf_dir).select(
         "doc_id", "source")
-    sh = _shingle_src(spark, sf_dir, docs).localCheckpoint()
+    sh = _shingle_src(spark, sf_dir, docs).transform(cut)
     per_sh = sh.groupBy("s").agg(
         F.count(F.lit(1)).alias("n_sources"))
     return (
@@ -390,7 +391,7 @@ def split_ks_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("is_train").cast("long")).alias("ct"),
             F.sum((~F.col("is_train")).cast("long")).alias("ch"),
         )
-        .localCheckpoint()
+        .transform(cut)
     )
     b = F.broadcast(lv.select(F.col("v").alias("bv"),
                               F.col("ct").alias("bct"),

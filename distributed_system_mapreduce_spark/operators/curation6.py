@@ -45,6 +45,7 @@ from distributed_system_mapreduce_spark.operators.text_analysis import (
     quality_score,
 )
 from distributed_system_mapreduce_spark.tables import load_table, spread
+from distributed_system_mapreduce_spark.lineage import cut
 
 # ------------------------------------------------- stratified_reservoir
 SAMPLE_K = 5
@@ -229,7 +230,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(V.norm_expr("embedding")).alias("norm"),
         )
         .withColumn("bands", bb)
-        .localCheckpoint()
+        .transform(cut)
     )
     bands = store.select(
         "vec_id", "label", F.explode("bands").alias("bb")

@@ -21,6 +21,7 @@ from distributed_system_mapreduce_spark.operators.dedup import (
     N_HASHES,
     _signatures,
 )
+from distributed_system_mapreduce_spark.lineage import cut
 
 # (bands, rows_per_band) with bands * rows == N_HASHES
 SWEEP_CONFIGS = ((2, 8), (4, 4), (8, 2))
@@ -52,7 +53,7 @@ def lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_minhash bucket discipline — pairwise work only inside
     buckets) + a distinct-pair count. Threshold is a fixed pow()
     expression on exact integers, identical in both engines."""
-    sig = _signatures(spark, sf_dir).localCheckpoint()
+    sig = _signatures(spark, sf_dir).transform(cut)
     outs = []
     for nb, rpb in SWEEP_CONFIGS:
         entries = []

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from distributed_system_mapreduce_spark.functions import text as X
 from distributed_system_mapreduce_spark.functions.detmath import ln_det
 from distributed_system_mapreduce_spark.tables import load_table, spread
+from distributed_system_mapreduce_spark.lineage import cut
 
 # ------------------------------------------------------ dsir_importance
 B_DSIR = 256  # hashed-feature buckets (the paper uses 10^4 for 8-grams;
@@ -83,7 +84,7 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cxl = (
         tok.groupBy("doc_id", "lang", "b")
         .agg(F.count("*").alias("c"))
-        .localCheckpoint()
+        .transform(cut)
     )
     is_t = F.col("lang") == DSIR_TARGET_LANG
     n_r = cxl.groupBy("b").agg(F.sum("c").alias("nr"))
@@ -254,7 +255,7 @@ def lang_source_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     margins pattern)."""
     docs = load_table(spark, "documents", sf_dir)
     cell = docs.groupBy("lang", "source").agg(
-        F.count("*").alias("n")).localCheckpoint()
+        F.count("*").alias("n")).transform(cut)
     nl = cell.groupBy("lang").agg(F.sum("n").alias("n_lang"))
     ns = cell.groupBy("source").agg(F.sum("n").alias("n_src"))
     tot = cell.groupBy().agg(F.sum("n").alias("n_tot"))

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from distributed_system_mapreduce_spark.functions import text as X
 from distributed_system_mapreduce_spark.tables import load_table, spread
+from distributed_system_mapreduce_spark.lineage import cut
 
 N_HASHES = 16
 N_BANDS = 4
@@ -195,7 +196,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     share one signature computation instead of re-hashing every
     shingle twice; this is the signature store a production dedup
     pipeline would persist anyway."""
-    bands = _bands(spark, sf_dir).localCheckpoint()
+    bands = _bands(spark, sf_dir).transform(cut)
     return _candidates_from(bands)
 
 
@@ -228,19 +229,14 @@ GROUP BY a.doc_id, b.doc_id
 
 # ------------------------------------------- exact jaccard on candidates
 def _cut(df: DataFrame, persist: bool) -> DataFrame:
-    """Lineage cut for iterative/multi-consumer subtrees: default is
-    localCheckpoint (executor-local, zero config — the test posture);
-    persist=True is the cluster posture (MEMORY_AND_DISK cache,
-    materialized now, lineage preserved so executor loss can
-    recompute). In persist mode cache lifetime belongs to the caller/
-    session (clearCache or unpersist when done)."""
-    if not persist:
-        return df.localCheckpoint()
-    from pyspark import StorageLevel
-
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    df.count()
-    return df
+    """Lineage cut for iterative/multi-consumer subtrees. Delegates to
+    the shared session-level helper (lineage.cut); the per-query
+    ``persist=True`` knob forces the cluster posture (MEMORY_AND_DISK
+    cache, materialized now, lineage preserved so executor loss can
+    recompute) for this subtree regardless of the session switch. In
+    persist mode cache lifetime belongs to the caller/session
+    (clearCache or unpersist when done)."""
+    return cut(df, mode="persist" if persist else None)
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
@@ -404,11 +400,11 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     A naive composition of dedup_minhash + dedup_ngram_jaccard +
     _signatures re-hashed the corpus ~3x (measured 10.5s -> ~3s at
     sf0.1)."""
-    sig = _signatures(spark, sf_dir).localCheckpoint()
+    sig = _signatures(spark, sf_dir).transform(cut)
     cand = (
         _candidates_from(_bands_from(sig))
         .select("doc_a", "doc_b")
-        .localCheckpoint()
+        .transform(cut)
     )
     a_cols = [F.col(f"sa.mh{i}") for i in range(N_HASHES)]
     b_cols = [F.col(f"sb.mh{i}") for i in range(N_HASHES)]
@@ -779,7 +775,7 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.filter(F.size("toks") >= SUBSTR_W)
         .select("doc_id",
                 F.explode(F.array_distinct(F.expr(win_expr))).alias("wh"))
-        .localCheckpoint()
+        .transform(cut)
     )
     hot = wins.groupBy("wh").agg(F.count("*").alias("n_docs"))
     agg = (
@@ -905,7 +901,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     how many corpus near-dup candidates it hits and the best (lowest
     doc_id) match.
     """
-    bands = _bands(spark, sf_dir).localCheckpoint()
+    bands = _bands(spark, sf_dir).transform(cut)
     newb = bands.where(F.col("doc_id") % 10 == 0).alias("n")
     idxb = bands.where(F.col("doc_id") % 10 != 0).alias("i")
     cand = (

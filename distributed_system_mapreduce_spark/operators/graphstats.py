@@ -45,6 +45,7 @@ from distributed_system_mapreduce_spark.operators.relational_ext7 import (
     lpa_labels,
 )
 from distributed_system_mapreduce_spark.tables import load_table
+from distributed_system_mapreduce_spark.lineage import cut
 
 
 # ---------------------------------------------------------- graph_modularity
@@ -55,7 +56,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     square fast), so Q is one fixed-order double expression — no
     per-community float accumulation to drift."""
     edges, labels = lpa_labels(spark, sf_dir)
-    lab = labels.localCheckpoint()  # consumed by 3 subtrees
+    lab = labels.transform(cut)  # consumed by 3 subtrees
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     # directed edges whose endpoints share a community
     intra = (
@@ -133,7 +134,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-order double expression, NULL for degree-regular graphs
     (zero variance)."""
     li = load_table(spark, "lineitem", sf_dir)
-    edges = strong_edges(li, LPA_SUPPORT).localCheckpoint()
+    edges = strong_edges(li, LPA_SUPPORT).transform(cut)
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     de = (
         edges.join(deg.withColumnRenamed("src", "a")

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distributed_system_mapreduce_spark.tables import load_table
+from distributed_system_mapreduce_spark.lineage import cut
 
 
 # ---------------------------------------------------------------- wordcount
@@ -251,7 +252,7 @@ def range_partition_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     kr = (
         keys.repartitionByRange(32, "user_id")
         .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()
+        .transform(cut)
     )
     ptots = {
         r["pid"]: r["tot"]

@@ -25,6 +25,7 @@ from distributed_system_mapreduce_spark.operators.curation2 import (
     _hex16_expr,
 )
 from distributed_system_mapreduce_spark.tables import load_table
+from distributed_system_mapreduce_spark.lineage import cut
 
 N_FOLDS = 5
 _DAY_US = 86_400_000_000
@@ -190,7 +191,7 @@ def events_chi2_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = (
         ev.groupBy("event_type", "dow")
         .agg(F.count(F.lit(1)).cast("long").alias("o"))
-        .localCheckpoint()
+        .transform(cut)
     )
     rows = grid.groupBy("event_type").agg(
         F.sum("o").cast("long").alias("r"))

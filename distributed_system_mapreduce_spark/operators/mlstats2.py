@@ -57,6 +57,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from distributed_system_mapreduce_spark.tables import load_table
+from distributed_system_mapreduce_spark.lineage import cut
 
 # --------------------------------------------------------- mannwhitney_qty
 # Group X = returned lineitems (l_returnflag = 'R'), group Y = the
@@ -323,7 +324,7 @@ def hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("p"),
         )
         .distinct()
-        .localCheckpoint()
+        .transform(cut)
     )
     hub1 = edges.groupBy("c").agg(F.count("*").alias("h1"))
     auth2 = (

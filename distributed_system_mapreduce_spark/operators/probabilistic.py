@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from distributed_system_mapreduce_spark.functions import text as X
 from distributed_system_mapreduce_spark.tables import load_table, spread
+from distributed_system_mapreduce_spark.lineage import cut
 
 # --------------------------------------------------------------- kmv
 KMV_K = 64          # bottom-k size: RSE ~ 1/sqrt(K-2) ~ 12.7%
@@ -351,7 +352,7 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     w2 = Window.partitionBy("event_type").orderBy("h")
     sk = (phase1.withColumn("rn", F.row_number().over(w2))
           .filter(F.col("rn") <= KMV_K).drop("rn")
-          .localCheckpoint())  # bounded |types| x K rows; read 3x below
+          .transform(cut))  # bounded |types| x K rows; read 3x below
     types = sk.select("event_type").distinct()
     a_side = (
         sk.select(F.col("event_type").alias("ta"), "h")

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from distributed_system_mapreduce_spark.functions import text as X
 from distributed_system_mapreduce_spark.tables import load_table, spread
+from distributed_system_mapreduce_spark.lineage import cut
 
 RAKE_TOPK = 20
 _STOP_IN = ", ".join(f"'{w}'" for w in X.STOPWORDS)
@@ -185,7 +186,7 @@ def clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, "lineitem", sf_dir)
     edges = (strong_undirected(li, _TRI_SUPPORT)
-             .select("u", "v").localCheckpoint())
+             .select("u", "v").transform(cut))
     ab, bc, ac = edges.alias("ab"), edges.alias("bc"), edges.alias("ac")
     tris = (
         ab.join(bc, F.col("ab.v") == F.col("bc.u"))

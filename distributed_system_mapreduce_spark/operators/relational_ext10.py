@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from distributed_system_mapreduce_spark.tables import load_table
+from distributed_system_mapreduce_spark.lineage import cut
 
 SESSION_GAP_MIN = 30
 
@@ -110,7 +111,7 @@ def returns_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag", "l_linestatus",
         )
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
+        .transform(cut)
     )
     cur = yc.select("yr", "l_returnflag", "l_linestatus",
                     F.col("c").alias("c_cur"))
@@ -232,7 +233,7 @@ def user_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_event").cast("long").alias("d"),
             F.sum(1 - F.col("is_event")).cast("long").alias("c"),
         )
-        .localCheckpoint()
+        .transform(cut)
     )
     n_total = F.broadcast(days.agg(
         F.sum(F.col("d") + F.col("c")).cast("long").alias("n_users")))

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distributed_system_mapreduce_spark.tables import load_table
+from distributed_system_mapreduce_spark.lineage import cut
 
 
 # --------------------------------------------------------- events_cusum
@@ -317,7 +318,7 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     kr = (
         rev.repartitionByRange(32, "cents", "o_custkey")
         .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()
+        .transform(cut)
     )
     ptots = {
         r["pid"]: r["n"]

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distributed_system_mapreduce_spark.tables import load_table
+from distributed_system_mapreduce_spark.lineage import cut
 
 
 # ------------------------------------------------- events_daily_quantiles
@@ -74,7 +75,7 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, "lineitem", sf_dir)
-    edges = strong_edges(li, BFS_SUPPORT).localCheckpoint()
+    edges = strong_edges(li, BFS_SUPPORT).transform(cut)
     seed = edges.agg(F.min("src").alias("node")).withColumn(
         "dist", F.lit(0).cast("long"))
     dist = seed
@@ -89,7 +90,7 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionByName(reached)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
+            .transform(cut)
         )
     return (
         dist.groupBy("dist")
@@ -165,7 +166,7 @@ def kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, "lineitem", sf_dir)
-    alive = strong_edges(li, KCORE_SUPPORT).localCheckpoint()
+    alive = strong_edges(li, KCORE_SUPPORT).transform(cut)
     for _ in range(KCORE_ROUNDS):
         keep = (
             alive.groupBy("src")
@@ -178,7 +179,7 @@ def kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "left_semi")
             .join(keep.withColumnRenamed("node", "dst"), "dst",
                   "left_semi")
-            .localCheckpoint()
+            .transform(cut)
         )
     return alive.agg(
         F.lit(KCORE_K).cast("long").alias("k"),
@@ -280,7 +281,7 @@ def user_traj_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "element_at(types, i+1), '>', "
                 "element_at(types, i+2))))").alias("trig"),
         )
-        .localCheckpoint()
+        .transform(cut)
     )
     qpanel = seq.filter(
         (F.col("user_id") % TRAJ_PANEL_MOD == 0)

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distributed_system_mapreduce_spark.tables import load_table
+from distributed_system_mapreduce_spark.lineage import cut
 
 MIN_SUPPORT = 2
 _DAY_US = 86_400_000_000
@@ -41,7 +42,7 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcast 1-row aggregate. All counts exact; confidences and
     lift are fixed-order double divisions."""
     li = load_table(spark, "lineitem", sf_dir).select(
-        "l_orderkey", "l_partkey").distinct().localCheckpoint()
+        "l_orderkey", "l_partkey").distinct().transform(cut)
     n_baskets = F.broadcast(
         li.agg(F.countDistinct("l_orderkey").cast("long").alias("nb")))
     item = li.groupBy("l_partkey").agg(

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from distributed_system_mapreduce_spark.tables import load_table
+from distributed_system_mapreduce_spark.lineage import cut
 
 MAD_K = 3.0  # flag |value - median| > MAD_K * 1.4826 * MAD
 
@@ -108,7 +109,7 @@ def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = (
         ev.groupBy("user_id")
         .agg(F.sort_array(F.collect_set("event_type")).alias("types"))
-        .localCheckpoint()
+        .transform(cut)
     )
     pairs = (
         sets.select(F.explode(F.expr(
@@ -259,14 +260,14 @@ def customer_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
          * (F.lit(1).cast("decimal(18,2)")
             - F.col("l_discount").cast("decimal(18,2)")))
         .alias("rev"))
-    cut = F.to_date(F.lit(_SPLIT_DATE))
+    cutoff = F.to_date(F.lit(_SPLIT_DATE))
     per = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey",
-                 (F.col("o_orderdate") >= cut).alias("after"))
+                 (F.col("o_orderdate") >= cutoff).alias("after"))
         .agg((F.sum("rev") * 10000).cast("decimal(38,0)")
              .cast("long").alias("v"))
-        .localCheckpoint()
+        .transform(cut)
     )
 
     def half(after, tag):
@@ -546,7 +547,7 @@ def lifecycle_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # the violation-count join and the final census both read
         # this; each replayed the events scan otherwise (r7 audit)
-        .localCheckpoint()
+        .transform(cut)
     )
     cls = (
         F.when(F.col("first_purchase").isNull(), "non_purchaser")
@@ -645,7 +646,7 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag", "pc")
         .agg(F.sum("w").cast("long").alias("sw"))
         .withColumn("b", F.expr(f"pc DIV {_WM_BUCKET}"))
-        .localCheckpoint()
+        .transform(cut)
     )
     bsum = grid.groupBy("l_returnflag", "b").agg(
         F.sum("sw").cast("long").alias("bw"))

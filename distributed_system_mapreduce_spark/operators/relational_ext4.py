@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from distributed_system_mapreduce_spark.tables import load_table
+from distributed_system_mapreduce_spark.lineage import cut
 
 
 def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,7 +169,7 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join + one partial agg against this single materialized table
     edeg = edges.withColumn(
         "deg", F.count("*").over(Window.partitionBy("src"))
-    ).localCheckpoint()
+    ).transform(cut)
     # every node appears as src (the edge list is symmetric by
     # construction), so the src set is the node list; its COUNT is one
     # bounded scalar — inline it as a literal so no round re-derives it
@@ -259,7 +260,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         strong_undirected(li, _TRI_SUPPORT)
         .select("u", "v")
-        .localCheckpoint()
+        .transform(cut)
     )
     ab, bc, ac = edges.alias("ab"), edges.alias("bc"), edges.alias("ac")
     wedges = ab.join(bc, F.col("ab.v") == F.col("bc.u"))

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from distributed_system_mapreduce_spark.functions import text as X
 from distributed_system_mapreduce_spark.tables import load_table, spread
+from distributed_system_mapreduce_spark.lineage import cut
 
 _ROLL_N = 10  # rolling frame length (rows), per user
 
@@ -321,7 +322,7 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("r_days"),
             "f_orders", "m_spend",
         )
-        .localCheckpoint()
+        .transform(cut)
     )
     qs = F.broadcast(per_cust.agg(
         F.expr("percentile(r_days, array(0.25, 0.5, 0.75))").alias("rq"),
@@ -569,7 +570,7 @@ def fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             orphan_sum("l_partkey").alias("orph_part"),
             orphan_sum("l_suppkey").alias("orph_supplier"),
         )
-        .localCheckpoint()
+        .transform(cut)
     )
     o_row = (
         o.select("o_custkey")

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distributed_system_mapreduce_spark.tables import load_table
+from distributed_system_mapreduce_spark.lineage import cut, cut_lazy
 
 # ------------------------------------------------- k-anonymity census
 # Quasi-identifier = (event_type, day): the release-granularity cell.
@@ -144,7 +145,7 @@ def link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         strong_undirected(li, _LP_SUPPORT)
         .select("u", "v")
-        .localCheckpoint(eager=False)
+        .transform(cut_lazy)
     )
     sym = edges.union(edges.select(F.col("v"), F.col("u")))
     s1 = sym.select(F.col("u").alias("x"), F.col("v").alias("mid"))
@@ -230,7 +231,7 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("eid", "k").agg(F.count(F.lit(1)).alias("cb"))
         # three edge branches read this; without the barrier each
         # replays the explode + shuffle (and the scan with it)
-        .localCheckpoint()
+        .transform(cut)
     )
     out = None
     for i, (edge, lt, lk, rt, rk) in enumerate(_JOIN_EDGES):
@@ -327,7 +328,7 @@ def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         # three consumers (mx, the argmax filter, and offs' shared
         # deltas parent) — cut lineage so the union + cumsum window
         # evaluates once, not per consumer
-        .localCheckpoint()
+        .transform(cut)
     )
     mx = cur.groupBy("event_type").agg(
         F.max("cur").alias("max_concurrent"))

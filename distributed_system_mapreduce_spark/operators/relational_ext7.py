@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from distributed_system_mapreduce_spark.tables import load_table
+from distributed_system_mapreduce_spark.lineage import cut
 
 
 def _dec(col, prec: int = 18, scale: int = 6):
@@ -373,7 +374,7 @@ def lpa_labels(spark: SparkSession, sf_dir: str):
     )
 
     li = load_table(spark, "lineitem", sf_dir)
-    edges = strong_edges(li, LPA_SUPPORT).localCheckpoint()
+    edges = strong_edges(li, LPA_SUPPORT).transform(cut)
     labels = edges.select(F.col("src").alias("node")).distinct() \
         .withColumn("label", F.col("node"))
     for _ in range(LPA_ROUNDS):
@@ -488,7 +489,7 @@ def events_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("first_half").cast("long")).alias("c1"),
             F.sum((~F.col("first_half")).cast("long")).alias("c2"),
         )
-        .localCheckpoint()
+        .transform(cut)
     )
     tot = b.groupBy("event_type").agg(
         F.sum("c1").cast("bigint").alias("n1"),

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distributed_system_mapreduce_spark.tables import load_table
+from distributed_system_mapreduce_spark.lineage import cut
 
 
 # ------------------------------------------------------ events_autocorr
@@ -275,7 +276,7 @@ def nation_share_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.year("o_orderdate").alias("yr"))
         .agg(F.sum(F.col("o_totalprice").cast("decimal(38,2)"))
              .alias("rev"))
-        .localCheckpoint()
+        .transform(cut)
     )
     ytot = ny.groupBy("yr").agg(F.sum("rev").alias("yrev"))
     cur = (

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from distributed_system_mapreduce_spark.functions import vectors as V
 from distributed_system_mapreduce_spark.tables import load_table, spread
+from distributed_system_mapreduce_spark.lineage import cut
 
 TOP_K = 10
 QUERY_MOD = 100  # queries = vecs with vec_id % QUERY_MOD == 0
@@ -191,7 +192,7 @@ def _lsh_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
     return (
         _with_norm(spark, sf_dir).withColumn("bands", bb)
-        .localCheckpoint()
+        .transform(cut)
     )
 
 
@@ -765,7 +766,7 @@ def ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
     store = (
         _with_norm(spark, sf_dir).withColumn("bands", bb)
-        .localCheckpoint()
+        .transform(cut)
     )
     bands = store.select(
         "vec_id", F.explode("bands").alias("bb")
@@ -1103,7 +1104,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineage cut: both self-join sides and the verdict join-back
     # reuse ONE materialized cell assignment instead of recomputing
     # the broadcast-codebook argmin three times (measured ~1.5x)
-    vecs = _with_cell(spark, sf_dir).localCheckpoint()
+    vecs = _with_cell(spark, sf_dir).transform(cut)
     a, b = vecs.alias("a"), vecs.alias("b")
     close = (
         a.join(b, (F.col("a.cell") == F.col("b.cell"))

@@ -31,6 +31,7 @@ from distributed_system_mapreduce_spark.functions.text import (
     TOKENS_SQL,
 )
 from distributed_system_mapreduce_spark.tables import load_table, spread
+from distributed_system_mapreduce_spark.lineage import cut
 
 MG_K = 16      # counters per partition (kept < the synthetic vocab so
 #                compression actually fires and tests see real error)
@@ -116,7 +117,7 @@ def freq_items_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
         _mg_partials, schema="tok string, est long, dec long")
     # materialize the summaries once: the bound, the counter table,
     # and the miss check below would otherwise re-run the Arrow stage
-    parts = parts.localCheckpoint()
+    parts = parts.transform(cut)
     bound = parts.agg(F.sum("dec").cast("long").alias("d"))
     merged = (
         parts.where(F.col("tok").isNotNull())

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from distributed_system_mapreduce_spark.functions import text as X
 from distributed_system_mapreduce_spark.tables import load_table
+from distributed_system_mapreduce_spark.lineage import cut
 
 
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -339,10 +340,18 @@ def rare_token_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation pass thresholds on (CCNet-style rare-vocab filtering).
 
     Plan shape at 100 TB: ONE tokenize+explode pass to the
-    per-(doc, token) count table (localCheckpointed — it is the
+    per-(doc, token) count table (cut via lineage.cut — it is the
     sufficient statistic for the vocabulary rollup, the rare set, and
     the per-doc rare count, which previously each re-tokenized the
-    corpus; r7 scan audit), plus one narrow pass for the doc universe
+    corpus; r7 scan audit). The barrier here materializes a
+    CORPUS-scale table (unlike the vocab-scale intermediates cut
+    elsewhere): the explicit trade is one tokenize scan saved vs
+    near-token-stream-sized storage. On a cluster run the session
+    posture (lineage.py) makes that storage MEMORY_AND_DISK with
+    lineage preserved, so it spills rather than OOMs and an executor
+    loss recomputes the lost partitions; if storage is tighter than
+    scan time, drop this cut and let the two consumers re-scan.
+    Also one narrow pass for the doc universe
     (zero-token docs have no count rows). The vocabulary rollup is a
     toy re-agg whose OUTPUT is vocab-sized (« corpus); the percentile
     threshold is an aggregate over that small table, broadcast back
@@ -359,7 +368,7 @@ def rare_token_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "doc_id", F.explode(F.expr(X.TOKENS_EXPR)).alias("t"))
         .groupBy("doc_id", "t").agg(F.count("*").alias("c"))
-        .localCheckpoint()
+        .transform(cut)
     )
     cf = cx.groupBy("t").agg(F.sum("c").alias("cf"))
     thr = cf.agg(F.expr("percentile(cf, 0.25)").alias("thr"))

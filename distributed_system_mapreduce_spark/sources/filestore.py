@@ -22,6 +22,7 @@ import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from distributed_system_mapreduce_spark.lineage import cut
 
 _FORMATS = ("parquet", "orc", "csv", "json", "text")
 
@@ -809,7 +810,7 @@ class FileStore:
         # cost), and a nondeterministic `changes` source could make
         # the two evaluations disagree — deleting a bucket dir the
         # write just populated
-        out = surviving.unionByName(upserts).localCheckpoint()
+        out = surviving.unionByName(upserts).transform(cut)
         # dynamic overwrite only rewrites partitions PRESENT in the
         # output — a touched bucket whose every row was deleted emits
         # no partition and its stale files would silently survive, so

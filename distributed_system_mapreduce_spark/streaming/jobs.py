@@ -33,6 +33,7 @@ from pyspark.sql.types import (
     TimestampNTZType,
     TimestampType,
 )
+from distributed_system_mapreduce_spark.lineage import cut
 
 EVENT_SCHEMA = StructType([
     StructField("event_id", LongType()),
@@ -576,7 +577,7 @@ def ingest_dedup_stream(docs: DataFrame, fs, index_name: str,
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        nb = bands_from_docs(batch_df).localCheckpoint()
+        nb = bands_from_docs(batch_df).transform(cut)
         idx = (
             fs.read(index_name)
             .where(F.col("batch_id") < batch_id)
@@ -662,7 +663,7 @@ def compact_rollup(fs, name: str) -> None:
 
     # materialize before the overwrite clobbers the source dir
     compacted = read_rollup(fs, name).withColumn(
-        "batch_id", F.lit(-1)).localCheckpoint()
+        "batch_id", F.lit(-1)).transform(cut)
     spark = compacted.sparkSession
     # the overwrite must replace the WHOLE dataset (all old delta
     # partitions) — under dynamic partitionOverwriteMode only
@@ -1135,7 +1136,7 @@ def lm_quality_stream(docs: DataFrame, model: DataFrame, fs,
         lm_score,
     )
 
-    mdl = model.localCheckpoint()
+    mdl = model.transform(cut)
 
     import os
 
@@ -1176,7 +1177,7 @@ def drift_monitor_stream(docs: DataFrame, model: DataFrame, fs,
         token_bucket_counts,
     )
 
-    mdl = model.localCheckpoint()
+    mdl = model.transform(cut)
 
     import os
 

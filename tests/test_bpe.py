@@ -160,3 +160,24 @@ def test_bpe_certify_pins_round1_and_monotonicity(spark):
     r1 = bpe_train_merges(spark, SF_DIR).orderBy("merge_rank").first()
     assert (rows[0]["lhs"], rows[0]["rhs"], rows[0]["pair_count"]) == (
         r1["left"], r1["right"], r1["pair_count"])
+
+
+def test_char_split_oracle_parity_non_ascii(spark, oracle):
+    """BPE_CERTIFY_SQL depends on DuckDB string_split(w, '') agreeing
+    character-for-character with Spark split(w, ''). Pin that both
+    engines split by Unicode CODE POINT on the hard cases: accented
+    Latin (precomposed AND combining-mark forms), Greek, CJK, an
+    astral emoji (UTF-16 surrogate pair in the JVM), and Devanagari
+    with a dependent vowel sign — a grapheme- or code-unit-based
+    splitter diverges on at least one of these."""
+    words = ["café", "über", "δοκιμή", "東京タワー", "a😀b",
+             "éclair", "नि", "mixédASCII7"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r["w"]: r["s"]
+           for r in df.selectExpr("w", "split(w, '') AS s").collect()}
+    for w in words:
+        want = oracle.execute(
+            "SELECT string_split(?, '')", [w]).fetchone()[0]
+        assert got[w] == want, w
+        # and both agree with Python's code-point view
+        assert got[w] == list(w), w

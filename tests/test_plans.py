@@ -499,21 +499,14 @@ def test_wave13_plan_shapes(spark):
 
     from distributed_system_mapreduce_spark.functions import text as X
     from distributed_system_mapreduce_spark.operators.curation11 import (
-        SKIP_W,
+        SKIPGRAM_PAIR_EXPR,
     )
     from distributed_system_mapreduce_spark.tables import load_table
 
     toks = load_table(spark, "documents", SF_DIR).select(
         F.expr(X.TOKENS_EXPR).alias("t"))
-    pair_expr = (
-        "CASE WHEN size(t) < 2 THEN "
-        "CAST(array() AS array<struct<a:string,b:string>>) ELSE "
-        "flatten(transform(sequence(1, size(t) - 1), "
-        f"i -> transform(slice(t, i + 1, {SKIP_W}), "
-        "x -> struct(element_at(t, i) AS a, x AS b)))) END"
-    )
     frag = formatted_plan(
-        toks.select(F.explode(F.expr(pair_expr)).alias("p")))
+        toks.select(F.explode(F.expr(SKIPGRAM_PAIR_EXPR)).alias("p")))
     assert "Generate" in frag
     assert "CartesianProduct" not in frag and "Join" not in frag
     sk = formatted_plan(QUERIES["skipgram_lift"](spark, SF_DIR))
