@@ -97,137 +97,135 @@ if _extra:
 # Registration order = the order external consumers (the driver's
 # correctness gate) iterate queries() in. The gate budget covers a
 # prefix of the list (~50 entries per round), so order by evidence
-# value. The r1-r6 gates cumulatively drove 272/278 pre-r7 keys
-# green; the r7 head (42 keys) holds everything NEW or CHANGED this
-# round — the six r6 additions plus four new r7 keys (first driver
-# signal), the contract-changed entries, and the 28 scan-reduction
-# rewrites (oracles unchanged, implementations changed) — then the
-# remaining budget RE-confirms oldest driver evidence first.
+# value. Cumulative driver coverage r1-r7 = 282/282; the r8 head
+# rotates the STALEST driver evidence forward (everything whose last
+# driver green is r01, plus the oldest r02 block) and leads with the
+# keys whose contract changed this round (the three newly
+# oracle-promoted BPE keys, the lock-fenced filestore commit paths).
+# The r8 lineage-cut sweep (lineage.py) touched nearly every operator
+# file but is plan-identical in the default posture; the full local
+# gate at two SFs re-proved all 282 keys after it.
 _PRIORITY = [
-    # -- r7 gate head: NEW keys (kmeans/compression
-    # certification twins, the MJPG compressed-video decode), the
-    # six r6 additions never yet driver-gated, and the entries
-    # whose CONTRACT or implementation changed this round (the
-    # ivfpq-extended recall eval; the lock/CAS rework under the
-    # filestore commit paths) ------------------------------------
-    "approx_quantiles_certify", "freq_items_certify", "ann_topk_ivfpq",
-    "filestore_snapshot_diff", "stream_snapshot_append",
-    "filestore_schema_evolution", "kmeans_certify",
-    "compression_ratio_certify", "multimodal_video_mjpg", "ann_recall_eval",
-    "filestore_concurrent_commit", "filestore_keyed_merge",
-    # r7 watch-item rewrite: closed-form TVD (one scan) replaced the
-    # zero-filled grid — the oracle changed with it, so re-gate
-    "t_closeness",
-    # r7 NEW: BPE training promoted into the oracle gate (round-1
-    # top-10 pair table recomputed exactly + the non-increasing
-    # merge-count theorem as a literal) — rows-only family shrinks
-    "bpe_certify",
-    # r7 scan-reduction rewrites (single-pass margins / tagged
-    # Generates / checkpointed bounded intermediates) — oracles
-    # unchanged, implementations changed, so re-gate
-    "user_survival_km", "fk_integrity", "join_key_skew",
-    "bigram_lift", "skipgram_lift", "shard_assignment",
-    "dsir_importance", "lang_source_pmi", "rare_token_rate",
-    # r7 scan-reduction wave 2 (checkpointed bounded/sufficient
-    # intermediates; window dup-count) — oracles unchanged,
-    # implementations changed, so re-gate
-    "customer_decile_migration", "nation_share_yoy", "customer_rfm",
-    "returns_mix_shift", "events_chi2_dow", "events_drift",
-    "user_traj_topk", "weighted_median_price", "audience_overlap",
-    "quality_dup_correlation", "ngram_novelty",
-    "quality_adaptive_filter", "split_ks_check", "token_rank_curve",
-    "tfidf_topterms",
-    # r7 scan-reduction wave 3
-    "assoc_rules", "join_size_estimate", "lifecycle_conformance",
-    "mix_rebalance_sample",
-    # -- remaining slots to 50: re-confirmation, OLDEST driver
-    # evidence
-    # first (r1 gates, then early r2) -----------------------------
-    "wordcount", "vote_winner", "split_by_key", "range_partition_hist",
-    "mr_wordcount", "mr_wordcount_range", "mr_vote_winner",
-    "q2_best_supplier", "q6_forecast_revenue", "q13_order_count_dist",
-    "q16_supplier_counts", "q20_heavy_shippers", "q21_sole_supplier_returns",
+    # -- r8 gate head (50): evidence-freshness rotation + this
+    # round's changed contracts.
+    # NEW ORACLES: the three remaining BPE keys are promoted from
+    # rows-only to fully hash-gated (the merge fold is SQL replace()
+    # over a separator-encoded symbol string — see bpe._bpe_rounds_sql
+    # — so DuckDB replays the whole training loop); first driver
+    # hash signal for each ------------------------------------------
+    "bpe_train_merges", "bpe_vocab_stats", "bpe_token_count",
+    # lock-fencing rework (r8): the holder token is now verified on
+    # the DATA PATH immediately before the staged-swap publish in
+    # merge/write_keyed/compact — re-gate both commit-path keys
+    "filestore_keyed_merge", "filestore_concurrent_commit",
+    # evidence rotation: every key whose most recent DRIVER-side
+    # hash-green is still CORRECTNESS_r01 (16 keys; the local gate
+    # re-proves all 282 each round — this is driver-evidence hygiene,
+    # per the r7 verdict) --------------------------------------------
+    "q6_forecast_revenue", "q13_order_count_dist", "q16_supplier_counts",
+    "q20_heavy_shippers", "q21_sole_supplier_returns",
     "order_priority_count", "distinct_users_by_type", "events_pivot",
     "price_quantiles", "token_count", "lang_id", "quality_score",
     "quality_filter", "term_doc_freq", "doc_fingerprint", "bm25_rank",
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
-    "q10_returned_items", "top_customers", "events_daily_rollup",
-    "events_running_total", "events_sessionize", "q7_nation_volume",
-    "q14_promo_revenue", "q15_top_supplier", "q17_small_qty_revenue",
-    "q18_large_orders",
-    # -- re-confirmation tail: everything else, most-recent
-    # evidence last (r6 head keys were all green in r6) -----------
-    "approx_distinct_users_by_type", "source_boilerplate",
-    "late_arrival_census", "order_total_audit", "bootstrap_ci",
-    "ann_maxsim", "hybrid_rank_fusion",
-    "query_expansion_prf", "snippet_extract", "dedup_agreement",
-    "bot_rule_census", "entity_canonicalize",
-    "seasonal_strength", "multimodal_decode", "multimodal_frame_sample",
-    "multimodal_resize", "multimodal_audio_segments", "doc_lm_typicality",
-    "multimodal_codec_roundtrip", "semdedup_prune",
-    "doc_token_entropy",
-    "token_js_divergence", "user_markov_entropy", "zipf_exponent",
-    "events_changepoint", "benford_audit", "weighted_sample",
-    "ndcg_eval", "kmv_set_ops", "keyphrase_rake", "clustering_coeff",
-    "mannwhitney_qty", "theil_sen_trend", "wilson_ci_rates", "hits_scores",
-    "compression_ratio", "kmeans_embed", "approx_price_quantiles",
-    "freq_items_sketch", "bpe_train_merges", "bpe_vocab_stats",
-    "bpe_token_count", "filestore_bucketed_join", "filestore_snapshot_read",
+    # oldest r02 evidence, hardest families first: the dedup/_cut
+    # family (its lineage barrier now routes through the shared
+    # session-posture helper — lineage.py, the r8 rewrite), the ANN
+    # trio, then the r02 relational block ----------------------------
+    "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_minhash_estimate", "dedup_components", "dedup_apply",
+    "dedup_embedding", "ann_topk_brute", "ann_topk_lsh", "ann_topk_ivf",
+    "multimodal_meta", "mr_wordcount_exe", "events_asof_order",
+    "purchase_attribution", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier", "q10_returned_items", "top_customers",
+    "events_daily_rollup", "events_running_total", "events_sessionize",
+    "q7_nation_volume", "q14_promo_revenue", "q15_top_supplier",
+    "q17_small_qty_revenue", "q18_large_orders", "vote_round1",
+    # -- positions 51+: the REMAINING r02-evidence keys, queued so
+    # the r9 budget reaches them next --------------------------------
+    "repetition_score", "ngram_counts", "contamination_check", "domain_mix",
+    "packing_stats", "train_val_split", "quality_topk_per_group",
+    "pii_scrub", "events_cube", "corpus_stats", "q19_bracket_revenue",
+    "q22_idle_customers", "events_rollup", "customer_cohort_ltv",
+    "events_funnel", "q8_market_share", "q9_product_profit",
+    "q11_part_value_concentration", "q12_late_shipments", "kmv_distinct",
+    # -- re-confirmation tail: everything else, oldest driver
+    # evidence first (r03, r04, ...), registration order as the
+    # tie-break ------------------------------------------------------
+    "bloom_semi_filter", "events_concurrency", "cdc_apply", "skyline_parts",
+    "winsorized_stats", "events_twap", "fuzzy_name_pairs", "ann_incremental",
+    "multimodal_phash_dedup", "source_hhi", "community_lpa",
+    "cross_source_overlap", "dedup_substring", "curation_pipeline",
+    "events_anomaly", "events_props_stats", "events_retention",
+    "events_sliding_window", "events_path_trigrams", "events_skew_rollup",
+    "token_budget_sample", "embedding_components", "basket_pairs",
+    "events_dau_wau", "ann_topk_pq", "events_transition_matrix",
+    "events_inter_arrival", "pack_chunks", "dedup_incremental",
+    "triangle_count", "profile_orders", "events_ohlc", "events_gap_fill",
+    "orders_backlog", "events_streaks", "supplier_lead_time",
+    "embedding_dedup_apply", "events_rolling_median", "vocab_growth",
+    "graph_degree_dist", "orders_mom_growth", "text_normalize",
+    "revenue_concentration", "pagerank_parts", "training_batches_digest",
+    "events_hour_heatmap", "multimodal_dedup", "embedding_stats",
+    "events_skew_join", "events_ewma", "abandoned_views",
+    "tokenizer_fertility", "lang_confusion", "chunk_overlap",
+    "dedup_cluster_stats", "embedding_quantize", "text_integrity",
+    "k_anonymity", "user_growth", "link_prediction", "gopher_rules",
+    "events_autocorr", "funnel_latency", "customer_repeat_cohort",
+    "minhash_containment", "semantic_outliers", "user_behavior_gini",
+    "user_churn", "l_diversity", "events_dow_profile", "top_returned_parts",
+    "stratified_reservoir", "dedup_survivorship", "tokenizer_oov_rate",
+    "hard_negative_mining", "embedding_margin", "session_lengths",
+    "events_cusum", "discount_qty_elasticity", "revenue_gini",
+    "events_holt_forecast", "events_daily_quantiles",
+    "filestore_bucketed_join", "filestore_snapshot_read",
     "filestore_zorder_pruned", "stream_windowed_rollup",
     "stream_topk_users_daily", "stream_enriched_rollup",
     "stream_dedup_census", "stream_funnel_join", "stream_abandoned_views",
     "stream_cdc_materialize", "mr_contact_trace", "dedup_cross_lang",
     "embedding_cos_hist", "retrieval_pr_eval", "source_length_moments",
-    "dataset_card", "lsh_bucket_balance",
-    "charset_census", "bigram_entropy_rate", "orders_seasonal_index",
-    "supplier_volume_skew", "priority_share_shift", "dedup_threshold_sweep",
-    "doc_prefix_dup", "dedup_estimator_pr", "graph_modularity",
-    "graph_assortativity", "quality_pareto_frontier",
-    "source_sampling_weights", "rank_tau_eval", "graph_bfs_reach",
-    "ab_test_zstat", "lsh_param_sweep", "events_grouping_sets",
-    "kcore_census", "attribution_credit", "dedup_components_star",
-    "decayed_popularity", "kfold_assign", "revenue_trend_ols",
-    "events_mad_outliers", "events_throttle", "embedding_dim_variance",
-    "pagerank_parts", "training_batches_digest", "events_hour_heatmap",
-    "multimodal_dedup", "embedding_stats",
-    "events_skew_join", "events_ewma", "abandoned_views",
-    "tokenizer_fertility", "lang_confusion",
-    "chunk_overlap", "dedup_cluster_stats", "embedding_quantize",
-    "text_integrity", "k_anonymity", "user_growth", "link_prediction",
-    "gopher_rules", "events_autocorr",
-    "funnel_latency", "customer_repeat_cohort",
-    "minhash_containment", "semantic_outliers", "user_behavior_gini",
-    "user_churn", "l_diversity", "events_dow_profile",
-    "top_returned_parts", "stratified_reservoir", "dedup_survivorship",
-    "tokenizer_oov_rate", "hard_negative_mining", "embedding_margin",
-    "session_lengths", "events_cusum",
-    "discount_qty_elasticity", "revenue_gini",
-    "events_holt_forecast", "events_daily_quantiles", "bloom_semi_filter",
-    "events_concurrency", "cdc_apply", "skyline_parts", "winsorized_stats",
-    "events_twap", "fuzzy_name_pairs", "ann_incremental",
-    "multimodal_phash_dedup", "source_hhi", "community_lpa",
-    "cross_source_overlap", "dedup_substring", "curation_pipeline",
-    "events_anomaly", "events_props_stats", "events_retention",
-    "events_sliding_window", "events_path_trigrams", "events_skew_rollup",
-    "token_budget_sample",
-    "embedding_components", "basket_pairs", "events_dau_wau", "ann_topk_pq",
-    "events_transition_matrix", "events_inter_arrival", "pack_chunks",
-    "dedup_incremental", "triangle_count", "profile_orders",
-    "events_ohlc", "events_gap_fill", "orders_backlog", "events_streaks",
-    "supplier_lead_time", "embedding_dedup_apply", "events_rolling_median",
-    "vocab_growth", "graph_degree_dist", "orders_mom_growth",
-    "text_normalize", "revenue_concentration",
-    "mr_wordcount_exe", "events_asof_order", "purchase_attribution",
-    "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_minhash_estimate", "dedup_components", "dedup_apply",
-    "ann_topk_brute", "ann_topk_lsh", "ann_topk_ivf", "dedup_embedding",
-    "multimodal_meta", "repetition_score", "ngram_counts",
-    "contamination_check", "domain_mix", "packing_stats",
-    "train_val_split", "quality_topk_per_group", "pii_scrub",
-    "events_cube", "vote_round1", "corpus_stats", "q19_bracket_revenue",
-    "q22_idle_customers", "events_rollup", "customer_cohort_ltv",
-    "events_funnel", "q8_market_share", "q9_product_profit",
-    "q11_part_value_concentration", "q12_late_shipments", "kmv_distinct",
+    "dataset_card", "lsh_bucket_balance", "charset_census",
+    "bigram_entropy_rate", "orders_seasonal_index", "supplier_volume_skew",
+    "priority_share_shift", "dedup_threshold_sweep", "doc_prefix_dup",
+    "dedup_estimator_pr", "graph_modularity", "graph_assortativity",
+    "quality_pareto_frontier", "source_sampling_weights", "rank_tau_eval",
+    "graph_bfs_reach", "ab_test_zstat", "lsh_param_sweep",
+    "events_grouping_sets", "kcore_census", "attribution_credit",
+    "dedup_components_star", "decayed_popularity", "kfold_assign",
+    "revenue_trend_ols", "events_mad_outliers", "events_throttle",
+    "embedding_dim_variance", "approx_distinct_users_by_type",
+    "source_boilerplate", "late_arrival_census", "order_total_audit",
+    "bootstrap_ci", "ann_maxsim", "hybrid_rank_fusion",
+    "query_expansion_prf", "snippet_extract", "dedup_agreement",
+    "bot_rule_census", "entity_canonicalize", "seasonal_strength",
+    "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
+    "multimodal_audio_segments", "doc_lm_typicality",
+    "multimodal_codec_roundtrip", "semdedup_prune", "doc_token_entropy",
+    "token_js_divergence", "user_markov_entropy", "zipf_exponent",
+    "events_changepoint", "benford_audit", "weighted_sample", "ndcg_eval",
+    "kmv_set_ops", "keyphrase_rake", "clustering_coeff", "mannwhitney_qty",
+    "theil_sen_trend", "wilson_ci_rates", "hits_scores",
+    "approx_quantiles_certify", "freq_items_certify", "ann_topk_ivfpq",
+    "filestore_snapshot_diff", "stream_snapshot_append",
+    "filestore_schema_evolution", "kmeans_certify",
+    "compression_ratio_certify", "multimodal_video_mjpg", "ann_recall_eval",
+    "t_closeness", "bpe_certify", "user_survival_km", "fk_integrity",
+    "join_key_skew", "bigram_lift", "skipgram_lift", "shard_assignment",
+    "dsir_importance", "lang_source_pmi", "rare_token_rate",
+    "customer_decile_migration", "nation_share_yoy", "customer_rfm",
+    "returns_mix_shift", "events_chi2_dow", "events_drift", "user_traj_topk",
+    "weighted_median_price", "audience_overlap", "quality_dup_correlation",
+    "ngram_novelty", "quality_adaptive_filter", "split_ks_check",
+    "token_rank_curve", "tfidf_topterms", "assoc_rules",
+    "join_size_estimate", "lifecycle_conformance", "mix_rebalance_sample",
+    "wordcount", "vote_winner", "split_by_key", "range_partition_hist",
+    "mr_wordcount", "mr_wordcount_range", "mr_vote_winner",
+    "q2_best_supplier",
+    # -- rows-only keys last (driver does a weaker rows-only check;
+    # they must not occupy a hash-gate slot): the 4 genuinely
+    # non-SQL-expressible sketches, each with a hash-green certify
+    # twin already driver-gated in r7 --------------------------------
+    "compression_ratio", "kmeans_embed", "approx_price_quantiles",
+    "freq_items_sketch",
 ]
 if set(_PRIORITY) != set(_MERGED) or len(_PRIORITY) != len(_MERGED):
     _missing = set(_MERGED) - set(_PRIORITY)

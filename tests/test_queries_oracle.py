@@ -63,60 +63,61 @@ def test_approx_distinct_within_error_bound(spark):
         assert gated[k]["within_bound"] is True, k
 
 
+def _driver_evidence_round():
+    """Latest round each key went green in a driver CORRECTNESS file
+    (hash-green, or rows-green for declared no-oracle keys)."""
+    import glob
+    import json
+    import re
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    latest: dict[str, int] = {}
+    for f in sorted(glob.glob(str(repo / "CORRECTNESS_r0*.json"))):
+        rnd = int(re.search(r"r0*(\d+)", f).group(1))
+        for k, v in json.load(open(f)).items():
+            ok = v.get("hash_match") or (
+                v.get("rows_match") and v.get("err") == "no_oracle")
+            if ok:
+                latest[k] = max(latest.get(k, 0), rnd)
+    return latest
+
+
 def test_registry_prefix_is_oracle_dense():
     """The driver's correctness gate covers a ~50-entry prefix of the
-    registry. The r6 rotation finished first-time coverage, so the r7
-    prefix leads with the keys that still need a FIRST or FRESH driver
-    signal — the three new r7 queries, the six r6 additions (only
-    locally gated so far), and the contract-/implementation-changed
-    entries — then spends the rest of the budget re-confirming,
-    oldest driver evidence first. Every prefix slot is oracle-backed:
-    all 7 rows-only keys already have their driver signal, so none may
-    waste a strong-check slot."""
+    registry. The r8 head leads with this round's contract changes —
+    the three BPE keys promoted from rows-only to hash-gated (the
+    unrolled-replace training oracle) and the two lock-fenced
+    filestore commit paths — then rotates the STALEST driver evidence
+    forward, verified against the CORRECTNESS_r0*.json artifacts
+    themselves: everything whose last driver green is r01, then the
+    oldest r02 block. Every prefix slot is oracle-backed, and the 4
+    remaining rows-only keys sit at the very end of the registry so
+    they never occupy a hash-gate slot."""
     ks = list(QUERIES)
-    head_new_or_changed = [
-        # never driver-gated: the six r6 additions + three r7 additions
-        "approx_quantiles_certify", "freq_items_certify",
-        "ann_topk_ivfpq", "filestore_snapshot_diff",
-        "stream_snapshot_append", "filestore_schema_evolution",
-        "kmeans_certify", "compression_ratio_certify",
-        "multimodal_video_mjpg",
-        # changed this round: ivfpq row added to the recall eval; the
-        # CAS/lock rework sits under both filestore commit paths; the
-        # closed-form TVD rewrite changed t_closeness's oracle
-        "ann_recall_eval", "filestore_concurrent_commit",
-        "filestore_keyed_merge", "t_closeness",
-        # new r7 key: the BPE oracle-promotion twin
-        "bpe_certify",
-        # r7 scan-reduction rewrites — oracles unchanged,
-        # implementations changed, so re-gate
-        "user_survival_km", "fk_integrity", "join_key_skew",
-        "bigram_lift", "skipgram_lift", "shard_assignment",
-        "dsir_importance", "lang_source_pmi", "rare_token_rate",
-        "customer_decile_migration", "nation_share_yoy", "customer_rfm",
-        "returns_mix_shift", "events_chi2_dow", "events_drift",
-        "user_traj_topk", "weighted_median_price", "audience_overlap",
-        "quality_dup_correlation", "ngram_novelty",
-        "quality_adaptive_filter", "split_ks_check", "token_rank_curve",
-        "tfidf_topterms",
-        "assoc_rules", "join_size_estimate", "lifecycle_conformance",
-        "mix_rebalance_sample",
-    ]
-    assert ks[:42] == head_new_or_changed, ks[:42]
+    assert ks[:5] == [
+        "bpe_train_merges", "bpe_vocab_stats", "bpe_token_count",
+        "filestore_keyed_merge", "filestore_concurrent_commit",
+    ], ks[:5]
     assert all(k in ORACLES for k in ks[:50]), [
         k for k in ks[:50] if k not in ORACLES]
-    # the refresh block re-gates OLDEST evidence first: every slot
-    # after the head must be a key first gated in r1/r2 (per the
-    # VERDICT r6 evidence table), not a recently-confirmed one
-    refreshed = set(ks[42:50])
-    recently_gated_r5_r6 = {
-        "order_total_audit", "weighted_median_price", "bot_rule_census",
-        "dedup_agreement", "seasonal_strength", "multimodal_decode",
-        "semdedup_prune", "benford_audit", "hits_scores",
-        "ann_maxsim", "late_arrival_census", "entity_canonicalize",
-    }
-    assert not (refreshed & recently_gated_r5_r6), (
-        refreshed & recently_gated_r5_r6)
+    latest = _driver_evidence_round()
+    # slots 6..50 hold only stale (<= r02) evidence
+    stale_head = ks[5:50]
+    assert all(latest.get(k, 0) <= 2 for k in stale_head), [
+        (k, latest.get(k)) for k in stale_head if latest.get(k, 0) > 2]
+    # ALL 16 r01-evidence keys made the head (the verdict's "done"
+    # criterion for the rotation)
+    r01 = {k for k in ks if latest.get(k) == 1}
+    assert r01 <= set(ks[:50]), r01 - set(ks[:50])
+    # positions 51+ start with the remaining r02 keys so the r9
+    # budget reaches them next
+    overflow_r02 = [k for k in ks[50:] if latest.get(k, 99) == 2]
+    assert ks[50:50 + len(overflow_r02)] == overflow_r02
+    # rows-only keys are dead last
+    rows_only = [k for k in ks if k not in ORACLES]
+    assert ks[-len(rows_only):] == rows_only and len(rows_only) == 4, (
+        rows_only)
 
 
 def test_load_table_repins_utc_session_tz(spark):
