@@ -30,9 +30,64 @@ _FORMATS = ("parquet", "orc", "csv", "json", "text")
 class LockLost(RuntimeError):
     """An advisory write lock was reclaimed while its holder still
     believed it held it (the holder stalled past stale_sec without a
-    lease renewal). Raised at release instead of deleting the
-    reclaimer's live lock: the tail of the critical section may have
-    raced the new holder, and that must surface, not pass silently."""
+    lease renewal). Raised by the data-path fencing check before a
+    critical section publishes (so an overtaken writer cannot land
+    its result over the new holder's) and again at release instead
+    of deleting the reclaimer's live lock: any part of the critical
+    section that DID race the new holder must surface, not pass
+    silently."""
+
+
+class _LockHandle:
+    """Fencing handle yielded by FileStore.write_lock.
+
+    ``fence()`` re-verifies the holder token on the lock file and
+    raises LockLost if this holder has been overtaken — the standard
+    fencing check (Chubby/ZooKeeper sequencers; the reference's
+    universal write lock, file_system.go:279, gets the same property
+    from its always-connected server). Call it IMMEDIATELY before a
+    critical section's publish step (staged-swap rename, dynamic
+    partition overwrite, ledger rename): a holder whose renewal
+    daemon stalled past stale_sec then aborts BEFORE damaging the
+    new holder's data instead of discovering the loss at release,
+    after the damage. The residual window is one read-to-publish
+    gap, the minimum an advisory scheme without storage-side
+    conditional writes can offer."""
+
+    def __init__(self, store: "FileStore", name: str, token: str, lost):
+        self._store = store
+        self._name = name
+        self._token = token
+        self._lost = lost
+
+    def fence(self) -> None:
+        import json
+        import time
+
+        if self._lost.is_set():
+            raise LockLost(
+                f"write lock on {self._name!r} was reclaimed while "
+                "held (renewal daemon observed a foreign token) — "
+                "aborting before publish")
+        lock = self._store._lock_path(self._name)
+        body = None
+        # the renewal daemon rewrites the lock file concurrently; an
+        # unreadable/mid-write body is transient, so retry briefly
+        # before declaring the lock lost (conservative: a still-
+        # unreadable lock aborts the publish rather than risking a
+        # race with a possible new holder)
+        for _ in range(5):
+            try:
+                body = json.loads(self._store._io.read_text(lock))
+                break
+            except Exception:
+                time.sleep(0.02)
+        if body is None or body.get("token") != self._token:
+            raise LockLost(
+                f"write lock on {self._name!r} was reclaimed while "
+                f"held (current holder: {body}) — aborting before "
+                "publish; this writer stalled past stale_sec without "
+                "a lease renewal")
 
 
 class SnapshotConflict(RuntimeError):
@@ -408,11 +463,13 @@ class FileStore:
 
         Serialized behind the dataset's advisory write lock, like
         every in-place rewriter here."""
-        with self.write_lock(name):
-            return self._compact_unlocked(name, target_bytes)
+        with self.write_lock(name) as lk:
+            return self._compact_unlocked(name, target_bytes,
+                                          fence=lk.fence)
 
     def _compact_unlocked(self, name: str,
-                          target_bytes: int = 128 << 20) -> int:
+                          target_bytes: int = 128 << 20,
+                          fence=None) -> int:
         import math
 
         p = self._path(name)
@@ -439,6 +496,13 @@ class FileStore:
             .repartition(n_files)
             .write.format("parquet").mode("overwrite").save(tmp)
         )
+        # fencing check on the data path: the staged copy is complete;
+        # verify this writer still holds the lock BEFORE the swap
+        # starts (an overtaken compactor must abort here, leaving the
+        # live dataset untouched — the staged tmp is cleared by the
+        # next run's recovery)
+        if fence is not None:
+            fence()
         self._io.rename(p, old)
         try:
             self._io.rename(tmp, p)
@@ -572,9 +636,17 @@ class FileStore:
         stale, and release verifies the token before deleting — a
         holder that somehow lost the lock (renewal stalled past
         stale_sec, e.g. a suspended process) raises LockLost instead
-        of deleting the reclaimer's live lock. Lease reasoning as
-        usual: mutual exclusion assumes the renewal thread is never
-        paused longer than stale_sec - stale_sec/3."""
+        of deleting the reclaimer's live lock.
+
+        Yields a _LockHandle whose fence() is the DATA-PATH check:
+        every in-place rewriter here (merge, write_keyed, compact,
+        the non-CAS ledger publish) calls it immediately before its
+        publish step, so a holder whose renewal daemon stalled past
+        stale_sec aborts BEFORE overwriting the new holder's work —
+        not merely at release. The residual exposure is the single
+        fence-to-publish gap (plus the publish duration), the
+        advisory-lock minimum without storage-side conditional
+        writes."""
         import contextlib
         import threading
 
@@ -589,7 +661,7 @@ class FileStore:
                 daemon=True)
             renewer.start()
             try:
-                yield
+                yield _LockHandle(self, name, token, lost)
             finally:
                 stop.set()
                 renewer.join(timeout=10)
@@ -731,7 +803,10 @@ class FileStore:
         merge racing the re-layout would interleave destructively)."""
         from pyspark.sql import functions as F
 
-        with self.write_lock(name):
+        with self.write_lock(name) as lk:
+            # fencing check immediately before the overwrite publishes
+            # (see _LockHandle.fence): an overtaken writer aborts here
+            lk.fence()
             (
                 df.withColumn(
                     self._MERGE_BUCKET, F.pmod(F.xxhash64(key), n_buckets))
@@ -754,11 +829,13 @@ class FileStore:
         first's result), the SDFS write-lock behavior
         (file_system.go:279) rather than the old documented
         single-writer caveat."""
-        with self.write_lock(name):
-            self._merge_unlocked(changes, name, key, delete_col)
+        with self.write_lock(name) as lk:
+            self._merge_unlocked(changes, name, key, delete_col,
+                                 fence=lk.fence)
 
     def _merge_unlocked(self, changes: DataFrame, name: str, key: str,
-                        delete_col: str | None = None) -> None:
+                        delete_col: str | None = None,
+                        fence=None) -> None:
         """Upsert `changes` into a write_keyed dataset by key; rows
         with `delete_col` true are deletes. Only the hash partitions
         containing changed keys are read back (partition pruning
@@ -819,6 +896,13 @@ class FileStore:
         out_buckets = {
             r[0] for r in out.select(self._MERGE_BUCKET).distinct().collect()
         }
+        # fencing check on the data path: everything above is
+        # read/compute (the materialized `out` lives off to the side);
+        # the dynamic partition overwrite below is the publish. An
+        # overtaken merger must abort HERE, before touching any bucket
+        # dir the new holder may be rewriting.
+        if fence is not None:
+            fence()
         prev = self.spark.conf.get(
             "spark.sql.sources.partitionOverwriteMode", "static")
         self.spark.conf.set(
@@ -909,10 +993,13 @@ class FileStore:
                 self._io.delete(tmp)
                 raise
         else:
-            with self.write_lock(name + ".ledger"):
+            with self.write_lock(name + ".ledger") as lk:
                 if self._io.exists(dst):
                     self._io.delete(tmp)
                     raise FileExistsError(dst)
+                # fence before the commit rename: an overtaken ledger
+                # holder must not publish over the new holder's checks
+                lk.fence()
                 self._io.rename(tmp, dst)
 
     def snapshot_tags(self, name: str) -> set[str]:

@@ -1067,3 +1067,96 @@ def test_file_scheme_cas_is_atomic_under_race(spark, tmp_path):
     assert not errs, errs
     assert len(wins) == 1, f"CAS let {len(wins)} writers win: {wins}"
     assert io.read_text(fs._path("dst")) == f"writer-{wins[0]}"
+
+
+def test_fence_blocks_overtaken_merge_publish(fs, spark):
+    """The r7 advisory-lock hole: a holder whose renewal stalled past
+    stale_sec used to detect the reclaim only at RELEASE — after its
+    merge had already rewritten buckets over the new holder's work.
+    The data-path fence (called in _merge_unlocked immediately before
+    the dynamic-overwrite publish) must abort the overtaken writer
+    BEFORE it touches the dataset."""
+    import threading
+    import time
+
+    from distributed_system_mapreduce_spark.sources.filestore import (
+        LockLost,
+        _LockHandle,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    fs.write_keyed(base, "fenced", "k", n_buckets=4)
+
+    # writer A acquires (no renewal thread — the stalled-daemon case)
+    token_a = fs._acquire_lock("fenced", timeout_sec=5.0, stale_sec=0.2)
+    handle_a = _LockHandle(fs, "fenced", token_a, threading.Event())
+    time.sleep(0.4)  # A stalls past stale_sec
+    # writer B reclaims and now legitimately holds the lock
+    token_b = fs._acquire_lock("fenced", timeout_sec=5.0, stale_sec=0.2)
+    assert token_a != token_b
+
+    changes = spark.createDataFrame([(2, "CLOBBER")], "k int, v string")
+    with pytest.raises(LockLost):
+        fs._merge_unlocked(changes, "fenced", "k", fence=handle_a.fence)
+    # the publish never happened: dataset content is untouched
+    got = sorted(
+        (r["k"], r["v"])
+        for r in fs.read("fenced").select("k", "v").collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    # and B's lock survives for B to use
+    fs._release_lock("fenced", token_b, False)
+
+
+def test_fence_blocks_overtaken_compact_swap(fs, spark):
+    """Same hole on the compaction path: the staged copy may complete,
+    but the fence before the two-rename swap must stop an overtaken
+    compactor from swapping its (now possibly stale) staging over the
+    live dataset."""
+    import threading
+    import time
+
+    from distributed_system_mapreduce_spark.sources.filestore import (
+        LockLost,
+        _LockHandle,
+    )
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    fs.write(df, "fcomp")
+    before = sorted(r["id"] for r in fs.read("fcomp").collect())
+
+    token_a = fs._acquire_lock("fcomp", timeout_sec=5.0, stale_sec=0.2)
+    handle_a = _LockHandle(fs, "fcomp", token_a, threading.Event())
+    time.sleep(0.4)
+    token_b = fs._acquire_lock("fcomp", timeout_sec=5.0, stale_sec=0.2)
+
+    with pytest.raises(LockLost):
+        fs._compact_unlocked("fcomp", fence=handle_a.fence)
+    # live dataset untouched and fully readable
+    after = sorted(r["id"] for r in fs.read("fcomp").collect())
+    assert after == before
+    fs._release_lock("fcomp", token_b, False)
+    # a later healthy compaction clears the abandoned staging and works
+    n = fs.compact("fcomp", target_bytes=1 << 30)
+    assert n == 1
+    assert sorted(r["id"] for r in fs.read("fcomp").collect()) == before
+
+
+def test_fence_passes_while_held_and_trips_lost_flag(fs, spark):
+    """fence() is a no-op for a healthy holder (write_keyed/merge call
+    it on every commit) and trips immediately when the renewal daemon
+    has already flagged the loss."""
+    import threading
+
+    from distributed_system_mapreduce_spark.sources.filestore import (
+        LockLost,
+        _LockHandle,
+    )
+
+    with fs.write_lock("healthy") as lk:
+        lk.fence()  # healthy: must not raise
+    lost = threading.Event()
+    lost.set()
+    h = _LockHandle(fs, "whatever", "tok", lost)
+    with pytest.raises(LockLost):
+        h.fence()
