@@ -119,3 +119,65 @@ def test_snapshot_verbs(spark, store_root, capsys):
     out = capsys.readouterr().out
     assert "vacuumed" in out
     assert run_command(spark, ["snapshot", "bogus"]) == 2
+
+
+def test_snapshot_verbs_end_to_end(spark, store_root, capsys):
+    """Drive every `snapshot` CLI verb (versions/read/restore/vacuum/
+    compact — the newest command surface) through run_command against
+    a real FileStore dataset, asserting printed output AND store
+    state after each verb."""
+    from distributed_system_mapreduce_spark.sources.filestore import (
+        FileStore,
+    )
+
+    fs = FileStore(spark, str(store_root))
+    v1 = fs.write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"),
+        "snapcli")
+    v2 = fs.write_snapshot(
+        spark.createDataFrame([(3, "c")], "id int, v string"), "snapcli")
+    assert (v1, v2) == (1, 2)
+
+    # versions: lists both committed versions, oldest first
+    assert run_command(spark, ["snapshot", "versions", "snapcli"]) == 0
+    out = capsys.readouterr().out
+    assert out.split() == ["1", "2"]
+
+    # read latest (v2) vs explicit v1
+    assert run_command(spark, ["snapshot", "read", "snapcli"]) == 0
+    out = capsys.readouterr().out
+    assert "c" in out and "a" not in out
+    assert run_command(spark, ["snapshot", "read", "snapcli", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "a" in out and "b" in out and "c" not in out
+
+    # restore v1 -> publishes v3 with v1's content; v2 stays readable
+    assert run_command(spark, ["snapshot", "restore", "snapcli", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "restored snapcli to v1 as v3" in out
+    assert fs.versions("snapcli") == [1, 2, 3]
+    assert sorted(
+        r["id"] for r in fs.read_snapshot("snapcli").collect()) == [1, 2]
+
+    # compact: folds the latest into a fresh single-file version v4
+    assert run_command(spark, ["snapshot", "compact", "snapcli"]) == 0
+    out = capsys.readouterr().out
+    assert "compacted snapcli as v4" in out
+    assert fs.versions("snapcli") == [1, 2, 3, 4]
+    assert sorted(
+        r["id"] for r in fs.read_snapshot("snapcli").collect()) == [1, 2]
+
+    # vacuum keep_last=1: history collapses to the latest version and
+    # dead files are reclaimed (count > 0 because v1-v3 die)
+    assert run_command(spark, ["snapshot", "vacuum", "snapcli", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "vacuumed" in out
+    n_dead = int(out.split("vacuumed ")[1].split()[0])
+    assert n_dead > 0
+    assert fs.versions("snapcli") == [4]
+    assert sorted(
+        r["id"] for r in fs.read_snapshot("snapcli").collect()) == [1, 2]
+
+    # malformed sub-verb: usage + exit 2
+    assert run_command(spark, ["snapshot", "bogus"]) == 2
+    capsys.readouterr()
