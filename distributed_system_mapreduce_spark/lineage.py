@@ -28,6 +28,13 @@ Every operator routes its barrier through :func:`cut` (usually as
 ``localCheckpoint`` directly, so flipping the one switch moves the
 entire engine to the cluster posture.
 
+Streaming exception: a barrier INSIDE a foreachBatch sink pins
+``mode="local"`` — Structured Streaming's micro-batch retry (replay
+from the source checkpoint) is already the recovery layer there, and
+the persist posture would leak one never-unpersisted cache entry per
+batch on a long-running stream. Stream-lifetime STATIC sides (e.g. a
+broadcast LM model) follow the session switch like batch operators.
+
 Reference parity note: the reference engine (run_server.go:348-406
 job loop) persists inter-round state to SDFS — replicated, so a
 worker loss recovers. ``persist`` mode is the Spark-native analogue

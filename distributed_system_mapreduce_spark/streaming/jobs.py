@@ -577,7 +577,14 @@ def ingest_dedup_stream(docs: DataFrame, fs, index_name: str,
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        nb = bands_from_docs(batch_df).transform(cut)
+        # pinned mode="local": this barrier lives INSIDE a micro-batch,
+        # where Structured Streaming's batch retry (replay from the
+        # source checkpoint) is already the recovery layer — persist
+        # posture would leak one never-unpersisted cache entry per
+        # batch on a long-running stream for recoverability the engine
+        # provides anyway. The session switch governs BATCH operators;
+        # per-batch sinks cut locally by design.
+        nb = cut(bands_from_docs(batch_df), mode="local")
         idx = (
             fs.read(index_name)
             .where(F.col("batch_id") < batch_id)

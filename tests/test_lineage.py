@@ -86,3 +86,20 @@ def test_persist_mode_matches_local_mode(spark, query):
         spark.catalog.clearCache()
     assert persist == local
     assert len(local) > 0
+
+
+def test_cut_lazy_defers_materialization(spark):
+    """cut_lazy (the eager=False chain form used by join_size_estimate)
+    must not trigger a job at cut time in either posture, yet still
+    act as a barrier once consumed."""
+    df = spark.range(10).selectExpr("id", "id * id AS sq")
+    lazy_local = lineage.cut_lazy(df)
+    assert lazy_local.count() == 10
+    spark.conf.set(lineage.CONF_KEY, "persist")
+    try:
+        lazy_persist = lineage.cut_lazy(df)
+        assert lazy_persist.storageLevel.useDisk
+        assert lazy_persist.count() == 10
+        lazy_persist.unpersist()
+    finally:
+        spark.conf.set(lineage.CONF_KEY, "local")

@@ -350,9 +350,82 @@ def run_skew_panel(out_path: str, multipliers=(1, 10)) -> None:
     print(json.dumps({"skew_panel": panel}), flush=True)
 
 
+# ------------------------------------------------ lineage-posture panel
+# What does the cluster posture COST locally? The r8 lineage.cut
+# switch trades localCheckpoint (lineage truncated, executor-local)
+# for persist(MEMORY_AND_DISK)+count (lineage kept, recompute on
+# loss). This panel times the most cut-heavy iterative queries at 10x
+# under both postures so the trade is a measured number, not a claim.
+LINEAGE_PANEL = ["pagerank_parts", "community_lpa", "dedup_components",
+                 "bpe_train_merges", "kcore_census", "graph_bfs_reach"]
+
+
+def run_lineage_panel(out_path: str, mult: int = 10) -> None:
+    from distributed_system_mapreduce_spark import lineage
+    from distributed_system_mapreduce_spark.registry import QUERIES
+    from distributed_system_mapreduce_spark.session import get_spark
+
+    d = build_corpus(mult)
+    spark = get_spark("scaling-lineage")
+    # warm codegen on the first panel member before timing anything
+    QUERIES[LINEAGE_PANEL[0]](spark, d).write.format("noop") \
+        .mode("overwrite").save()
+
+    def drop_state() -> None:
+        spark.catalog.clearCache()
+        m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it = m.iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(True)
+
+    panel: dict = {"multiplier": mult, "queries": {}}
+    for name in LINEAGE_PANEL:
+        row = {}
+        for mode in ("local", "persist"):
+            spark.conf.set(lineage.CONF_KEY, mode)
+            try:
+                best = None
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    QUERIES[name](spark, d).write.format("noop") \
+                        .mode("overwrite").save()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                    drop_state()
+                row[f"t_{mode}"] = round(best, 3)
+            finally:
+                spark.conf.set(lineage.CONF_KEY, "local")
+        row["persist_over_local"] = round(
+            row["t_persist"] / row["t_local"], 3)
+        panel["queries"][name] = row
+        print(f"{name}: {row}", flush=True)
+    rs = sorted(r["persist_over_local"] for r in panel["queries"].values())
+    panel["median_persist_over_local"] = rs[len(rs) // 2]
+    panel["note"] = (
+        "cluster posture (persist+count, lineage kept) vs test posture "
+        "(localCheckpoint) on the x10 corpus, one warm session, "
+        "best-of-2, caches cleared between runs. The persist tax buys "
+        "executor-loss recoverability; at 100 TB the comparison also "
+        "shifts in persist's favor because localCheckpoint writes "
+        "always materialize to executor storage while persist blocks "
+        "can spill or stay memory-resident.")
+    doc = {}
+    if os.path.exists(out_path):
+        with open(out_path) as fh:
+            doc = json.load(fh)
+    doc["lineage_posture"] = panel
+    with open(out_path, "w") as fh:
+        json.dump(doc, fh, indent=1, sort_keys=True)
+    print(json.dumps({"lineage_panel": panel}), flush=True)
+
+
 def main() -> None:
     argv = sys.argv[1:]
     multipliers = MULTIPLIERS
+    if argv and argv[0] == "--lineage":
+        run_lineage_panel(argv[1] if len(argv) > 1
+                          else os.path.join(REPO, "SCALING.json"))
+        return
     if argv and argv[0] == "--skew":
         run_skew_panel(argv[1] if len(argv) > 1
                        else os.path.join(REPO, "SCALING.json"),
