@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from distributed_system_mapreduce_spark.functions import text as X
 from distributed_system_mapreduce_spark.tables import load_table, spread
-from distributed_system_mapreduce_spark.lineage import cut
+from distributed_system_mapreduce_spark.lineage import cut, cut_deep
 
 N_MERGES = 8
 EOW = "</w>"  # end-of-word marker, its own symbol (Sennrich)
@@ -98,7 +98,8 @@ def _train(spark: SparkSession, sf_dir: str,
     pair-count partial agg over the word table, ONE argmax row to the
     driver (TakeOrdered under the deterministic (n desc, a asc,
     b asc) tie-break), then the merge fold applied and the table
-    localCheckpointed so round N's plan never replays rounds 1..N-1.
+    cut (deep: per-round barrier) so round N's plan never replays
+    rounds 1..N-1.
     Driver state: the rule list (n_merges rows)."""
     syms = _symbolize(_word_freq(spark, sf_dir)).transform(cut)
     rules = []
@@ -113,7 +114,7 @@ def _train(spark: SparkSession, sf_dir: str,
             break
         r = top[0]
         rules.append((rank, r["a"], r["b"], int(r["n"])))
-        syms = _merge_round(syms, r["a"], r["b"]).transform(cut)
+        syms = _merge_round(syms, r["a"], r["b"]).transform(cut_deep)
     return rules, syms
 
 
@@ -132,8 +133,10 @@ def bpe_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-training census: after the N_MERGES learned rules are
     applied, how long are words in symbols, and how many distinct
     symbols exist — the vocab-size / sequence-length tradeoff curve's
-    first point (rows-only, invariant-tested). Shares _train's single
-    pass (the merged table IS training's final state — no re-apply)."""
+    first point. Hash-gated via the unrolled-replace training oracle
+    (BPE_VOCAB_STATS_SQL); invariants also tested. Shares _train's
+    single pass (the merged table IS training's final state — no
+    re-apply)."""
     _, syms = _train(spark, sf_dir)
     ex = syms.select("cnt", F.explode("syms").alias("s"))
     return (
@@ -162,9 +165,9 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Apply path at scale: tokenization is word-local, so the corpus
     never re-tokenizes — the word table (already merged as training's
     final state) broadcasts its word -> n_subtokens map onto one
-    corpus token pass. Rows-only (train's rules are not
-    SQL-derivable); exact-parity tested against the pure-Python
-    reference apply."""
+    corpus token pass. Hash-gated via the unrolled-replace training
+    oracle (BPE_TOKEN_COUNT_SQL); exact-parity also tested against
+    the pure-Python reference apply."""
     _, syms = _train(spark, sf_dir)
     lens = F.broadcast(
         syms.select("w", F.size("syms").alias("n_sub")))
@@ -183,8 +186,10 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bpe_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE training promoted into the ORACLE GATE (the kmeans_certify
-    / freq_items_certify pattern): the 8-round merge fold has no
-    tractable SQL twin, but two anchors do —
+    / freq_items_certify pattern) in r7, before the r8
+    separator-encoding insight gave the full loop a SQL twin
+    (_bpe_rounds_sql); it stays as the cheap independent cross-check.
+    Its two anchors —
 
     - the ROUND-1 pair-count table is pure SQL (tokenize, char-split
       + end-of-word, adjacent pairs, weighted count): the oracle

@@ -228,7 +228,7 @@ GROUP BY a.doc_id, b.doc_id
 
 
 # ------------------------------------------- exact jaccard on candidates
-def _cut(df: DataFrame, persist: bool) -> DataFrame:
+def _cut(df: DataFrame, persist: bool, deep: bool = False) -> DataFrame:
     """Lineage cut for iterative/multi-consumer subtrees. Delegates to
     the shared session-level helper (lineage.cut); the per-query
     ``persist=True`` knob forces the cluster posture (MEMORY_AND_DISK
@@ -236,7 +236,7 @@ def _cut(df: DataFrame, persist: bool) -> DataFrame:
     recompute) for this subtree regardless of the session switch. In
     persist mode cache lifetime belongs to the caller/session
     (clearCache or unpersist when done)."""
-    return cut(df, mode="persist" if persist else None)
+    return cut(df, mode="persist" if persist else None, deep=deep)
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
@@ -560,6 +560,7 @@ def min_label_components(pairs: DataFrame, persist: bool = False,
             labels.unionByName(nbr)
             .groupBy("doc_id")
             .agg(F.min("component").alias("component")), persist,
+            deep=True,  # per-round barrier: persist would nest plans
         )
         changed = (
             new_labels.alias("n")
@@ -655,6 +656,7 @@ def two_phase_components(pairs: DataFrame, persist: bool = False,
             .filter(F.col("u") != F.col("v"))
             .distinct(),
             persist,
+            deep=True,  # per-round barrier: persist would nest plans
         )
         changed = (ss.count() != edges.count()
                    or ss.subtract(edges).count() > 0)

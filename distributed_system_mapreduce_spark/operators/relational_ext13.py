@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distributed_system_mapreduce_spark.tables import load_table
-from distributed_system_mapreduce_spark.lineage import cut
+from distributed_system_mapreduce_spark.lineage import cut, cut_deep
 
 
 # ------------------------------------------------- events_daily_quantiles
@@ -90,7 +90,7 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionByName(reached)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .transform(cut)
+            .transform(cut_deep)  # per-hop barrier inside the loop
         )
     return (
         dist.groupBy("dist")
@@ -179,7 +179,7 @@ def kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "left_semi")
             .join(keep.withColumnRenamed("node", "dst"), "dst",
                   "left_semi")
-            .transform(cut)
+            .transform(cut_deep)  # per-round peel inside the loop
         )
     return alive.agg(
         F.lit(KCORE_K).cast("long").alias("k"),

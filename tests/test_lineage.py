@@ -74,18 +74,35 @@ def test_explicit_mode_overrides_session(spark):
     cut_df.unpersist()
 
 
+@pytest.mark.parametrize("mode", ["persist", "reliable"])
 @pytest.mark.parametrize("query", [pagerank_parts, user_survival_km,
                                    dedup_components])
-def test_persist_mode_matches_local_mode(spark, query):
+def test_cluster_postures_match_local_mode(spark, query, mode):
     local = _run(query, spark)
-    spark.conf.set(lineage.CONF_KEY, "persist")
+    spark.conf.set(lineage.CONF_KEY, mode)
     try:
-        persist = _run(query, spark)
+        got = _run(query, spark)
     finally:
         spark.conf.set(lineage.CONF_KEY, "local")
         spark.catalog.clearCache()
-    assert persist == local
+    assert got == local
     assert len(local) > 0
+
+
+def test_reliable_mode_truncates_lineage_into_checkpoint(spark):
+    """reliable = DataFrame.checkpoint(): lineage truncated (constant
+    plan size for deep loops) AND blocks in the session checkpoint
+    dir (survivable storage on a cluster)."""
+    spark.conf.set(lineage.CONF_KEY, "reliable")
+    try:
+        cut_df = lineage.cut(spark.range(5).selectExpr("id", "id+1 AS y"))
+        plan = cut_df._jdf.queryExecution().analyzed().toString()
+        assert "Range" not in plan  # lineage gone
+        assert cut_df.count() == 5
+        ckpt = spark.sparkContext._jsc.sc().getCheckpointDir()
+        assert not ckpt.isEmpty()
+    finally:
+        spark.conf.set(lineage.CONF_KEY, "local")
 
 
 def test_cut_lazy_defers_materialization(spark):
