@@ -94,7 +94,8 @@ def _merge_round(syms: DataFrame, a: str, b: str) -> DataFrame:
 
 def _train(spark: SparkSession, sf_dir: str,
            n_merges: int = N_MERGES):
-    """Shared loop: returns (rules, merged symbol table). Per round:
+    """Shared loop: returns (rules, merged symbol table, per-round
+    tables). Per round:
     pair-count partial agg over the word table, ONE argmax row to the
     driver (TakeOrdered under the deterministic (n desc, a asc,
     b asc) tie-break), then the merge fold applied and the table
@@ -103,6 +104,7 @@ def _train(spark: SparkSession, sf_dir: str,
     Driver state: the rule list (n_merges rows)."""
     syms = _symbolize(_word_freq(spark, sf_dir)).transform(cut)
     rules = []
+    rounds = [syms]  # rounds[k] = symbol table after k merges
     for rank in range(1, n_merges + 1):
         top = (
             _pair_counts(syms)
@@ -115,7 +117,8 @@ def _train(spark: SparkSession, sf_dir: str,
         r = top[0]
         rules.append((rank, r["a"], r["b"], int(r["n"])))
         syms = _merge_round(syms, r["a"], r["b"]).transform(cut_deep)
-    return rules, syms
+        rounds.append(syms)
+    return rules, syms, rounds
 
 
 def bpe_train_merges(spark: SparkSession, sf_dir: str,
@@ -123,7 +126,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str,
     """Learn the first `n_merges` BPE merge rules over the corpus.
     Output: (merge_rank, left, right, pair_count) — the ordered rule
     table a tokenizer ships. See _train for the round discipline."""
-    rules, _ = _train(spark, sf_dir, n_merges)
+    rules, _, _ = _train(spark, sf_dir, n_merges)
     return spark.createDataFrame(
         rules, "merge_rank int, left string, right string, "
                "pair_count bigint")
@@ -137,7 +140,7 @@ def bpe_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (BPE_VOCAB_STATS_SQL); invariants also tested. Shares _train's
     single pass (the merged table IS training's final state — no
     re-apply)."""
-    _, syms = _train(spark, sf_dir)
+    _, syms, _ = _train(spark, sf_dir)
     ex = syms.select("cnt", F.explode("syms").alias("s"))
     return (
         ex.agg(
@@ -168,7 +171,7 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus token pass. Hash-gated via the unrolled-replace training
     oracle (BPE_TOKEN_COUNT_SQL); exact-parity also tested against
     the pure-Python reference apply."""
-    _, syms = _train(spark, sf_dir)
+    _, syms, _ = _train(spark, sf_dir)
     lens = F.broadcast(
         syms.select("w", F.size("syms").alias("n_sub")))
     docs = spread(load_table(spark, "documents", sf_dir))
@@ -210,7 +213,7 @@ def bpe_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpe_train_merges alone."""
     from pyspark.sql import Window
 
-    rules, _ = _train(spark, sf_dir)
+    rules, _, _ = _train(spark, sf_dir)
     nonincr = all(rules[i][3] <= rules[i - 1][3]
                   for i in range(1, len(rules)))
     pc = _pair_counts(_symbolize(_word_freq(spark, sf_dir)))
@@ -369,11 +372,57 @@ GROUP BY source
 """
 
 
+def bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vocab-size vs sequence-length TRADE CURVE, not just its
+    endpoint: weighted symbols-per-token after k merges for every
+    k = 0..N_MERGES — the plot a tokenizer team reads to pick a merge
+    budget (each point: 'k merges buys this much sequence-length
+    compression'). bpe_vocab_stats is this curve's last point.
+
+    Shape: one training run (the per-round tables are already cut —
+    see _train; rounds[k] is a materialized barrier, so the k-th
+    stat is a toy 1-row aggregate over it, not a replay of rounds
+    1..k), unioned into an N_MERGES+1-row frame. Hash-gated: the
+    unrolled-replace oracle recomputes every round's table, so DuckDB
+    reproduces the whole curve bit-for-bit."""
+    _, _, rounds = _train(spark, sf_dir)
+
+    def stat(df: DataFrame, k: int) -> DataFrame:
+        return df.agg(
+            F.lit(k).cast("int").alias("n_merges"),
+            F.sum(F.size("syms") * F.col("cnt")).cast("bigint")
+            .alias("weighted_symbol_len"),
+            F.sum("cnt").cast("bigint").alias("n_token_occurrences"),
+        )
+
+    out = stat(rounds[0], 0)
+    for k in range(1, len(rounds)):
+        out = out.unionByName(stat(rounds[k], k))
+    return out.select(
+        "n_merges", "weighted_symbol_len", "n_token_occurrences",
+        (F.col("weighted_symbol_len").cast("double")
+         / F.col("n_token_occurrences").cast("double"))
+        .alias("avg_symbols_per_token"),
+    )
+
+
+BPE_COMPRESSION_CURVE_SQL = "WITH " + _bpe_rounds_sql() + "\n" + \
+    "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS INT) AS n_merges,"
+        f" CAST(SUM(len(s) * cnt) AS BIGINT) AS weighted_symbol_len,"
+        f" CAST(SUM(cnt) AS BIGINT) AS n_token_occurrences,"
+        f" CAST(SUM(len(s) * cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)"
+        f" AS avg_symbols_per_token FROM lst{k}"
+        for k in range(N_MERGES + 1)
+    )
+
+
 QUERIES = {
     "bpe_train_merges": bpe_train_merges,
     "bpe_vocab_stats": bpe_vocab_stats,
     "bpe_token_count": bpe_token_count,
     "bpe_certify": bpe_certify,
+    "bpe_compression_curve": bpe_compression_curve,
 }
 
 ORACLES: dict[str, str] = {
@@ -381,4 +430,5 @@ ORACLES: dict[str, str] = {
     "bpe_train_merges": BPE_TRAIN_MERGES_SQL,
     "bpe_vocab_stats": BPE_VOCAB_STATS_SQL,
     "bpe_token_count": BPE_TOKEN_COUNT_SQL,
+    "bpe_compression_curve": BPE_COMPRESSION_CURVE_SQL,
 }

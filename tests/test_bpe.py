@@ -181,3 +181,32 @@ def test_char_split_oracle_parity_non_ascii(spark, oracle):
         assert got[w] == want, w
         # and both agree with Python's code-point view
         assert got[w] == list(w), w
+
+
+def test_bpe_compression_curve_monotone_and_anchored(spark):
+    """The curve must be monotone (each merge can only shrink the
+    weighted symbol mass), start at chars+EOW per token, keep
+    n_token_occurrences constant, and its last point must equal
+    bpe_vocab_stats' endpoint."""
+    from distributed_system_mapreduce_spark.operators.bpe import (
+        N_MERGES,
+        bpe_compression_curve,
+        bpe_vocab_stats,
+    )
+
+    rows = {r["n_merges"]: r for r in
+            bpe_compression_curve(spark, SF_DIR).collect()}
+    assert sorted(rows) == list(range(N_MERGES + 1))
+    lens = [rows[k]["weighted_symbol_len"] for k in sorted(rows)]
+    assert lens == sorted(lens, reverse=True)
+    assert lens[0] > lens[-1]  # 8 merges on real text must compress
+    occs = {rows[k]["n_token_occurrences"] for k in rows}
+    assert len(occs) == 1  # merges never change token count
+    # k=0: every token costs its chars + the EOW marker
+    docs = load_table(spark, "documents", SF_DIR)
+    toks = docs.select(F.explode(F.expr(TOKENS_EXPR)).alias("w"))
+    want0 = toks.selectExpr("SUM(length(w) + 1) AS s").collect()[0]["s"]
+    assert rows[0]["weighted_symbol_len"] == want0
+    vs = bpe_vocab_stats(spark, SF_DIR).collect()[0]
+    assert rows[N_MERGES]["weighted_symbol_len"] == \
+        vs["weighted_symbol_len"]

@@ -80,8 +80,13 @@ def test_iterative_persist_posture_matches_default(spark):
     want = {(r["doc_id"], r["component"])
             for r in dedup_components(spark, SF_DIR).collect()}
     got_df = dedup_components(spark, SF_DIR, persist=True)
-    got_plan = got_df._jdf.queryExecution().executedPlan().toString()
-    assert "InMemory" in got_plan
+    # r8: the PER-ROUND barrier inside the loop deep-routes
+    # persist -> reliable checkpoint (persist would nest every prior
+    # round into round N's plan — the kcore 35x lesson), so the final
+    # plan reads a checkpointed RDD, not an InMemoryRelation; the
+    # persisted loop-invariant edge table is consumed by the
+    # intermediate rounds. The contract that remains: results are
+    # identical to the default posture.
     assert {(r["doc_id"], r["component"])
             for r in got_df.collect()} == want
     spark.catalog.clearCache()
