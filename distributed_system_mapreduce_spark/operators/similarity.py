@@ -1423,3 +1423,149 @@ UNION ALL
 """
 
 ORACLES["ann_recall_eval"] = ANN_RECALL_EVAL_SQL
+
+
+# ------------------------------------------- label_centroid_margin
+def label_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding separability: every label's centroid, each
+    vector's cosine to its OWN centroid vs the best FOREIGN one, and
+    the per-label margin/misassignment rollup — the nearest-centroid
+    "would a linear probe separate these classes" census run before
+    trusting an embedding column for hard-negative mining or
+    semantic dedup (complements embedding_margin's pair-level view
+    with the class-level one).
+
+    Exactness (the centroid is a MEAN, and a mean of floats is
+    partition-order-dependent): each component quantizes to an exact
+    integer y = floor(v * 2^20) (the embedding_dim_variance recipe),
+    the per-(label, dim) moments Σy and n are exact BIGINTs, and the
+    centroid component sy/n/2^20 is two fixed-order IEEE divisions of
+    exactly-representable values — bit-identical in both engines. The
+    cosines then ride the shared strict-left-fold dot (functions/
+    vectors.py) that the whole ANN family hash-verifies with; the
+    per-label MEAN margin quantizes each (deterministic) margin to
+    floor(margin * 2^20) so its sum is again an exact BIGINT.
+
+    Shape at 100 TB: one posexplode + partial-agg shuffle to the
+    (K x DIM) component grid (bounded), centroids broadcast back
+    onto ONE vector scan (K cosines per vector, K small), assignment
+    via a window PARTITIONED BY vec_id (never global), then one
+    partial-agg shuffle onto the K-row label grid."""
+    from pyspark.sql import Window
+
+    Q = 1 << 20
+    emb = spread(load_table(spark, "embeddings", sf_dir))
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "label", (F.col("pos") + 1).alias("dim"),
+        F.expr(f"CAST(floor(CAST(v AS DOUBLE) * {Q}) AS BIGINT)")
+        .alias("y"),
+    )
+    comp = (
+        ex.groupBy("label", "dim")
+        .agg(F.sum("y").alias("sy"), F.count(F.lit(1)).alias("n"))
+        .select("label", "dim",
+                (F.col("sy").cast("double") / F.col("n").cast("double")
+                 / F.lit(float(Q))).alias("c"))
+    )
+    cents = comp.groupBy(F.col("label").alias("clabel")).agg(
+        F.expr("transform(array_sort(collect_list(struct(dim, c))),"
+               " s -> s.c)").alias("cent"))
+    cos = F.expr(
+        f"{V.dot_expr('embedding', 'cent')}"
+        f" / (sqrt({V.dot_expr('embedding', 'embedding')})"
+        f" * sqrt({V.dot_expr('cent', 'cent')}))")
+    sc = (
+        emb.select("vec_id", "label", "embedding")
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "label", "clabel", cos.alias("cos"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"),
+                                             F.asc("clabel"))
+    ranked = sc.withColumn("rn", F.row_number().over(w))
+    per_vec = (
+        ranked.groupBy("vec_id", "label")
+        .agg(
+            F.max(F.when(F.col("clabel") == F.col("label"),
+                         F.col("cos"))).alias("cos_own"),
+            F.max(F.when(F.col("clabel") != F.col("label"),
+                         F.col("cos"))).alias("cos_other"),
+            F.max(F.when(F.col("rn") == 1,
+                         F.col("clabel"))).alias("assigned"),
+        )
+        .select(
+            "label",
+            (F.col("cos_own") - F.col("cos_other")).alias("margin"),
+            (F.col("assigned") != F.col("label")).alias("mis"),
+        )
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum(F.col("mis").cast("long")).cast("long")
+            .alias("n_misassigned"),
+            F.sum(F.expr(f"CAST(floor(margin * {Q}) AS BIGINT)"))
+            .alias("sqm"),
+            F.min("margin").alias("min_margin"),
+        )
+        .select(
+            "label", "n_vecs", "n_misassigned",
+            (F.col("sqm").cast("double")
+             / F.col("n_vecs").cast("double")
+             / F.lit(float(Q))).alias("mean_margin"),
+            "min_margin",
+        )
+    )
+
+
+LABEL_CENTROID_MARGIN_SQL = f"""
+WITH ex AS (
+  SELECT label, i AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {1 << 20}) AS BIGINT)
+           AS y
+  FROM embeddings,
+       unnest(generate_series(1, len(embedding))) AS t(i)
+),
+comp AS (
+  SELECT label, dim,
+         CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           / {float(1 << 20)!r} AS c
+  FROM ex GROUP BY label, dim
+),
+cents AS (
+  SELECT label AS clabel, list(c ORDER BY dim) AS cent
+  FROM comp GROUP BY label
+),
+sc AS (
+  SELECT vec_id, label, clabel,
+         {V.dot_sql('embedding', 'cent')}
+           / (sqrt({V.dot_sql('embedding', 'embedding')})
+              * sqrt({V.dot_sql('cent', 'cent')})) AS cos
+  FROM embeddings CROSS JOIN cents
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY cos DESC, clabel ASC) AS rn
+  FROM sc
+),
+per_vec AS (
+  SELECT vec_id, label,
+         MAX(CASE WHEN clabel = label THEN cos END)
+           - MAX(CASE WHEN clabel <> label THEN cos END) AS margin,
+         MAX(CASE WHEN rn = 1 THEN clabel END) <> label AS mis
+  FROM ranked GROUP BY vec_id, label
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN mis THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_misassigned,
+       CAST(SUM(CAST(floor(margin * {1 << 20}) AS BIGINT)) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) / {float(1 << 20)!r} AS mean_margin,
+       MIN(margin) AS min_margin
+FROM per_vec GROUP BY label
+"""
+
+QUERIES["label_centroid_margin"] = label_centroid_margin
+ORACLES["label_centroid_margin"] = LABEL_CENTROID_MARGIN_SQL

@@ -114,7 +114,7 @@ _PRIORITY = [
     # — so DuckDB replays the whole training loop); first driver
     # hash signal for each ------------------------------------------
     "bpe_train_merges", "bpe_vocab_stats", "bpe_token_count",
-    "bpe_compression_curve",
+    "bpe_compression_curve", "label_centroid_margin",
     # lock-fencing rework (r8): the holder token is now verified on
     # the DATA PATH immediately before the staged-swap publish in
     # merge/write_keyed/compact — re-gate both commit-path keys

@@ -256,3 +256,22 @@ def test_ann_recall_floors_hold_at_1x_2x_5x(spark, tmp_path):
                        for q in truth)
             r = hits / (len(truth) * TOP_K)
             assert r >= floor, (name, k, r)
+
+
+def test_label_centroid_margin_invariants(spark):
+    """Census invariants: every vector accounted for, margins bounded
+    by cosine range, misassignment bounded by n, mean >= min, and the
+    whole result deterministic across runs (the quantized-centroid
+    construction's point)."""
+    from distributed_system_mapreduce_spark.operators.similarity import (
+        label_centroid_margin,
+    )
+
+    rows = label_centroid_margin(spark, SF_DIR).collect()
+    assert len(rows) == 10  # one row per label
+    assert sum(r["n_vecs"] for r in rows) == 500
+    for r in rows:
+        assert 0 <= r["n_misassigned"] <= r["n_vecs"]
+        assert -2.0 <= r["min_margin"] <= r["mean_margin"] <= 2.0
+    again = label_centroid_margin(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
