@@ -86,6 +86,10 @@ QUERIES_UNDER_TEST = [
     "user_survival_km", "fk_integrity", "customer_decile_migration",
     "tfidf_topterms", "audience_overlap", "user_traj_topk",
     "bpe_certify",
+    # round-8 additions: the two new hash-gated operators (the curve
+    # shares training's per-round barriers; the margin census is the
+    # new posexplode + broadcast-centroid + per-vec-window shape)
+    "bpe_compression_curve", "label_centroid_margin",
 ]
 
 # Queries whose RESULT grows faster than the input under this corpus
