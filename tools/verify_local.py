@@ -48,13 +48,26 @@ def table_hash(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    posture = None
+    if argv and argv[0] == "--posture":
+        # run the WHOLE gate under a lineage-cut posture (local |
+        # persist | reliable) — proves every key's result is
+        # posture-independent, not just the sampled test queries
+        posture = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as e
     from distributed_system_mapreduce_spark.session import get_spark
 
     spark = get_spark("verify_local")
+    if posture:
+        from distributed_system_mapreduce_spark import lineage
+
+        spark.conf.set(lineage.CONF_KEY, posture)
+        print(f"lineage-cut posture: {posture}")
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split():
@@ -76,6 +89,15 @@ def main():
               f"past the static-SQL config "
               f"(lsh={S.lsh_params(n_emb)}, ivf={S.ivf_cells(n_emb)})")
         fails.append("ann-oracle-preflight")
+    def _drop_cached() -> None:
+        # persist posture leaves caller-owned cache entries; drop them
+        # between queries so a 284-query gate run doesn't accumulate
+        spark.catalog.clearCache()
+        m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it = m.iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(True)
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -83,6 +105,8 @@ def main():
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            if posture:
+                _drop_cached()
         except Exception as ex:
             fails.append(name)
             print(f"FAIL {name}: spark error {type(ex).__name__}: {ex}")
