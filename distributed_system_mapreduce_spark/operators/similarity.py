@@ -1569,3 +1569,160 @@ FROM per_vec GROUP BY label
 
 QUERIES["label_centroid_margin"] = label_centroid_margin
 ORACLES["label_centroid_margin"] = LABEL_CENTROID_MARGIN_SQL
+
+
+# ---------------------------------------------- embedding_cov_topk
+_COV_TOPK = 20
+
+
+def embedding_cov_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 cross-dimension |covariance| pairs of the embedding
+    column, with Pearson r — the off-diagonal complement to
+    embedding_dim_variance's marginal census, and the 'is a whitening
+    transform worth it before cosine / PQ' decision input (strongly
+    correlated dimensions waste PQ codebook entropy and distort
+    unwhitened cosine).
+
+    Exactness: the same integer-quantization recipe as
+    embedding_dim_variance (y = floor(v * 2^20) exact BIGINT), all
+    cross moments Σyᵢyⱼ as exact DECIMAL(38,0); the covariance
+    numerator n·Σyᵢyⱼ − Σyᵢ·Σyⱼ stays exact, comes back to double
+    via sign-split + quotient-remainder (never a wide DECIMAL→DOUBLE
+    cast, whose rounding differs per engine — and unlike the
+    variance, a COVARIANCE numerator can be negative, where Spark DIV
+    truncation and DuckDB // disagree; on the absolute value they
+    agree). Pearson r divides by the exact-variance square roots in
+    one fixed-order double expression.
+
+    Shape at 100 TB: pair generation is an IN-ARRAY Generate over the
+    quantized copy of the vector (DIM choose 2 structs per row, no
+    self-join — the skipgram_lift discipline), one partial-agg shuffle
+    onto the bounded (DIM x DIM)/2 grid, per-dim moments broadcast
+    back onto 2016 rows, TakeOrdered top-20."""
+    Q = 1 << 20
+    emb = spread(load_table(spark, "embeddings", sf_dir))
+    ys = (f"transform(embedding, v -> "
+          f"CAST(floor(CAST(v AS DOUBLE) * {Q}) AS BIGINT))")
+    pair_expr = (
+        f"flatten(transform(sequence(1, size(ys) - 1), i -> "
+        f"transform(sequence(i + 1, size(ys)), j -> "
+        f"struct(i AS di, j AS dj, "
+        f"element_at(ys, i) * element_at(ys, j) AS p))))"
+    )
+    cross = (
+        emb.select(F.expr(ys).alias("ys"))
+        .select(F.explode(F.expr(pair_expr)).alias("e"))
+        .groupBy(F.col("e.di").alias("di"), F.col("e.dj").alias("dj"))
+        .agg(F.sum(F.col("e.p").cast("decimal(38,0)")).alias("sxy"))
+    )
+    mom = (
+        emb.select(F.posexplode("embedding").alias("pos", "v"))
+        .select((F.col("pos") + 1).alias("dim"),
+                F.expr(f"CAST(floor(CAST(v AS DOUBLE) * {Q}) AS BIGINT)")
+                .alias("y"))
+        .groupBy("dim")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("y").cast("decimal(38,0)").alias("sy"),
+             F.sum(F.expr("y * y")).cast("decimal(38,0)").alias("syy"))
+    )
+    mi = F.broadcast(mom.select(F.col("dim").alias("di"),
+                                F.col("n").alias("n"),
+                                F.col("sy").alias("syi"),
+                                F.col("syy").alias("syyi")))
+    mj = F.broadcast(mom.select(F.col("dim").alias("dj"),
+                                F.col("sy").alias("syj"),
+                                F.col("syy").alias("syyj")))
+
+    def ratio(num: str, den: str) -> str:
+        # exact-decimal / exact-decimal -> double via quotient split
+        return (f"(CAST({num} DIV {den} AS DOUBLE)"
+                f" + CAST({num} % {den} AS DOUBLE)"
+                f" / CAST({den} AS DOUBLE))")
+
+    joined = (
+        cross.join(mi, "di").join(mj, "dj")
+        .withColumn("den", F.expr("CAST(n AS DECIMAL(38,0))"
+                                  " * CAST(n AS DECIMAL(38,0))"))
+        .withColumn("cnum", F.expr("n * sxy - syi * syj"))
+        .withColumn("vinum", F.expr("n * syyi - syi * syi"))
+        .withColumn("vjnum", F.expr("n * syyj - syj * syj"))
+        .withColumn("sgn", F.expr(
+            "CASE WHEN cnum < 0 THEN -1.0 ELSE 1.0 END"))
+        .withColumn("acov", F.expr(
+            f"{ratio('abs(cnum)', 'den')} / {float(1 << 40)!r}"))
+        .withColumn("vi", F.expr(
+            f"{ratio('vinum', 'den')} / {float(1 << 40)!r}"))
+        .withColumn("vj", F.expr(
+            f"{ratio('vjnum', 'den')} / {float(1 << 40)!r}"))
+    )
+    return (
+        joined.select(
+            F.col("di").cast("long").alias("dim_i"),
+            F.col("dj").cast("long").alias("dim_j"),
+            F.expr("sgn * acov").alias("cov"),
+            F.expr("sgn * acov / sqrt(vi * vj)").alias("pearson_r"),
+            F.col("acov").alias("abs_cov"),
+        )
+        .orderBy(F.desc("abs_cov"), "dim_i", "dim_j")
+        .limit(_COV_TOPK)
+        .drop("abs_cov")
+    )
+
+
+EMBEDDING_COV_TOPK_SQL = f"""
+WITH q AS (
+  SELECT list_transform(embedding, v ->
+           CAST(floor(CAST(v AS DOUBLE) * {1 << 20}) AS BIGINT)) AS ys
+  FROM embeddings
+),
+cross_m AS (
+  SELECT i AS di, j AS dj,
+         CAST(SUM(ys[i] * ys[j]) AS DECIMAL(38,0)) AS sxy
+  FROM q,
+       unnest(generate_series(1, len(ys) - 1)) AS t(i),
+       unnest(generate_series(i + 1, len(ys))) AS u(j)
+  GROUP BY i, j
+),
+mom AS (
+  SELECT i AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(ys[i]) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(ys[i] * ys[i]) AS DECIMAL(38,0)) AS syy
+  FROM q, unnest(generate_series(1, len(ys))) AS t(i)
+  GROUP BY i
+),
+j AS (
+  SELECT c.di, c.dj,
+         CAST(a.n AS DECIMAL(38,0)) * CAST(a.n AS DECIMAL(38,0)) AS den,
+         a.n * c.sxy - a.sy * b.sy AS cnum,
+         a.n * a.syy - a.sy * a.sy AS vinum,
+         a.n * b.syy - b.sy * b.sy AS vjnum
+  FROM cross_m c JOIN mom a ON c.di = a.dim JOIN mom b ON c.dj = b.dim
+),
+d AS (
+  SELECT di, dj,
+         CASE WHEN cnum < 0 THEN -1.0 ELSE 1.0 END AS sgn,
+         (CAST(CAST(abs(cnum) AS HUGEINT) // CAST(den AS HUGEINT)
+               AS DOUBLE)
+          + CAST(CAST(abs(cnum) AS HUGEINT) % CAST(den AS HUGEINT)
+                 AS DOUBLE) / CAST(den AS DOUBLE))
+           / {float(1 << 40)!r} AS acov,
+         (CAST(CAST(vinum AS HUGEINT) // CAST(den AS HUGEINT) AS DOUBLE)
+          + CAST(CAST(vinum AS HUGEINT) % CAST(den AS HUGEINT)
+                 AS DOUBLE) / CAST(den AS DOUBLE))
+           / {float(1 << 40)!r} AS vi,
+         (CAST(CAST(vjnum AS HUGEINT) // CAST(den AS HUGEINT) AS DOUBLE)
+          + CAST(CAST(vjnum AS HUGEINT) % CAST(den AS HUGEINT)
+                 AS DOUBLE) / CAST(den AS DOUBLE))
+           / {float(1 << 40)!r} AS vj
+  FROM j
+)
+SELECT CAST(di AS BIGINT) AS dim_i, CAST(dj AS BIGINT) AS dim_j,
+       sgn * acov AS cov,
+       sgn * acov / sqrt(vi * vj) AS pearson_r
+FROM d
+ORDER BY acov DESC, dim_i, dim_j
+LIMIT {_COV_TOPK}
+"""
+
+QUERIES["embedding_cov_topk"] = embedding_cov_topk
+ORACLES["embedding_cov_topk"] = EMBEDDING_COV_TOPK_SQL

@@ -275,3 +275,33 @@ def test_label_centroid_margin_invariants(spark):
         assert -2.0 <= r["min_margin"] <= r["mean_margin"] <= 2.0
     again = label_centroid_margin(spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_embedding_cov_topk_invariants(spark):
+    """Top-20 |cov| pairs: valid dim pairs, |r| <= 1, descending
+    |cov| order with full tie-break, deterministic across runs, and
+    the top pair's Pearson r cross-checked against pandas corr on the
+    collected vectors (loose tolerance: the operator quantizes to
+    2^-20)."""
+    import numpy as np
+
+    from distributed_system_mapreduce_spark.operators.similarity import (
+        embedding_cov_topk,
+    )
+    from distributed_system_mapreduce_spark.tables import load_table
+
+    rows = embedding_cov_topk(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 1 <= r["dim_i"] < r["dim_j"] <= 64
+        assert abs(r["pearson_r"]) <= 1.0 + 1e-12
+    acovs = [abs(r["cov"]) for r in rows]
+    assert acovs == sorted(acovs, reverse=True)
+    again = embedding_cov_topk(spark, SF_DIR).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+    # independent cross-check of the top pair's correlation
+    top = rows[0]
+    m = np.array(load_table(spark, "embeddings", SF_DIR)
+                 .select("embedding").toPandas()["embedding"].tolist())
+    want = np.corrcoef(m[:, top["dim_i"] - 1], m[:, top["dim_j"] - 1])[0, 1]
+    assert abs(top["pearson_r"] - want) < 1e-4, (top["pearson_r"], want)

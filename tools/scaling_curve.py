@@ -90,6 +90,7 @@ QUERIES_UNDER_TEST = [
     # shares training's per-round barriers; the margin census is the
     # new posexplode + broadcast-centroid + per-vec-window shape)
     "bpe_compression_curve", "label_centroid_margin",
+    "embedding_cov_topk",
 ]
 
 # Queries whose RESULT grows faster than the input under this corpus
