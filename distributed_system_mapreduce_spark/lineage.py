@@ -29,7 +29,11 @@ Three postures exist and they trade differently at scale:
   the cost is one write to reliable storage per cut. The checkpoint
   dir resolves from ``spark.graft.checkpointDir`` conf /
   ``SPARK_GRAFT_CKPT_DIR`` env / a local tmp default (fine on
-  local[N]; set it to a replicated path on a real cluster).
+  local[N]; set it to a replicated path on a real cluster). The
+  session factory enables
+  ``spark.cleaner.referenceTracking.cleanCheckpoints`` so checkpoint
+  files are reclaimed once their RDDs are GC'd — without it a
+  long-running session accumulates them unboundedly.
 
 The posture is selected once per session, not per call site:
 

@@ -39,6 +39,12 @@ def get_spark(app_name: str = "distributed_system_mapreduce_spark",
         # reader rejects; read as raw nanos, tables.load_table converts.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # reliable lineage-cut posture (lineage.py) checkpoints into
+        # spark.graft.checkpointDir; without the reference-tracking
+        # cleaner those files outlive their RDDs and a long session
+        # (or a 284-query gate run) accumulates them unboundedly
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints",
+                "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
