@@ -497,7 +497,53 @@ GROUP BY event_type
 """
 
 
+# ------------------------------------------------ stream_sessionize
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful operator (applyInPandasWithState gap-based
+    sessionizer, streaming/jobs.py _sessionize_fn) promoted into the
+    oracle gate: drain the update-mode stream on the finite feed, keep
+    each user's LAST update (the running counters only grow, so the
+    max-n_events row IS the final state), and hash-match against the
+    batch lag+cumulative-window twin's SQL (events_sessionize's
+    oracle, unchanged) — proving the stateful kernel reproduces the
+    declarative semantics exactly, per user, per counter.
+
+    Scale: state is 3 longs per ACTIVE user key; the per-user window
+    below runs over the drained update table (bounded by #triggers x
+    #users locally; in production the sink would be a keyed upsert and
+    the window disappears)."""
+    from pyspark.sql import Window
+
+    from distributed_system_mapreduce_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+        sessionize_stream,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    name = f"sq_sess_{next(_DRAIN_SEQ)}"
+    run_stream_to_memory(sessionize_stream(ev), name,
+                         output_mode="update")
+    t = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("n_events"), F.desc("n_sessions"))
+    return (
+        t.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("n_sessions").cast("long").alias("n_sessions"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+
+
+from distributed_system_mapreduce_spark.operators.relational import (  # noqa: E402,E501
+    EVENTS_SESSIONIZE_SQL as STREAM_SESSIONIZE_SQL,
+)
+
 QUERIES = {
+    "stream_sessionize": stream_sessionize,
     "stream_windowed_rollup": stream_windowed_rollup,
     "stream_topk_users_daily": stream_topk_users_daily,
     "stream_enriched_rollup": stream_enriched_rollup,
@@ -509,6 +555,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_sessionize": STREAM_SESSIONIZE_SQL,
     "stream_windowed_rollup": STREAM_WINDOWED_ROLLUP_SQL,
     "stream_topk_users_daily": STREAM_TOPK_USERS_DAILY_SQL,
     "stream_enriched_rollup": STREAM_ENRICHED_ROLLUP_SQL,

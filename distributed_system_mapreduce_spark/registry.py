@@ -115,7 +115,7 @@ _PRIORITY = [
     # hash signal for each ------------------------------------------
     "bpe_train_merges", "bpe_vocab_stats", "bpe_token_count",
     "bpe_compression_curve", "label_centroid_margin",
-    "embedding_cov_topk",
+    "embedding_cov_topk", "stream_sessionize",
     # lock-fencing rework (r8): the holder token is now verified on
     # the DATA PATH immediately before the staged-swap publish in
     # merge/write_keyed/compact — re-gate both commit-path keys

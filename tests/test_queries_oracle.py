@@ -95,17 +95,17 @@ def test_registry_prefix_is_oracle_dense():
     remaining rows-only keys sit at the very end of the registry so
     they never occupy a hash-gate slot."""
     ks = list(QUERIES)
-    assert ks[:8] == [
+    assert ks[:9] == [
         "bpe_train_merges", "bpe_vocab_stats", "bpe_token_count",
         "bpe_compression_curve", "label_centroid_margin",
-        "embedding_cov_topk",
+        "embedding_cov_topk", "stream_sessionize",
         "filestore_keyed_merge", "filestore_concurrent_commit",
-    ], ks[:8]
+    ], ks[:9]
     assert all(k in ORACLES for k in ks[:50]), [
         k for k in ks[:50] if k not in ORACLES]
     latest = _driver_evidence_round()
     # slots 6..50 hold only stale (<= r02) evidence
-    stale_head = ks[8:50]
+    stale_head = ks[9:50]
     assert all(latest.get(k, 0) <= 2 for k in stale_head), [
         (k, latest.get(k)) for k in stale_head if latest.get(k, 0) > 2]
     # ALL 16 r01-evidence keys made the head (the verdict's "done"
