@@ -11,6 +11,15 @@ import sys
 sys.path.insert(0, ".")
 
 SHOWCASE = [
+    ("label_centroid_margin",
+     "quantized-centroid broadcast + per-vec assignment window "
+     "(never global)"),
+    ("embedding_cov_topk",
+     "in-array pair Generate (DIM choose 2, no self-join) + bounded "
+     "dim-pair grid + TakeOrdered"),
+    ("bpe_compression_curve",
+     "per-round cut barriers: each curve point a 1-row agg, no round "
+     "replay"),
     ("q6_forecast_revenue", "filter pushdown + column pruning"),
     ("q5_local_supplier", "6-way join: dims broadcast, facts shuffle"),
     ("q1_pricing_summary", "map-side partial aggregation"),
