@@ -118,6 +118,14 @@ def _train(spark: SparkSession, sf_dir: str,
         rules.append((rank, r["a"], r["b"], int(r["n"])))
         syms = _merge_round(syms, r["a"], r["b"]).transform(cut_deep)
         rounds.append(syms)
+    # degenerate corpus (pair table exhausted before n_merges): the
+    # SQL twin's r{k} is then EMPTY and its sym{k+1} carries the
+    # symbol string through unchanged, so lst{k} exists for every
+    # k <= n_merges — pad the Python rounds the same way (repeat the
+    # final table) so bpe_compression_curve emits n_merges+1 rows in
+    # both twins
+    while len(rounds) < n_merges + 1:
+        rounds.append(syms)
     return rules, syms, rounds
 
 

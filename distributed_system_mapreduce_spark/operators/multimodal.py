@@ -1174,6 +1174,12 @@ def _h264_ipcm_frame(wmbs: int, hmbs: int, luma: int) -> bytes:
     sl.ue(0)           # pic_parameter_set_id
     sl.u(0, 4)         # frame_num (log2_max_frame_num = 4)
     sl.ue(0)           # idr_pic_id (IDR NAL)
+    # dec_ref_pic_marking() — REQUIRED for nal_ref_idc != 0 (spec
+    # 7.3.3/7.4.3.3; the slice header above uses 0x65 = ref_idc 3):
+    # for IDR it is exactly these two flags. Omitting them shifts
+    # every following bit and a compliant decoder misparses the slice.
+    sl.u(0, 1)         # no_output_of_prior_pics_flag
+    sl.u(0, 1)         # long_term_reference_flag
     sl.se(0)           # slice_qp_delta
     for _ in range(wmbs * hmbs):
         sl.ue(25)      # mb_type: I_PCM

@@ -97,62 +97,29 @@ if _extra:
 # Registration order = the order external consumers (the driver's
 # correctness gate) iterate queries() in. The gate budget covers a
 # prefix of the list (~50 entries per round), so order by evidence
-# value. Cumulative driver coverage r1-r7 = 282/282; the r8 head
-# rotates the STALEST driver evidence forward (everything whose last
-# driver green is r01, plus the oldest r02 block) and leads with the
-# keys whose contract changed this round (the three newly
-# oracle-promoted BPE keys, the lock-fenced filestore commit paths).
-# The r8 lineage-cut sweep (lineage.py) touched nearly every operator
-# file but is plan-identical in the default posture; the full local
-# gate at two SFs re-proved all 282 keys after it.
+# value. Cumulative driver coverage r1-r8 = 286/286 (all 50 r8 head
+# keys green in CORRECTNESS_r08.json). The r9 head leads with this
+# round's two changed contracts — filestore_keyed_merge (the merge
+# barrier now pins a TRUNCATING lineage cut before its self-overwrite
+# publish; ADVICE r8 high) and bpe_compression_curve (degenerate-
+# corpus round padding now matches the SQL twin's no-op rounds;
+# ADVICE r8 low) — then rotates the STALEST driver evidence forward:
+# ALL 24 keys whose last driver-side hash-green is CORRECTNESS_r02
+# (the full list the r8 verdict asked to clear), then the 24 oldest
+# r03 keys to fill the 50-slot budget. Positions 51+ continue
+# oldest-evidence-first (the remaining r03 block, then r04, ...) so
+# the r10 budget reaches the next-stalest block; the 4 rows-only
+# sketch keys stay dead last (they must never occupy a hash-gate
+# slot).
 _PRIORITY = [
-    # -- r8 gate head (50): evidence-freshness rotation + this
-    # round's changed contracts.
-    # NEW ORACLES: the three remaining BPE keys are promoted from
-    # rows-only to fully hash-gated (the merge fold is SQL replace()
-    # over a separator-encoded symbol string — see bpe._bpe_rounds_sql
-    # — so DuckDB replays the whole training loop); first driver
-    # hash signal for each ------------------------------------------
-    "bpe_train_merges", "bpe_vocab_stats", "bpe_token_count",
-    "bpe_compression_curve", "label_centroid_margin",
-    "embedding_cov_topk", "stream_sessionize",
-    # lock-fencing rework (r8): the holder token is now verified on
-    # the DATA PATH immediately before the staged-swap publish in
-    # merge/write_keyed/compact — re-gate both commit-path keys
-    "filestore_keyed_merge", "filestore_concurrent_commit",
-    # evidence rotation: every key whose most recent DRIVER-side
-    # hash-green is still CORRECTNESS_r01 (16 keys; the local gate
-    # re-proves all 282 each round — this is driver-evidence hygiene,
-    # per the r7 verdict) --------------------------------------------
-    "q6_forecast_revenue", "q13_order_count_dist", "q16_supplier_counts",
-    "q20_heavy_shippers", "q21_sole_supplier_returns",
-    "order_priority_count", "distinct_users_by_type", "events_pivot",
-    "price_quantiles", "token_count", "lang_id", "quality_score",
-    "quality_filter", "term_doc_freq", "doc_fingerprint", "bm25_rank",
-    # oldest r02 evidence, hardest families first: the dedup/_cut
-    # family (its lineage barrier now routes through the shared
-    # session-posture helper — lineage.py, the r8 rewrite), the ANN
-    # trio, then the r02 relational block ----------------------------
-    "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_minhash_estimate", "dedup_components", "dedup_apply",
-    "dedup_embedding", "ann_topk_brute", "ann_topk_lsh", "ann_topk_ivf",
-    "multimodal_meta", "mr_wordcount_exe", "events_asof_order",
-    "purchase_attribution", "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier", "q10_returned_items", "top_customers",
-    "events_daily_rollup", "events_running_total", "events_sessionize",
-    "q7_nation_volume", "q14_promo_revenue", "q15_top_supplier",
+    "filestore_keyed_merge", "bpe_compression_curve", "q15_top_supplier",
     "q17_small_qty_revenue", "q18_large_orders", "vote_round1",
-    # -- positions 51+: the REMAINING r02-evidence keys, queued so
-    # the r9 budget reaches them next --------------------------------
     "repetition_score", "ngram_counts", "contamination_check", "domain_mix",
     "packing_stats", "train_val_split", "quality_topk_per_group",
     "pii_scrub", "events_cube", "corpus_stats", "q19_bracket_revenue",
     "q22_idle_customers", "events_rollup", "customer_cohort_ltv",
     "events_funnel", "q8_market_share", "q9_product_profit",
     "q11_part_value_concentration", "q12_late_shipments", "kmv_distinct",
-    # -- re-confirmation tail: everything else, oldest driver
-    # evidence first (r03, r04, ...), registration order as the
-    # tie-break ------------------------------------------------------
     "bloom_semi_filter", "events_concurrency", "cdc_apply", "skyline_parts",
     "winsorized_stats", "events_twap", "fuzzy_name_pairs", "ann_incremental",
     "multimodal_phash_dedup", "source_hhi", "community_lpa",
@@ -221,13 +188,23 @@ _PRIORITY = [
     "join_size_estimate", "lifecycle_conformance", "mix_rebalance_sample",
     "wordcount", "vote_winner", "split_by_key", "range_partition_hist",
     "mr_wordcount", "mr_wordcount_range", "mr_vote_winner",
-    "q2_best_supplier",
-    # -- rows-only keys last (driver does a weaker rows-only check;
-    # they must not occupy a hash-gate slot): the 4 genuinely
-    # non-SQL-expressible sketches, each with a hash-green certify
-    # twin already driver-gated in r7 --------------------------------
-    "compression_ratio", "kmeans_embed", "approx_price_quantiles",
-    "freq_items_sketch",
+    "q2_best_supplier", "bpe_train_merges", "bpe_vocab_stats",
+    "bpe_token_count", "label_centroid_margin", "embedding_cov_topk",
+    "stream_sessionize", "filestore_concurrent_commit",
+    "q6_forecast_revenue", "q13_order_count_dist", "q16_supplier_counts",
+    "q20_heavy_shippers", "q21_sole_supplier_returns",
+    "order_priority_count", "distinct_users_by_type", "events_pivot",
+    "price_quantiles", "token_count", "lang_id", "quality_score",
+    "quality_filter", "term_doc_freq", "doc_fingerprint", "bm25_rank",
+    "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_minhash_estimate", "dedup_components", "dedup_apply",
+    "dedup_embedding", "ann_topk_brute", "ann_topk_lsh", "ann_topk_ivf",
+    "multimodal_meta", "mr_wordcount_exe", "events_asof_order",
+    "purchase_attribution", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier", "q10_returned_items", "top_customers",
+    "events_daily_rollup", "events_running_total", "events_sessionize",
+    "q7_nation_volume", "q14_promo_revenue", "compression_ratio",
+    "kmeans_embed", "approx_price_quantiles", "freq_items_sketch"
 ]
 if set(_PRIORITY) != set(_MERGED) or len(_PRIORITY) != len(_MERGED):
     _missing = set(_MERGED) - set(_PRIORITY)

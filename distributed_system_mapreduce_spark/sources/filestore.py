@@ -22,7 +22,7 @@ import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
-from distributed_system_mapreduce_spark.lineage import cut
+from distributed_system_mapreduce_spark.lineage import cut, cut_deep
 
 _FORMATS = ("parquet", "orc", "csv", "json", "text")
 
@@ -886,8 +886,12 @@ class FileStore:
         # would otherwise each evaluate the read+anti-join+union (2x
         # cost), and a nondeterministic `changes` source could make
         # the two evaluations disagree — deleting a bucket dir the
-        # write just populated
-        out = surviving.unionByName(upserts).transform(cut)
+        # write just populated. The barrier must TRUNCATE lineage in
+        # every posture (cut_deep: persist routes to reliable): the
+        # write below overwrites this plan's own source directory, so
+        # a persist-posture recompute after block loss would re-read
+        # the dir mid-clobber and corrupt the dataset.
+        out = surviving.unionByName(upserts).transform(cut_deep)
         # dynamic overwrite only rewrites partitions PRESENT in the
         # output — a touched bucket whose every row was deleted emits
         # no partition and its stale files would silently survive, so

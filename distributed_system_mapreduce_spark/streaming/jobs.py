@@ -33,7 +33,7 @@ from pyspark.sql.types import (
     TimestampNTZType,
     TimestampType,
 )
-from distributed_system_mapreduce_spark.lineage import cut
+from distributed_system_mapreduce_spark.lineage import cut, cut_deep
 
 EVENT_SCHEMA = StructType([
     StructField("event_id", LongType()),
@@ -668,9 +668,12 @@ def compact_rollup(fs, name: str) -> None:
     at 0, and -1 never collides with them)."""
     from pyspark.sql import functions as F
 
-    # materialize before the overwrite clobbers the source dir
+    # materialize before the overwrite clobbers the source dir — and
+    # TRUNCATE lineage in every posture (cut_deep: persist routes to
+    # reliable): a persist-posture recompute after block loss would
+    # re-read the very directory the overwrite below is replacing
     compacted = read_rollup(fs, name).withColumn(
-        "batch_id", F.lit(-1)).transform(cut)
+        "batch_id", F.lit(-1)).transform(cut_deep)
     spark = compacted.sparkSession
     # the overwrite must replace the WHOLE dataset (all old delta
     # partitions) — under dynamic partitionOverwriteMode only

@@ -210,3 +210,40 @@ def test_bpe_compression_curve_monotone_and_anchored(spark):
     vs = bpe_vocab_stats(spark, SF_DIR).collect()[0]
     assert rows[N_MERGES]["weighted_symbol_len"] == \
         vs["weighted_symbol_len"]
+
+
+def test_bpe_curve_degenerate_corpus_matches_oracle(spark, tmp_path):
+    """ADVICE r8: a corpus that exhausts the pair table before
+    N_MERGES used to emit fewer curve rows than the SQL twin (whose
+    empty r{k} rounds carry the encoding through unchanged). The
+    padded rounds must now reproduce the oracle row-for-row: exactly
+    N_MERGES+1 rows, the tail flat at the exhausted encoding."""
+    import duckdb
+
+    from distributed_system_mapreduce_spark.operators.bpe import (
+        BPE_COMPRESSION_CURVE_SQL,
+        bpe_compression_curve,
+    )
+    from tests.conftest import normalize
+
+    # single-char tokens: round 1 merges (a,</w>), round 2 (b,</w>),
+    # round 3 finds no pairs -> early break with 6 rounds unexecuted
+    docs = load_table(spark, "documents", SF_DIR).limit(5).withColumn(
+        "text", F.lit("a b a"))
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sdf = bpe_compression_curve(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    assert len(srows) == N_MERGES + 1
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'")
+    res = con.sql(BPE_COMPRESSION_CURVE_SQL)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert normalize(sdf.columns, srows) == normalize(dcols, drows)
+    # the padded tail is flat (no phantom compression)
+    by_k = {r["n_merges"]: r["weighted_symbol_len"]
+            for r in sdf.collect()}
+    assert len({by_k[k] for k in range(2, N_MERGES + 1)}) == 1

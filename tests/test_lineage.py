@@ -105,6 +105,85 @@ def test_reliable_mode_truncates_lineage_into_checkpoint(spark):
         spark.conf.set(lineage.CONF_KEY, "local")
 
 
+def test_cut_deep_truncates_lineage_in_every_posture(spark):
+    """cut_deep is the barrier for (a) per-round loops and (b) any
+    materialization whose next step OVERWRITES the plan's own source
+    (merge, compact_rollup — ADVICE r8 high). It must truncate
+    lineage under all three postures: persist would otherwise keep a
+    plan that re-reads the clobbered directory on block loss."""
+    for mode in ("local", "persist", "reliable"):
+        spark.conf.set(lineage.CONF_KEY, mode)
+        try:
+            out = lineage.cut_deep(
+                spark.range(6).selectExpr("id", "id * 2 AS y"))
+            plan = out._jdf.queryExecution().analyzed().toString()
+            assert "Range" not in plan, (mode, plan)
+            assert out.count() == 6
+        finally:
+            spark.conf.set(lineage.CONF_KEY, "local")
+            spark.catalog.clearCache()
+
+
+def test_merge_self_overwrite_safe_under_persist(
+        spark, tmp_path, persist_posture):
+    """merge() rewrites its own source directory; under the persist
+    posture its barrier must have routed to a TRUNCATING cut, so no
+    persisted RDD with live lineage into the dataset path survives
+    the call (a leftover one would recompute from the clobbered dir
+    on block loss). Result correctness is asserted too."""
+    from distributed_system_mapreduce_spark.sources.filestore import (
+        FileStore,
+    )
+
+    fs = FileStore(spark, str(tmp_path / "store"))
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50)], "id long, v string")
+    fs.write_keyed(base, "kv", "id", n_buckets=4)
+    changes = spark.createDataFrame(
+        [(3, "v3-new", False), (99, "v99", False), (7, None, True)],
+        "id long, v string, is_delete boolean")
+    jsc = spark.sparkContext._jsc.sc()
+    n_persisted_before = jsc.getPersistentRDDs().size()
+    fs.merge(changes, "kv", "id", delete_col="is_delete")
+    assert jsc.getPersistentRDDs().size() == n_persisted_before
+    got = {r["id"]: r["v"] for r in fs.read("kv").collect()}
+    want = {i: f"v{i}" for i in range(50) if i != 7}
+    want[3], want[99] = "v3-new", "v99"
+    assert got == want
+
+
+def test_compact_rollup_self_overwrite_safe_under_persist(
+        spark, tmp_path, persist_posture):
+    """compact_rollup() overwrites the whole delta log it just read —
+    same hazard, same truncating-barrier requirement."""
+    from distributed_system_mapreduce_spark.sources.filestore import (
+        FileStore,
+    )
+    from distributed_system_mapreduce_spark.streaming import (
+        compact_rollup,
+        read_rollup,
+    )
+
+    fs = FileStore(spark, str(tmp_path / "store"))
+    p = tmp_path / "store" / "roll"
+    for b, rows in enumerate([[("2024-01-01", "view", 3, 1.5)],
+                              [("2024-01-01", "view", 2, 0.5),
+                               ("2024-01-02", "buy", 1, 9.0)]]):
+        spark.createDataFrame(
+            rows, "day string, event_type string, n_events long, "
+                  "sum_value double"
+        ).write.mode("overwrite").parquet(str(p / f"batch_id={b}"))
+    before = {(r["day"], r["event_type"]): (r["n_events"], r["sum_value"])
+              for r in read_rollup(fs, "roll").collect()}
+    jsc = spark.sparkContext._jsc.sc()
+    n_persisted_before = jsc.getPersistentRDDs().size()
+    compact_rollup(fs, "roll")
+    assert jsc.getPersistentRDDs().size() == n_persisted_before
+    after = {(r["day"], r["event_type"]): (r["n_events"], r["sum_value"])
+             for r in read_rollup(fs, "roll").collect()}
+    assert after == before
+
+
 def test_cut_lazy_defers_materialization(spark):
     """cut_lazy (the eager=False chain form used by join_size_estimate)
     must not trigger a job at cut time in either posture, yet still

@@ -63,18 +63,30 @@ def test_approx_distinct_within_error_bound(spark):
         assert gated[k]["within_bound"] is True, k
 
 
-def _driver_evidence_round():
-    """Latest round each key went green in a driver CORRECTNESS file
-    (hash-green, or rows-green for declared no-oracle keys)."""
+# the round whose artifacts the CURRENT head was constructed from.
+# Evidence from later rounds (produced by the very gate the head
+# feeds) must NOT flip this test: the r8 head turned red the moment
+# CORRECTNESS_r08.json landed because it derived staleness from ALL
+# artifacts, including the one its own rotation had just refreshed.
+HEAD_BUILT_FROM_ROUND = 8
+
+
+def _driver_evidence_round(artifact_dir=None, cap: int = 99):
+    """Latest round <= cap each key went green in a driver
+    CORRECTNESS file (hash-green, or rows-green for declared
+    no-oracle keys)."""
     import glob
     import json
     import re
     from pathlib import Path
 
-    repo = Path(__file__).resolve().parent.parent
+    repo = Path(artifact_dir) if artifact_dir else (
+        Path(__file__).resolve().parent.parent)
     latest: dict[str, int] = {}
-    for f in sorted(glob.glob(str(repo / "CORRECTNESS_r0*.json"))):
+    for f in sorted(glob.glob(str(repo / "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"r0*(\d+)", f).group(1))
+        if rnd > cap:
+            continue
         for k, v in json.load(open(f)).items():
             ok = v.get("hash_match") or (
                 v.get("rows_match") and v.get("err") == "no_oracle")
@@ -85,41 +97,56 @@ def _driver_evidence_round():
 
 def test_registry_prefix_is_oracle_dense():
     """The driver's correctness gate covers a ~50-entry prefix of the
-    registry. The r8 head leads with this round's contract changes —
-    the three BPE keys promoted from rows-only to hash-gated (the
-    unrolled-replace training oracle) and the two lock-fenced
-    filestore commit paths — then rotates the STALEST driver evidence
-    forward, verified against the CORRECTNESS_r0*.json artifacts
-    themselves: everything whose last driver green is r01, then the
-    oldest r02 block. Every prefix slot is oracle-backed, and the 4
-    remaining rows-only keys sit at the very end of the registry so
-    they never occupy a hash-gate slot."""
+    registry. The r9 head leads with the two contracts changed this
+    round (the truncating merge barrier in filestore_keyed_merge, the
+    degenerate-corpus padding in bpe_compression_curve), then ALL 24
+    keys whose last driver green was r02, then the oldest r03 block
+    to fill the budget. Staleness is derived from the artifacts AS OF
+    the round the head was built (HEAD_BUILT_FROM_ROUND) so the gate's
+    own future output cannot invalidate the assertion."""
     ks = list(QUERIES)
-    assert ks[:9] == [
-        "bpe_train_merges", "bpe_vocab_stats", "bpe_token_count",
-        "bpe_compression_curve", "label_centroid_margin",
-        "embedding_cov_topk", "stream_sessionize",
-        "filestore_keyed_merge", "filestore_concurrent_commit",
-    ], ks[:9]
+    assert ks[:2] == ["filestore_keyed_merge", "bpe_compression_curve"]
     assert all(k in ORACLES for k in ks[:50]), [
         k for k in ks[:50] if k not in ORACLES]
-    latest = _driver_evidence_round()
-    # slots 6..50 hold only stale (<= r02) evidence
-    stale_head = ks[9:50]
-    assert all(latest.get(k, 0) <= 2 for k in stale_head), [
-        (k, latest.get(k)) for k in stale_head if latest.get(k, 0) > 2]
-    # ALL 16 r01-evidence keys made the head (the verdict's "done"
-    # criterion for the rotation)
-    r01 = {k for k in ks if latest.get(k) == 1}
-    assert r01 <= set(ks[:50]), r01 - set(ks[:50])
-    # positions 51+ start with the remaining r02 keys so the r9
-    # budget reaches them next
-    overflow_r02 = [k for k in ks[50:] if latest.get(k, 99) == 2]
-    assert ks[50:50 + len(overflow_r02)] == overflow_r02
+    latest = _driver_evidence_round(cap=HEAD_BUILT_FROM_ROUND)
+    # ALL r02-evidence keys (as of r8 there were 24 — the r8 verdict's
+    # full rotation list) occupy slots 2..26
+    r02 = {k for k in ks if latest.get(k) == 2}
+    assert set(ks[2:2 + len(r02)]) == r02 and len(r02) == 24, (
+        sorted(r02 ^ set(ks[2:2 + len(r02)])))
+    # the rest of the head and the overflow continue oldest-first:
+    # nothing outside the head may be staler than anything inside it
+    # (excluding the two contract-led slots)
+    head_max = max(latest.get(k, 0) for k in ks[2:50])
+    rest_min = min(latest.get(k, 99) for k in ks[50:]
+                   if k in ORACLES)
+    assert head_max <= rest_min, (head_max, rest_min)
     # rows-only keys are dead last
     rows_only = [k for k in ks if k not in ORACLES]
     assert ks[-len(rows_only):] == rows_only and len(rows_only) == 4, (
         rows_only)
+
+
+def test_evidence_cap_survives_future_artifacts(tmp_path):
+    """Regression for the r8 self-invalidation: a synthetic FUTURE
+    artifact (r99, refreshing every key) must not change the capped
+    staleness computation the head test relies on."""
+    import json
+    import shutil
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    for f in sorted(repo.glob("CORRECTNESS_r*.json")):
+        shutil.copy(f, tmp_path / f.name)
+    before = _driver_evidence_round(tmp_path, cap=HEAD_BUILT_FROM_ROUND)
+    fresh = {k: {"rows_match": True, "schema_match": True,
+                 "hash_match": True, "err": None} for k in QUERIES}
+    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(fresh))
+    after = _driver_evidence_round(tmp_path, cap=HEAD_BUILT_FROM_ROUND)
+    assert before == after
+    # and the uncapped view DOES see the new round (the helper itself
+    # is not blind to fresh evidence — only the head test pins a cap)
+    assert set(_driver_evidence_round(tmp_path).values()) >= {99}
 
 
 def test_load_table_repins_utc_session_tz(spark):

@@ -363,18 +363,23 @@ def run_skew_panel(out_path: str, multipliers=(1, 10)) -> None:
 # under both postures so the trade is a measured number, not a claim.
 LINEAGE_PANEL = ["pagerank_parts", "community_lpa", "dedup_components",
                  "bpe_train_merges", "kcore_census", "graph_bfs_reach"]
+# the deep iterative loops whose RELIABLE write cost must also be
+# known at 2x the panel volume (r8 verdict item 4: does the
+# checkpoint tax grow with data, and when does it amortize?)
+LINEAGE_X20 = ["pagerank_parts", "community_lpa", "dedup_components",
+               "kcore_census"]
 
 
-def run_lineage_panel(out_path: str, mult: int = 10) -> None:
+def run_lineage_panel(out_path: str, mults: tuple = (10, 20)) -> None:
     from distributed_system_mapreduce_spark import lineage
     from distributed_system_mapreduce_spark.registry import QUERIES
     from distributed_system_mapreduce_spark.session import get_spark
 
-    d = build_corpus(mult)
+    dirs = {m: build_corpus(m) for m in mults}
     spark = get_spark("scaling-lineage")
     # warm codegen on the first panel member before timing anything
-    QUERIES[LINEAGE_PANEL[0]](spark, d).write.format("noop") \
-        .mode("overwrite").save()
+    QUERIES[LINEAGE_PANEL[0]](spark, dirs[mults[0]]) \
+        .write.format("noop").mode("overwrite").save()
 
     def drop_state() -> None:
         spark.catalog.clearCache()
@@ -383,35 +388,60 @@ def run_lineage_panel(out_path: str, mult: int = 10) -> None:
         while it.hasNext():
             it.next()._2().unpersist(True)
 
-    panel: dict = {"multiplier": mult, "queries": {}}
+    def timed(name: str, mode: str, d: str) -> float:
+        spark.conf.set(lineage.CONF_KEY, mode)
+        try:
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, d).write.format("noop") \
+                    .mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+                drop_state()
+            return round(best, 3)
+        finally:
+            spark.conf.set(lineage.CONF_KEY, "local")
+
+    base = mults[0]
+    panel: dict = {"multiplier": base, "multipliers": list(mults),
+                   "queries": {}}
     for name in LINEAGE_PANEL:
+        # base multiplier: all three postures (persist included — the
+        # deep-loop plan-growth evidence)
         row = {}
         for mode in ("local", "persist", "reliable"):
-            spark.conf.set(lineage.CONF_KEY, mode)
-            try:
-                best = None
-                for _ in range(2):
-                    t0 = time.perf_counter()
-                    QUERIES[name](spark, d).write.format("noop") \
-                        .mode("overwrite").save()
-                    dt = time.perf_counter() - t0
-                    best = dt if best is None else min(best, dt)
-                    drop_state()
-                row[f"t_{mode}"] = round(best, 3)
-            finally:
-                spark.conf.set(lineage.CONF_KEY, "local")
+            row[f"t_{mode}"] = timed(name, mode, dirs[base])
         for mode in ("persist", "reliable"):
             row[f"{mode}_over_local"] = round(
                 row[f"t_{mode}"] / row["t_local"], 3)
+        # larger multipliers: local vs reliable only (persist is
+        # already established as the wrong deep-loop posture; x20
+        # persist would burn ~10 min per query re-proving it)
+        for m in mults[1:]:
+            if name not in LINEAGE_X20:
+                continue
+            for mode in ("local", "reliable"):
+                row[f"t_{mode}_x{m}"] = timed(name, mode, dirs[m])
+            row[f"reliable_over_local_x{m}"] = round(
+                row[f"t_reliable_x{m}"] / row[f"t_local_x{m}"], 3)
         panel["queries"][name] = row
         print(f"{name}: {row}", flush=True)
     for mode in ("persist", "reliable"):
         rs = sorted(r[f"{mode}_over_local"]
                     for r in panel["queries"].values())
         panel[f"median_{mode}_over_local"] = rs[len(rs) // 2]
+    for m in mults[1:]:
+        rs = sorted(r[f"reliable_over_local_x{m}"]
+                    for r in panel["queries"].values()
+                    if f"reliable_over_local_x{m}" in r)
+        if rs:
+            panel[f"median_reliable_over_local_x{m}"] = rs[len(rs) // 2]
     panel["note"] = (
-        "three postures on the x10 corpus, one warm session, best-of-2,"
-        " caches cleared between runs. persist (lineage KEPT) is safe "
+        "three postures on the x10 corpus (one warm session, "
+        "best-of-2, caches cleared between runs), plus local-vs-"
+        "reliable on the x20 corpus for the four deep graph/CC loops. "
+        "persist (lineage KEPT) is safe "
         "recovery for shallow cuts but catastrophically wrong for deep "
         "iterative loops — round N's plan nests all prior rounds, so "
         "Catalyst analysis grows per round (kcore_census measured 35x "
@@ -421,7 +451,9 @@ def run_lineage_panel(out_path: str, mult: int = 10) -> None:
         "localCheckpoint is the reliable-storage write, which on this "
         "single box is local disk — on a cluster, point "
         "spark.graft.checkpointDir at HDFS/S3 and the tax is one "
-        "replicated write per cut.")
+        "replicated write per cut. The x10-vs-x20 reliable/local "
+        "ratios show whether that write tax grows with volume or "
+        "amortizes against the per-round compute.")
     doc = {}
     if os.path.exists(out_path):
         with open(out_path) as fh:
@@ -430,6 +462,33 @@ def run_lineage_panel(out_path: str, mult: int = 10) -> None:
     with open(out_path, "w") as fh:
         json.dump(doc, fh, indent=1, sort_keys=True)
     print(json.dumps({"lineage_panel": panel}), flush=True)
+
+
+def write_doc(out_path: str, multipliers, results: dict,
+              merge_queries: bool) -> None:
+    """Read-modify-write SCALING.json: EVERY write path preserves
+    foreign top-level panels (skew, lineage_posture, ...) — the r8
+    full-run write path dumped a fresh doc and destroyed both
+    measured panels (VERDICT r8 item 2)."""
+    doc = {}
+    if os.path.exists(out_path):
+        with open(out_path) as fh:
+            doc = json.load(fh)
+    if merge_queries:
+        # spot re-run: merge the fresh rows into the existing artifact.
+        # Stale rows predating per-row multipliers get stamped with the
+        # prior artifact's top-level list so the merge never mixes
+        # semantics silently (ADVICE r5).
+        prior = doc.get("queries", {})
+        prior_mult = doc.get("multipliers", list(MULTIPLIERS))
+        for r in prior.values():
+            r.setdefault("multipliers", list(prior_mult))
+        prior.update(results)
+        results = prior
+    doc.update({"base": BASE, "multipliers": list(multipliers),
+                "floor_sec": FLOOR_SEC, "queries": results})
+    with open(out_path, "w") as fh:
+        json.dump(doc, fh, indent=1, sort_keys=True)
 
 
 def main() -> None:
@@ -503,23 +562,7 @@ def main() -> None:
         results[name] = row
         print(f"{name}: {row}", flush=True)
 
-    if subset and os.path.exists(out_path):
-        # spot re-run: merge the fresh rows into the existing artifact.
-        # Stale rows predating per-row multipliers get stamped with the
-        # prior artifact's top-level list so the merge never mixes
-        # semantics silently (ADVICE r5).
-        with open(out_path) as fh:
-            prior_doc = json.load(fh)
-        prior = prior_doc.get("queries", {})
-        prior_mult = prior_doc.get("multipliers", list(MULTIPLIERS))
-        for r in prior.values():
-            r.setdefault("multipliers", list(prior_mult))
-        prior.update(results)
-        results = prior
-    with open(out_path, "w") as fh:
-        json.dump({"base": BASE, "multipliers": list(multipliers),
-                   "floor_sec": FLOOR_SEC, "queries": results},
-                  fh, indent=1, sort_keys=True)
+    write_doc(out_path, multipliers, results, merge_queries=bool(subset))
     bad = [n for n, r in results.items() if r.get("superlinear")]
     print(json.dumps({"scaling_ok": not bad, "superlinear": bad}))
 

@@ -90,8 +90,10 @@ def main():
               f"(lsh={S.lsh_params(n_emb)}, ivf={S.ivf_cells(n_emb)})")
         fails.append("ann-oracle-preflight")
     def _drop_cached() -> None:
-        # persist posture leaves caller-owned cache entries; drop them
-        # between queries so a 284-query gate run doesn't accumulate
+        # caller-owned cache entries (posture=persist, or operators'
+        # own persist= knobs) and reliable-mode checkpoint RDDs can
+        # accumulate over a full-registry run; drop them between
+        # queries — a no-op in the default local posture
         spark.catalog.clearCache()
         m = spark.sparkContext._jsc.sc().getPersistentRDDs()
         it = m.iterator()
@@ -105,8 +107,7 @@ def main():
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
-            if posture:
-                _drop_cached()
+            _drop_cached()
         except Exception as ex:
             fails.append(name)
             print(f"FAIL {name}: spark error {type(ex).__name__}: {ex}")

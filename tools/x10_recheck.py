@@ -1,0 +1,90 @@
+"""Reproduce-or-re-record for the bench x10 watchlist (r8 verdict
+item 5): queries whose bench-time x10 run exceeded their SCALING.json
+t10 record by >2x. Re-times each at x10 with THREE repeats in one warm
+session, records the median AND the spread, and updates the t10
+record in place (read-modify-write through scaling_curve.write_doc's
+discipline — foreign panels preserved) with a `recheck` note so the
+artifact says why the number moved.
+
+Usage: python tools/x10_recheck.py [out_json] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from scaling_curve import FLOOR_SEC, build_corpus  # noqa: E402
+
+DEFAULT_WATCHLIST = [
+    "filestore_bucketed_join", "filestore_snapshot_read",
+    "retrieval_pr_eval", "mr_wordcount", "lsh_bucket_balance",
+]
+REPEATS = 3
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    out_path = argv[0] if argv else os.path.join(REPO, "SCALING.json")
+    names = argv[1:] or DEFAULT_WATCHLIST
+
+    from distributed_system_mapreduce_spark.registry import QUERIES
+    from distributed_system_mapreduce_spark.session import get_spark
+
+    d = build_corpus(10)
+    spark = get_spark("x10-recheck")
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long").write.format("noop") \
+        .mode("overwrite").save()
+
+    def drop_persisted() -> None:
+        spark.catalog.clearCache()
+        m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it = m.iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(True)
+
+    with open(out_path) as fh:
+        doc = json.load(fh)
+    rows = doc.get("queries", {})
+    for name in names:
+        times = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, d).write.format("noop") \
+                .mode("overwrite").save()
+            times.append(round(time.perf_counter() - t0, 3))
+            drop_persisted()
+        med = round(statistics.median(times), 3)
+        row = rows.setdefault(name, {})
+        old_t10 = row.get("t10")
+        row["t10"] = med
+        if "t1" in row:
+            num = max(med - FLOOR_SEC, 0.001)
+            den = max(row["t1"] - FLOOR_SEC, 0.001)
+            row["ratio10"] = round(num / den, 2)
+        row["recheck"] = {
+            "reps": times,
+            "spread": round(max(times) - min(times), 3),
+            "prior_t10": old_t10,
+            "why": ("r8 bench x10 panel flagged >2x vs the t10 "
+                    "record; re-measured median-of-3 in a dedicated "
+                    "warm session (the record was best-of-2 from a "
+                    "different placement)"),
+        }
+        print(f"{name}: reps={times} median={med} prior_t10={old_t10}",
+              flush=True)
+    with open(out_path, "w") as fh:
+        json.dump(doc, fh, indent=1, sort_keys=True)
+    print("updated", out_path)
+
+
+if __name__ == "__main__":
+    main()
