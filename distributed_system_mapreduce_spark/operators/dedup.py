@@ -933,6 +933,71 @@ GROUP BY doc_id
 
 
 
+def dedup_components_incremental(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Incremental LABEL maintenance: dedup_incremental answers
+    "which corpus docs does today's delta collide with"; this op
+    completes the daily-ingest loop by producing the UPDATED
+    component labels without re-running connected components over
+    the whole corpus graph (the reference's re-run-the-job answer,
+    run_server.go:348, made delta-bounded the Spark way).
+
+    Algebra (exact, not approximate): split the verified near-dup
+    edge set into standing-standing edges and probe edges (any
+    endpoint in the delta, here doc_id % 10 == 0 like
+    dedup_incremental). Standing labels are CC over the standing
+    edges — at 100 TB these are YESTERDAY'S persisted output
+    (FileStore.write_keyed), recomputed here only because the gate
+    query is self-contained. Each probe edge then CONTRACTS its
+    standing endpoints to their component root (one join against the
+    label table), and CC runs only on the contracted probe graph —
+    bounded by the delta's candidate pairs, not the corpus. Because
+    every standing root is already the MIN doc_id of its component,
+    the contracted CC's min-label is exactly the merged component's
+    true min, so the final labels are bit-identical to a full
+    recompute — which is the oracle (DEDUP_COMPONENTS_SQL verbatim).
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc_a", "doc_b").transform(cut)
+
+    def in_delta(c: str):
+        return F.col(c) % 10 == 0
+
+    standing_edges = pairs.where(~in_delta("doc_a") & ~in_delta("doc_b"))
+    probe_edges = pairs.where(in_delta("doc_a") | in_delta("doc_b"))
+    standing = min_label_components(standing_edges).transform(cut)
+
+    la = standing.select(F.col("doc_id").alias("doc_a"),
+                         F.col("component").alias("root_a"))
+    lb = standing.select(F.col("doc_id").alias("doc_b"),
+                         F.col("component").alias("root_b"))
+    contracted = (
+        probe_edges
+        .join(F.broadcast(la), "doc_a", "left")
+        .join(F.broadcast(lb), "doc_b", "left")
+        .select(F.coalesce("root_a", F.col("doc_a")).alias("src"),
+                F.coalesce("root_b", F.col("doc_b")).alias("dst"))
+    )
+    merged = min_label_components(contracted).transform(cut)
+    # standing docs: root -> merged label if the root was touched
+    remap = merged.select(F.col("doc_id").alias("component"),
+                          F.col("component").alias("new_component"))
+    out_standing = (
+        standing.join(F.broadcast(remap), "component", "left")
+        .select("doc_id",
+                F.coalesce("new_component", F.col("component"))
+                .alias("component"))
+    )
+    # everything else in the contracted graph carries its OWN id:
+    # delta docs, and standing docs whose every edge is a probe edge
+    # (they never entered the standing CC, so contraction left them
+    # uncontracted). Standing ROOTS are the one overlap with
+    # out_standing — exclude them by anti-joining the root set.
+    roots = standing.select(F.col("component").alias("doc_id")).distinct()
+    out_new = merged.join(F.broadcast(roots), "doc_id", "left_anti")
+    return out_standing.unionByName(out_new)
+
+
 # ------------------------------------------------------- dedup_agreement
 def dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-family agreement census: which near-dup candidate pairs
@@ -1008,6 +1073,7 @@ GROUP BY 1
 
 QUERIES = {
     "dedup_incremental": dedup_incremental,
+    "dedup_components_incremental": dedup_components_incremental,
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1023,6 +1089,8 @@ QUERIES = {
 
 ORACLES = {
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
+    # the incremental path must be BIT-IDENTICAL to a full recompute
+    "dedup_components_incremental": DEDUP_COMPONENTS_SQL,
     "dedup_substring": DEDUP_SUBSTRING_SQL,
     "dedup_minhash_estimate": DEDUP_MINHASH_ESTIMATE_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,

@@ -514,6 +514,71 @@ GROUP BY user_id
 """
 
 
+def events_sessionize_incremental(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Incremental sessionization with boundary stitching — the batch
+    twin of the stateful streaming sessionizer's state handoff, and
+    the daily-ingest posture at 100 TB: yesterday's run leaves a
+    COMPACT per-user state row (session count, event count, last
+    event time); today's run windows ONLY today's partition and
+    stitches the boundary by seeding each user's first lag with the
+    state's last_ts — a session spanning midnight is not double
+    counted, a >30-min overnight gap still opens a new one.
+
+    The full-history rescan this avoids is the point: the window
+    below runs over the delta partition only, the state side is one
+    row per user. Exactness: n_sessions is the count of session
+    STARTS, and a start is decided by the gap to the immediately
+    preceding event — every gap inside standing or inside delta is
+    seen by the respective run, and the single cross-boundary gap is
+    seen via the seeded lag, so the sum is bit-identical to a full
+    sessionize — which is the oracle (EVENTS_SESSIONIZE_SQL
+    verbatim). The cutoff is a fixed date inside the corpus range;
+    on a real pipeline it is "yesterday"."""
+    ev = load_table(spark, "events", sf_dir)
+    boundary = F.lit("2024-01-24 00:00:00").cast("timestamp")
+    is_standing = F.col("ts").cast("timestamp") < boundary
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = ts_s - F.lag(ts_s).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    state = (
+        ev.where(is_standing)
+        .select("user_id", "ts", "event_id", new_sess.alias("new_sess"),
+                ts_s.alias("ts_s"))
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").cast("long").alias("n_sessions"),
+             F.count("*").alias("n_events"),
+             F.max("ts_s").alias("last_ts"))
+    )
+
+    delta = ev.where(~is_standing).join(
+        state.select("user_id", "last_ts"), "user_id", "left")
+    # seed the first lag with the state's last event time: the one
+    # cross-boundary gap the split would otherwise lose
+    prev = F.coalesce(F.lag(ts_s).over(w), F.col("last_ts"))
+    d_new = F.when(prev.isNull() | (ts_s - prev > 1800), 1).otherwise(0)
+    d_agg = (
+        delta.select("user_id", d_new.alias("new_sess"))
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").cast("long").alias("d_sessions"),
+             F.count("*").alias("d_events"))
+    )
+    return (
+        state.join(d_agg, "user_id", "full")
+        .select(
+            "user_id",
+            (F.coalesce("n_sessions", F.lit(0))
+             + F.coalesce("d_sessions", F.lit(0)))
+            .cast("long").alias("n_sessions"),
+            (F.coalesce("n_events", F.lit(0))
+             + F.coalesce("d_events", F.lit(0)))
+            .cast("long").alias("n_events"),
+        )
+    )
+
+
 def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct per group; at 100 TB swap COUNT(DISTINCT) for
     approx_count_distinct (HLL) — kept exact here for the oracle."""
@@ -571,6 +636,7 @@ QUERIES = {
     "events_daily_rollup": events_daily_rollup,
     "events_running_total": events_running_total,
     "events_sessionize": events_sessionize,
+    "events_sessionize_incremental": events_sessionize_incremental,
     "distinct_users_by_type": distinct_users_by_type,
     "events_pivot": events_pivot,
     "events_anomaly": events_anomaly,
@@ -588,6 +654,8 @@ ORACLES = {
     "events_daily_rollup": EVENTS_DAILY_SQL,
     "events_running_total": EVENTS_RUNNING_SQL,
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
+    # the incremental path must be BIT-IDENTICAL to a full sessionize
+    "events_sessionize_incremental": EVENTS_SESSIONIZE_SQL,
     "distinct_users_by_type": DISTINCT_USERS_SQL,
     "events_pivot": EVENTS_PIVOT_SQL,
 }

@@ -199,34 +199,43 @@ def events_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# DuckDB 1.0 list_reduce takes no initial accumulator (the first list
-# element seeds it), so the fold state must inhabit the ELEMENT struct
-# type: the accumulator reuses field `us` as the kept-count and field
-# `event_id` as the last-kept timestamp, seeded by a prepended
-# {us: 0, event_id: sentinel} element. Field order (us, event_id)
-# makes the count expression read only the not-yet-updated
-# acc.event_id — correct under DuckDB's sequential-mutation fold AND
-# Spark's snapshot fold (the CUSUM rule).
+# The oracle replays the fold as a RECURSIVE CTE walking each user's
+# (rn)-numbered event sequence — NOT list_reduce. The original
+# list_reduce-over-grouped-lists formulation is WRONG in DuckDB
+# 1.0.0 at scale: with many groups in one hash aggregate, a long
+# list's fold returns a different (under-counted) result than the
+# identical list folded alone — minimal repro: sf0.1 user 567's
+# 73-element list folds to 72 with `WHERE user_id = 567`, 60 inside
+# the full GROUP BY; deterministic, threads=1 identical, and a
+# literal-list reduce of the same values is correct. Caught by the
+# full-registry sf0.1 gate (sf0.01's shorter lists never tripped
+# it). The recursive walk matches the pure-Python reference fold at
+# all three SFs, user for user.
 EVENTS_THROTTLE_SQL = f"""
-SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(list_reduce(
-         list_prepend(
-           {{'us': CAST(0 AS BIGINT),
-             'event_id': CAST({_NEG_SENTINEL} AS BIGINT)}},
-           list({{'us': us, 'event_id': event_id}}
-                ORDER BY us, event_id)),
-         (acc, x) -> {{
-           'us': acc.us
-             + (CASE WHEN x.us - acc.event_id
-                          >= {THROTTLE_GAP_S * 1_000_000}
+WITH RECURSIVE ev AS (
+  SELECT user_id, us,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, event_id)
+           AS rn
+  FROM (SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS us
+        FROM events)
+),
+walk(user_id, rn, n, last) AS (
+  SELECT user_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         CAST({_NEG_SENTINEL} AS BIGINT)
+  FROM (SELECT DISTINCT user_id FROM ev)
+  UNION ALL
+  SELECT e.user_id, w.rn + 1,
+         w.n + (CASE WHEN e.us - w.last >= {THROTTLE_GAP_S * 1_000_000}
                 THEN 1 ELSE 0 END),
-           'event_id': CASE WHEN x.us - acc.event_id
-                                 >= {THROTTLE_GAP_S * 1_000_000}
-                       THEN x.us ELSE acc.event_id END}}
-       ).us AS BIGINT) AS n_kept
-FROM (SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS us
-      FROM events)
-GROUP BY user_id
+         CASE WHEN e.us - w.last >= {THROTTLE_GAP_S * 1_000_000}
+              THEN e.us ELSE w.last END
+  FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+)
+SELECT w.user_id, c.n_events, CAST(w.n AS BIGINT) AS n_kept
+FROM walk w
+JOIN (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             MAX(rn) AS max_rn FROM ev GROUP BY user_id) c
+  ON c.user_id = w.user_id AND w.rn = c.max_rn
 """
 
 

@@ -112,6 +112,11 @@ if _extra:
 # sketch keys stay dead last (they must never occupy a hash-gate
 # slot).
 _PRIORITY = [
+    # NEW this round (first driver evidence needed): the two
+    # incremental-maintenance ops — delta-bounded CC label upkeep and
+    # boundary-stitched sessionization, both oracled against their
+    # full-recompute twins' SQL
+    "dedup_components_incremental", "events_sessionize_incremental",
     "filestore_keyed_merge", "bpe_compression_curve", "q15_top_supplier",
     "q17_small_qty_revenue", "q18_large_orders", "vote_round1",
     "repetition_score", "ngram_counts", "contamination_check", "domain_mix",

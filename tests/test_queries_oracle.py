@@ -97,27 +97,31 @@ def _driver_evidence_round(artifact_dir=None, cap: int = 99):
 
 def test_registry_prefix_is_oracle_dense():
     """The driver's correctness gate covers a ~50-entry prefix of the
-    registry. The r9 head leads with the two contracts changed this
-    round (the truncating merge barrier in filestore_keyed_merge, the
+    registry. The r9 head leads with the two NEW incremental ops
+    (first driver evidence) and the two contracts changed this round
+    (the truncating merge barrier in filestore_keyed_merge, the
     degenerate-corpus padding in bpe_compression_curve), then ALL 24
     keys whose last driver green was r02, then the oldest r03 block
     to fill the budget. Staleness is derived from the artifacts AS OF
     the round the head was built (HEAD_BUILT_FROM_ROUND) so the gate's
     own future output cannot invalidate the assertion."""
     ks = list(QUERIES)
-    assert ks[:2] == ["filestore_keyed_merge", "bpe_compression_curve"]
+    lead = ["dedup_components_incremental", "events_sessionize_incremental",
+            "filestore_keyed_merge", "bpe_compression_curve"]
+    assert ks[:len(lead)] == lead
     assert all(k in ORACLES for k in ks[:50]), [
         k for k in ks[:50] if k not in ORACLES]
     latest = _driver_evidence_round(cap=HEAD_BUILT_FROM_ROUND)
     # ALL r02-evidence keys (as of r8 there were 24 — the r8 verdict's
-    # full rotation list) occupy slots 2..26
+    # full rotation list) occupy the slots right after the lead
     r02 = {k for k in ks if latest.get(k) == 2}
-    assert set(ks[2:2 + len(r02)]) == r02 and len(r02) == 24, (
-        sorted(r02 ^ set(ks[2:2 + len(r02)])))
+    n = len(lead)
+    assert set(ks[n:n + len(r02)]) == r02 and len(r02) == 24, (
+        sorted(r02 ^ set(ks[n:n + len(r02)])))
     # the rest of the head and the overflow continue oldest-first:
     # nothing outside the head may be staler than anything inside it
-    # (excluding the two contract-led slots)
-    head_max = max(latest.get(k, 0) for k in ks[2:50])
+    # (excluding the contract/new lead slots)
+    head_max = max(latest.get(k, 0) for k in ks[n:50])
     rest_min = min(latest.get(k, 99) for k in ks[50:]
                    if k in ORACLES)
     assert head_max <= rest_min, (head_max, rest_min)

@@ -11,6 +11,13 @@ import sys
 sys.path.insert(0, ".")
 
 SHOWCASE = [
+    ("dedup_components_incremental",
+     "delta-bounded CC: probe edges contract through broadcast "
+     "standing labels; the iterative loop sees only the contracted "
+     "graph"),
+    ("events_sessionize_incremental",
+     "boundary stitch: one window per partition side, state side "
+     "reduced to a per-user aggregate before the join"),
     ("label_centroid_margin",
      "quantized-centroid broadcast + per-vec assignment window "
      "(never global)"),

@@ -91,6 +91,11 @@ QUERIES_UNDER_TEST = [
     # new posexplode + broadcast-centroid + per-vec-window shape)
     "bpe_compression_curve", "label_centroid_margin",
     "embedding_cov_topk",
+    # round-9 additions: the incremental-maintenance pair — CC label
+    # upkeep (contraction join + CC on the delta graph only) and
+    # boundary-stitched sessionization (two windows, never one over
+    # the union) — the shapes whose scaling IS their reason to exist
+    "dedup_components_incremental", "events_sessionize_incremental",
 ]
 
 # Queries whose RESULT grows faster than the input under this corpus
