@@ -16,10 +16,13 @@ Three postures exist and they trade differently at scale:
   of failing the query. Right for SHALLOW cuts (a bounded rollup read
   by several consumers). WRONG for deep iterative loops: because the
   lineage survives, round N's logical plan nests all N-1 previous
-  rounds — Catalyst analysis cost grows per round and the
-  SCALING.json ``lineage_posture`` panel measured kcore_census 35x
-  slower under persist at 10x volume (223s vs 6.4s) from exactly this
-  plan growth. Cache lifetime belongs to the session
+  rounds — Catalyst analysis cost grows per round; the r8
+  pre-``deep``-routing measurement had kcore_census 35x slower under
+  persist at 10x volume (223s vs 6.4s) from exactly this plan growth
+  (preserved in git history; the current SCALING.json
+  ``lineage_posture`` panel measures the engine WITH the deep routing
+  below, where the catastrophe is gone — median persist/local 1.09).
+  Cache lifetime belongs to the session
   (``spark.catalog.clearCache()`` / ``unpersist`` when done).
 * ``reliable`` — ``DataFrame.checkpoint()`` into the session's
   checkpoint directory: TRUNCATES lineage (constant-size plans, the
@@ -111,10 +114,9 @@ def cut(df: DataFrame, eager: bool = True, mode: str | None = None,
     frontiers, BPE merge rounds). In ``persist`` posture these route
     to ``reliable`` instead: persist keeps lineage, so round N's plan
     nests all prior rounds and Catalyst analysis grows per round —
-    the SCALING.json lineage_posture panel measured kcore_census 35x
-    slower under persist from exactly this; reliable keeps both the
-    constant plan size and the loss-survivability the cluster posture
-    wants.
+    the r8 pre-routing measurement had kcore_census 35x slower under
+    persist from exactly this; reliable keeps both the constant plan
+    size and the loss-survivability the cluster posture wants.
     """
     if mode is not None and mode not in _VALID:
         raise ValueError(f"mode must be one of {_VALID}, got {mode!r}")

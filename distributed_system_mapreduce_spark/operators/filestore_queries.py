@@ -454,7 +454,49 @@ GROUP BY 1
 """
 
 
+def filestore_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED standing dedup index, certified end-to-end: the
+    corpus's LSH band table is written through FileStore.write_keyed
+    (hash-bucketed on the band signature — the layout
+    dedup_incremental's docstring promises for the daily-ingest
+    posture) and the day's delta probes the READ-BACK index with the
+    same (band, sig) equi-join. The oracle is dedup_incremental's SQL
+    unchanged, so a hash match proves the index roundtrip is lossless
+    AND the persisted-probe path answers identically to the in-memory
+    one.
+
+    Scale: the index is written once and amortized across ingest
+    days; bucketing on sig means a delta probe opens only the buckets
+    its own signatures hash to — delta-bounded I/O on a corpus-sized
+    index."""
+    from distributed_system_mapreduce_spark.operators.dedup import _bands
+
+    fs = _store(spark, sf_dir)
+    name = "fs_demo_lsh_index"
+    fs.delete(name)
+    bands = _bands(spark, sf_dir)
+    fs.write_keyed(bands.where(F.col("doc_id") % 10 != 0), name,
+                   "sig", n_buckets=32)
+    idx = fs.read(name).select("doc_id", "band", "sig").alias("i")
+    newb = bands.where(F.col("doc_id") % 10 == 0).alias("n")
+    cand = (
+        newb.join(idx, ["band", "sig"])
+        .select(F.col("n.doc_id").alias("doc_id"),
+                F.col("i.doc_id").alias("match_id"))
+        .distinct()
+    )
+    return cand.groupBy("doc_id").agg(
+        F.count("*").alias("n_matches"),
+        F.min("match_id").alias("best_match"),
+    )
+
+
+from distributed_system_mapreduce_spark.operators.dedup import (  # noqa: E402,E501
+    DEDUP_INCREMENTAL_SQL as FILESTORE_LSH_PROBE_SQL,
+)
+
 QUERIES = {
+    "filestore_lsh_probe": filestore_lsh_probe,
     "filestore_bucketed_join": filestore_bucketed_join,
     "filestore_snapshot_read": filestore_snapshot_read,
     "filestore_keyed_merge": filestore_keyed_merge,
@@ -465,6 +507,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    # the persisted-index probe must answer exactly like the
+    # in-memory probe (dedup_incremental's oracle, unchanged)
+    "filestore_lsh_probe": FILESTORE_LSH_PROBE_SQL,
     "filestore_bucketed_join": FILESTORE_BUCKETED_JOIN_SQL,
     "filestore_snapshot_read": FILESTORE_SNAPSHOT_READ_SQL,
     "filestore_keyed_merge": FILESTORE_KEYED_MERGE_SQL,

@@ -542,8 +542,51 @@ from distributed_system_mapreduce_spark.operators.relational import (  # noqa: E
     EVENTS_SESSIONIZE_SQL as STREAM_SESSIONIZE_SQL,
 )
 
+
+# ------------------------------------------------ stream_throttle
+def stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful RATE-LIMIT kernel (applyInPandasWithState,
+    streaming/jobs._throttle_fn) promoted into the oracle gate, the
+    stream_sessionize pattern: drain the update-mode stream on the
+    finite feed, keep each user's LAST update (counters only grow),
+    and hash-match the batch events_throttle's oracle — the
+    recursive-CTE fold replay — proving the stateful keep-ledger
+    reproduces the sequential keep semantics exactly, per user.
+
+    Scale: state is 3 longs per active user; output is one update row
+    per (user, trigger)."""
+    from pyspark.sql import Window
+
+    from distributed_system_mapreduce_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+        throttle_stream,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    name = f"sq_thr_{next(_DRAIN_SEQ)}"
+    run_stream_to_memory(throttle_stream(ev), name, output_mode="update")
+    t = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("n_events"), F.desc("n_kept"))
+    return (
+        t.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+        )
+    )
+
+
+from distributed_system_mapreduce_spark.operators.relational_ext15 import (  # noqa: E402,E501
+    EVENTS_THROTTLE_SQL as STREAM_THROTTLE_SQL,
+)
+
 QUERIES = {
     "stream_sessionize": stream_sessionize,
+    "stream_throttle": stream_throttle,
     "stream_windowed_rollup": stream_windowed_rollup,
     "stream_topk_users_daily": stream_topk_users_daily,
     "stream_enriched_rollup": stream_enriched_rollup,
@@ -556,6 +599,7 @@ QUERIES = {
 
 ORACLES = {
     "stream_sessionize": STREAM_SESSIONIZE_SQL,
+    "stream_throttle": STREAM_THROTTLE_SQL,
     "stream_windowed_rollup": STREAM_WINDOWED_ROLLUP_SQL,
     "stream_topk_users_daily": STREAM_TOPK_USERS_DAILY_SQL,
     "stream_enriched_rollup": STREAM_ENRICHED_ROLLUP_SQL,

@@ -94,8 +94,11 @@ QUERIES_UNDER_TEST = [
     # round-9 additions: the incremental-maintenance pair — CC label
     # upkeep (contraction join + CC on the delta graph only) and
     # boundary-stitched sessionization (two windows, never one over
-    # the union) — the shapes whose scaling IS their reason to exist
+    # the union) — the shapes whose scaling IS their reason to exist;
+    # plus the persisted-LSH-index write+probe roundtrip (write-
+    # dominated like the other filestore rows)
     "dedup_components_incremental", "events_sessionize_incremental",
+    "filestore_lsh_probe",
 ]
 
 # Queries whose RESULT grows faster than the input under this corpus
