@@ -350,8 +350,116 @@ GROUP BY touch_type
 """
 
 
+# --------------------------------------------------- scd2_rate_join
+# SCD-2 (slowly-changing-dimension type 2) as-of join: every order is
+# priced under the nation "rate" version valid AT ITS ORDER DATE. The
+# version table is synthesized deterministically (both engines build
+# the identical table, so the oracle is independent end-to-end):
+# for nation k and month index m (months since _SCD2_BASE, covering
+# the order date range), a version exists at m = 0 (every nation
+# rated from day one) and at every m where (k + m) % 5 == 0 — sparse
+# IRREGULAR validity windows, so the match is a true as-of, not a
+# month equi-join. rate_cents = (k*7 + m*3) % 10 + 5 (integer cents,
+# exact in both engines).
+_SCD2_BASE = "1995-01-01"
+_SCD2_MONTHS = 80  # covers o_orderdate 1995-01 .. 2001-08
+
+
+def scd2_rate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders priced under their as-of dimension version, rolled up
+    per nation: (nation, n_orders, taxed_revenue) where taxed_revenue
+    = SUM(o_totalprice * rate) under the version valid at
+    o_orderdate.
+
+    Scale shape: the as-of is BUCKETIZED — the sparse version table
+    (O(nations x months), driver-free) is fill-forwarded onto the
+    dense month grid with one tiny window, and the fact side then
+    equi-joins on (nationkey, month) against the broadcast grid: one
+    hash join probe per order, no range join, no fact-side window.
+    The DuckDB oracle is the independent formulation — a native ASOF
+    JOIN against the SPARSE version table. Exactness: integer
+    rate_cents times DECIMAL(18,2) totalprice, one DOUBLE cast at
+    output."""
+    nations = F.broadcast(load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").cast("int").alias("nationkey"), "n_name"))
+    grid = (
+        spark.range(25).select(F.col("id").cast("int").alias("nationkey"))
+        .crossJoin(spark.range(_SCD2_MONTHS)
+                   .select(F.col("id").cast("int").alias("m")))
+    )
+    rate = ((F.col("nationkey") * 7 + F.col("m") * 3) % 10 + 5) \
+        .cast("int")
+    versions = grid.where(
+        (F.col("m") == 0) | ((F.col("nationkey") + F.col("m")) % 5 == 0)
+    ).select("nationkey", "m", rate.alias("rate_cents"))
+    # fill-forward the sparse versions onto the dense month grid
+    # (O(nations x months) rows — a broadcastable dimension)
+    w = (
+        Window.partitionBy("nationkey").orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = F.broadcast(
+        grid.join(versions, ["nationkey", "m"], "left")
+        .select("nationkey", "m",
+                F.last("rate_cents", ignorenulls=True).over(w)
+                .alias("rate_cents"))
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_totalprice",
+        ((F.year("o_orderdate") - 1995) * 12
+         + F.month("o_orderdate") - 1).cast("int").alias("m"),
+    )
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").cast("int").alias("nationkey"))
+    return (
+        orders.join(cust, "o_custkey")
+        .join(filled, ["nationkey", "m"])
+        .join(nations, "nationkey")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")
+                   * F.col("rate_cents")).cast("double") / 100.0)
+            .alias("taxed_revenue"),
+        )
+    )
+
+
+SCD2_RATE_JOIN_SQL = f"""
+WITH grid AS (
+  SELECT n.n_nationkey AS nationkey, g.m
+  FROM nation n,
+       (SELECT UNNEST(range({_SCD2_MONTHS})) AS m) g
+),
+versions AS (
+  SELECT nationkey, m,
+         (nationkey * 7 + m * 3) % 10 + 5 AS rate_cents
+  FROM grid
+  WHERE m = 0 OR (nationkey + m) % 5 = 0
+),
+o AS (
+  SELECT c.c_nationkey AS nationkey,
+         (year(o.o_orderdate) - 1995) * 12
+           + month(o.o_orderdate) - 1 AS m,
+         o.o_totalprice
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * v.rate_cents)
+            AS DOUBLE) / 100.0 AS taxed_revenue
+FROM o
+ASOF JOIN versions v
+  ON o.nationkey = v.nationkey AND o.m >= v.m
+JOIN nation n ON n.n_nationkey = o.nationkey
+GROUP BY n.n_name
+"""
+
+
 QUERIES = {
     "events_asof_order": events_asof_order,
+    "scd2_rate_join": scd2_rate_join,
     "purchase_attribution": purchase_attribution,
     "abandoned_views": abandoned_views,
     "attribution_credit": attribution_credit,
@@ -359,6 +467,7 @@ QUERIES = {
 
 ORACLES = {
     "events_asof_order": EVENTS_ASOF_ORDER_SQL,
+    "scd2_rate_join": SCD2_RATE_JOIN_SQL,
     "purchase_attribution": PURCHASE_ATTRIBUTION_SQL,
     "abandoned_views": ABANDONED_VIEWS_SQL,
     "attribution_credit": ATTRIBUTION_CREDIT_SQL,

@@ -114,6 +114,77 @@ WHERE rank <= {TOP_K}
 """
 
 
+def ann_topk_same_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: each panel query retrieves its exact
+    cosine top-k only among vectors sharing its label — the
+    metadata-scoped retrieval every production vector store serves
+    (tenant / language / shard scoping, dedup within a split).
+
+    Scale shape: the metadata predicate becomes the JOIN KEY — the
+    64 x N nested loop of the unfiltered baseline turns into a hash
+    equi-join on label, so each query scores corpus/L candidates
+    instead of corpus (pre-filtering, not post-filter-and-hope, which
+    at high selectivity starves top-k below k). The same predicate
+    composes with the IVF cell join for the sublinear path. Exact
+    integer-free double cosines in fixed per-row fold order, same
+    determinism argument as ann_topk_brute."""
+    from pyspark.sql import Window
+
+    emb = spread(load_table(spark, "embeddings", sf_dir))
+    vecs = emb.select(
+        "vec_id", "label", "embedding",
+        F.expr(V.norm_expr("embedding")).alias("norm"),
+    )
+    q = F.broadcast(
+        vecs.filter(
+            (F.col("vec_id") % QUERY_MOD == 0)
+            & (F.col("vec_id") < QUERY_MOD * PANEL_SIZE)
+        )
+    ).alias("a")
+    c = vecs.alias("b")
+    pairs = (
+        q.join(c, (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.vec_id") != F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("a.label").alias("label"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            _cos_spark().alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+_NORM_LABEL_SQL = f"""
+  SELECT vec_id, label, embedding, {V.norm_sql("embedding")} AS norm
+  FROM embeddings
+"""
+
+ANN_TOPK_SAME_LABEL_SQL = f"""
+SELECT query_id, label, neighbor_id, cosine, rank FROM (
+  SELECT query_id, label, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM (
+    SELECT a.vec_id AS query_id, a.label AS label,
+           b.vec_id AS neighbor_id,
+           {_COS_SQL} AS cosine
+    FROM ({_NORM_LABEL_SQL}) a
+    JOIN ({_NORM_LABEL_SQL}) b
+      ON a.label = b.label AND a.vec_id <> b.vec_id
+    WHERE a.vec_id % {QUERY_MOD} = 0
+      AND a.vec_id < {QUERY_MOD} * {PANEL_SIZE}
+  )
+)
+WHERE rank <= {TOP_K}
+"""
+
+
 def _with_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _with_norm(spark, sf_dir)
     return vecs.withColumn(
@@ -826,6 +897,7 @@ ANN_INCREMENTAL_SQL = ANN_INCREMENTAL_SQL.format(bands=_bands_union_sql())
 QUERIES = {
     "ann_incremental": ann_incremental,
     "ann_topk_brute": ann_topk_brute,
+    "ann_topk_same_label": ann_topk_same_label,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
     "dedup_embedding": dedup_embedding,
@@ -836,6 +908,7 @@ QUERIES = {
 
 ORACLES = {
     "ann_topk_brute": ANN_TOPK_BRUTE_SQL,
+    "ann_topk_same_label": ANN_TOPK_SAME_LABEL_SQL,
     "ann_topk_lsh": ANN_TOPK_LSH_SQL,
     "ann_topk_ivf": ANN_TOPK_IVF_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,

@@ -117,7 +117,8 @@ _PRIORITY = [
     # boundary-stitched sessionization, both oracled against their
     # full-recompute twins' SQL
     "dedup_components_incremental", "events_sessionize_incremental",
-    "stream_throttle", "filestore_lsh_probe",
+    "stream_throttle", "filestore_lsh_probe", "scd2_rate_join",
+    "ann_topk_same_label",
     "filestore_keyed_merge", "bpe_compression_curve", "q15_top_supplier",
     "q17_small_qty_revenue", "q18_large_orders", "vote_round1",
     "repetition_score", "ngram_counts", "contamination_check", "domain_mix",

@@ -107,7 +107,8 @@ def test_registry_prefix_is_oracle_dense():
     own future output cannot invalidate the assertion."""
     ks = list(QUERIES)
     lead = ["dedup_components_incremental", "events_sessionize_incremental",
-            "stream_throttle", "filestore_lsh_probe",
+            "stream_throttle", "filestore_lsh_probe", "scd2_rate_join",
+            "ann_topk_same_label",
             "filestore_keyed_merge", "bpe_compression_curve"]
     assert ks[:len(lead)] == lead
     assert all(k in ORACLES for k in ks[:50]), [
