@@ -11,6 +11,12 @@ import sys
 sys.path.insert(0, ".")
 
 SHOWCASE = [
+    ("scd2_rate_join",
+     "SCD-2 as-of bucketized: broadcast fill-forward grid, fact side "
+     "pays broadcast hash joins only, one agg exchange"),
+    ("ann_topk_same_label",
+     "filtered vector search: label as join key + WindowGroupLimit "
+     "partial top-k before the exchange"),
     ("dedup_components_incremental",
      "delta-bounded CC: probe edges contract through broadcast "
      "standing labels; the iterative loop sees only the contracted "

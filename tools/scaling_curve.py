@@ -99,6 +99,10 @@ QUERIES_UNDER_TEST = [
     # dominated like the other filestore rows)
     "dedup_components_incremental", "events_sessionize_incremental",
     "filestore_lsh_probe",
+    # the SCD-2 bucketized as-of (fact side must stay one broadcast
+    # probe per order) and the label-scoped exact ANN (per-label
+    # candidate sets grow linearly with the corpus)
+    "scd2_rate_join", "ann_topk_same_label",
 ]
 
 # Queries whose RESULT grows faster than the input under this corpus
