@@ -98,24 +98,29 @@ if _extra:
 # correctness gate) iterate queries() in. The gate budget covers a
 # prefix of the list (~50 entries per round), so order by evidence
 # value. Cumulative driver coverage r1-r8 = 286/286 (all 50 r8 head
-# keys green in CORRECTNESS_r08.json). The r9 head leads with this
-# round's two changed contracts — filestore_keyed_merge (the merge
-# barrier now pins a TRUNCATING lineage cut before its self-overwrite
-# publish; ADVICE r8 high) and bpe_compression_curve (degenerate-
-# corpus round padding now matches the SQL twin's no-op rounds;
-# ADVICE r8 low) — then rotates the STALEST driver evidence forward:
+# keys green in CORRECTNESS_r08.json). The r9 head leads with the six
+# r9-new/changed contracts: the six NEW operators (incremental CC
+# labels, incremental sessionize, the stateful stream throttle, the
+# persisted LSH-index probe, the SCD-2 as-of join, the label-scoped
+# ANN — each needing first driver evidence) and the two changed
+# contracts — filestore_keyed_merge (the merge barrier now pins a
+# TRUNCATING lineage cut before its self-overwrite publish; ADVICE r8
+# high) and bpe_compression_curve (degenerate-corpus round padding
+# now matches the SQL twin's no-op rounds; ADVICE r8 low) — then
+# rotates the STALEST driver evidence forward:
 # ALL 24 keys whose last driver-side hash-green is CORRECTNESS_r02
-# (the full list the r8 verdict asked to clear), then the 24 oldest
+# (the full list the r8 verdict asked to clear), then the oldest 18
 # r03 keys to fill the 50-slot budget. Positions 51+ continue
 # oldest-evidence-first (the remaining r03 block, then r04, ...) so
 # the r10 budget reaches the next-stalest block; the 4 rows-only
 # sketch keys stay dead last (they must never occupy a hash-gate
 # slot).
 _PRIORITY = [
-    # NEW this round (first driver evidence needed): the two
-    # incremental-maintenance ops — delta-bounded CC label upkeep and
-    # boundary-stitched sessionization, both oracled against their
-    # full-recompute twins' SQL
+    # NEW this round (first driver evidence needed): incremental
+    # maintenance (CC labels, sessionize), the stateful stream
+    # throttle, the persisted-index probe, the SCD-2 as-of join, and
+    # the label-scoped ANN — each oracled against a full-recompute or
+    # independent SQL twin
     "dedup_components_incremental", "events_sessionize_incremental",
     "stream_throttle", "filestore_lsh_probe", "scd2_rate_join",
     "ann_topk_same_label",
