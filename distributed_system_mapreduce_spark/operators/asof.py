@@ -404,10 +404,19 @@ def scd2_rate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.last("rate_cents", ignorenulls=True).over(w)
                 .alias("rate_cents"))
     )
+    # fact-side month index, CLAMPED to the grid top: an order dated
+    # past the last grid month must still price under the latest
+    # version (exactly what the oracle's unbounded ASOF gives, since
+    # no version exists above the grid) instead of silently dropping
+    # out of the equi-join. Pre-grid orders (m < 0) match nothing in
+    # BOTH engines (no version is valid before m = 0) — consistent.
     orders = load_table(spark, "orders", sf_dir).select(
         "o_custkey", "o_totalprice",
-        ((F.year("o_orderdate") - 1995) * 12
-         + F.month("o_orderdate") - 1).cast("int").alias("m"),
+        F.least(
+            ((F.year("o_orderdate") - 1995) * 12
+             + F.month("o_orderdate") - 1).cast("int"),
+            F.lit(_SCD2_MONTHS - 1),
+        ).alias("m"),
     )
     cust = load_table(spark, "customer", sf_dir).select(
         F.col("c_custkey").alias("o_custkey"),

@@ -190,73 +190,6 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
     )
 
 
-_THROTTLE_OUT = StructType([
-    StructField("user_id", LongType()),
-    StructField("n_events", LongType()),
-    StructField("n_kept", LongType()),
-])
-
-_THROTTLE_STATE = StructType([
-    StructField("n_events", LongType()),
-    StructField("n_kept", LongType()),
-    StructField("last_kept_us", LongType()),
-])
-
-# parity pin: the batch twin's rate-limit window (relational_ext15
-# THROTTLE_GAP_S) — imported there to keep one source of truth
-from distributed_system_mapreduce_spark.operators.relational_ext15 import (  # noqa: E402,E501
-    THROTTLE_GAP_S,
-)
-
-
-def _throttle_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Custom stateful operator: per-user rate-limit ledger — keep an
-    event only if it lands >= THROTTLE_GAP_S after the last KEPT one
-    (the keep decision depends on prior keeps, so no window function
-    expresses it; the streaming twin of events_throttle). State =
-    (n_events, n_kept, last_kept_us): three longs per active user.
-    Rows are sorted (ts, event_id) across the whole group's batch
-    before the fold — the batch twin's exact tie-break."""
-    gap_us = THROTTLE_GAP_S * 1_000_000
-    if state.exists:
-        n_events, n_kept, last_us = state.get
-    else:
-        n_events, n_kept, last_us = 0, 0, None
-    chunks = [pdf for pdf in pdfs if len(pdf)]
-    if chunks:
-        allpdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
-        allpdf = allpdf.sort_values(["ts", "event_id"])
-        for ts in allpdf["ts"]:
-            us = int(ts.value // 1000)
-            if last_us is None or us - last_us >= gap_us:
-                n_kept += 1
-                last_us = us
-            n_events += 1
-    state.update((n_events, n_kept, last_us))
-    yield pd.DataFrame({
-        "user_id": [key[0]],
-        "n_events": [n_events],
-        "n_kept": [n_kept],
-    })
-
-
-def throttle_stream(events: DataFrame) -> DataFrame:
-    """applyInPandasWithState rate limiter — the streaming twin of
-    events_throttle (same >= gap-after-last-kept rule)."""
-    return (
-        events.groupBy("user_id")
-        .applyInPandasWithState(
-            _throttle_fn,
-            outputStructType=_THROTTLE_OUT,
-            stateStructType=_THROTTLE_STATE,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
-    )
-
-
 _CLOSED_OUT = StructType([
     StructField("user_id", LongType()),
     StructField("session_start", TimestampType()),
@@ -1066,7 +999,15 @@ def cdc_stream_to_filestore(events: DataFrame, fs, name: str,
 
 
 # ------------------------------------------------------- throttle_stream
-THROTTLE_GAP_S = 60
+# parity pin: the gap is the BATCH twin's constant
+# (operators/relational_ext15.THROTTLE_GAP_S), imported so the oracle
+# SQL and this stateful fold can never drift apart — the r9 review
+# caught a local `THROTTLE_GAP_S = 60` rebinding that would have let
+# a batch-side constant change break the stream_throttle hash gate
+# with no local edit here
+from distributed_system_mapreduce_spark.operators.relational_ext15 import (  # noqa: E402,E501
+    THROTTLE_GAP_S,
+)
 
 _THROTTLE_OUT = StructType([
     StructField("user_id", LongType()),

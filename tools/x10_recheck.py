@@ -70,6 +70,10 @@ def main() -> None:
             num = max(med - FLOOR_SEC, 0.001)
             den = max(row["t1"] - FLOOR_SEC, 0.001)
             row["ratio10"] = round(num / den, 2)
+            # keep the row self-consistent: the verdict flag must
+            # track the ratio it sits next to (scaling_curve's
+            # top-multiplier rule, top = 10 here)
+            row["superlinear"] = row["ratio10"] > 10 * 1.8
         row["recheck"] = {
             "reps": times,
             "spread": round(max(times) - min(times), 3),
