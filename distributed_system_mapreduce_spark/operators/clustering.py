@@ -56,31 +56,12 @@ def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_embed(spark: SparkSession, sf_dir: str,
-                 persist: bool = False) -> DataFrame:
-    """KMEANS_ITERS rounds of Lloyd's over embeddings, deterministic
-    init (codewords = the K lowest vec_ids, like the IVF sample
-    codebook). Returns the final assignment (vec_id, cluster, dist2)
-    with per-cluster sizes joined on.
-
-    persist=True is the cluster posture: the loop-invariant vector
-    table is cached MEMORY_AND_DISK so each Lloyd's round reuses it
-    instead of re-scanning 100 TB of parquet per round (the dominant
-    cost at scale; locally the re-scan is cheap so tests keep the
-    default). The cache lives until the session evicts it — callers
-    owning the session lifecycle can unpersist after consuming the
-    result."""
-    # NOTE on partitioning: at this SF the scan is one row group and
-    # the per-round jobs are SCHEDULING-bound, so a spread() here
-    # measured slower (32 micro-tasks x 8 jobs beat by 1 task x 8);
-    # on a real corpus the parquet splits into many partitions on its
-    # own and persist=True below keeps them resident across rounds.
-    vecs = load_table(spark, "embeddings", sf_dir).select(
-        "vec_id", "embedding")
-    if persist:
-        from pyspark import StorageLevel
-
-        vecs = vecs.persist(StorageLevel.MEMORY_AND_DISK)
+def _train(spark: SparkSession, vecs: DataFrame) -> DataFrame:
+    """The shared Lloyd's loop (KMEANS_ITERS rounds, deterministic
+    seed = the K lowest vec_ids): returns the FINAL centroid table so
+    both consumers (kmeans_embed's assignment output, kmeans_certify's
+    final-cost flag) train exactly once instead of certify re-running
+    kmeans_embed end-to-end (the r9 verdict's double-Lloyd's nit)."""
     cents = (
         vecs.filter(F.col("vec_id") < K_CLUSTERS)
         .select(F.col("vec_id").alias("cid"),
@@ -119,6 +100,35 @@ def kmeans_embed(spark: SparkSession, sf_dir: str,
         cents = spark.createDataFrame(
             [(cid, emb) for cid, emb in sorted(prev.items())],
             "cid long, cemb array<double>")
+    return cents
+
+
+def kmeans_embed(spark: SparkSession, sf_dir: str,
+                 persist: bool = False) -> DataFrame:
+    """KMEANS_ITERS rounds of Lloyd's over embeddings, deterministic
+    init (codewords = the K lowest vec_ids, like the IVF sample
+    codebook). Returns the final assignment (vec_id, cluster, dist2)
+    with per-cluster sizes joined on.
+
+    persist=True is the cluster posture: the loop-invariant vector
+    table is cached MEMORY_AND_DISK so each Lloyd's round reuses it
+    instead of re-scanning 100 TB of parquet per round (the dominant
+    cost at scale; locally the re-scan is cheap so tests keep the
+    default). The cache lives until the session evicts it — callers
+    owning the session lifecycle can unpersist after consuming the
+    result."""
+    # NOTE on partitioning: at this SF the scan is one row group and
+    # the per-round jobs are SCHEDULING-bound, so a spread() here
+    # measured slower (32 micro-tasks x 8 jobs beat by 1 task x 8);
+    # on a real corpus the parquet splits into many partitions on its
+    # own and persist=True below keeps them resident across rounds.
+    vecs = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding")
+    if persist:
+        from pyspark import StorageLevel
+
+        vecs = vecs.persist(StorageLevel.MEMORY_AND_DISK)
+    cents = _train(spark, vecs)
     final = _assign(vecs, cents)
     sizes = final.groupBy("cluster").agg(
         F.count("*").alias("cluster_size"))
@@ -230,7 +240,10 @@ def kmeans_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the gate goes red.
 
     Shape: one broadcast-K argmin pass for round 1 (same plan as
-    _assign), the full kmeans run for the flag; the only driver state
+    _assign), one shared _train loop + ONE more argmin pass for the
+    final cost (r9 verdict: certify used to re-run kmeans_embed
+    end-to-end, whose lazy size-join recomputed the assignment — two
+    extra corpus passes the flag never needed); the only driver state
     is two scalar costs."""
     vecs = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", "embedding")
@@ -242,7 +255,8 @@ def kmeans_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
     r1 = _assign(vecs, seeds)
     r1_cost = r1.agg(F.sum("dist2")).collect()[0][0]
     final_cost = (
-        kmeans_embed(spark, sf_dir).agg(F.sum("dist2")).collect()[0][0]
+        _assign(vecs, _train(spark, vecs))
+        .agg(F.sum("dist2")).collect()[0][0]
     )
     # tiny relative slack: the two costs are float sums; monotonicity
     # holds mathematically round over round, the slack only guards

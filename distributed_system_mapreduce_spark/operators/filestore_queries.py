@@ -469,10 +469,17 @@ def filestore_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     days; bucketing on sig means a delta probe opens only the buckets
     its own signatures hash to — delta-bounded I/O on a corpus-sized
     index."""
+    import os
+
     from distributed_system_mapreduce_spark.operators.dedup import _bands
 
     fs = _store(spark, sf_dir)
-    name = "fs_demo_lsh_index"
+    # pid-unique store name: two concurrent gate/bench processes on
+    # the same SF share the scratch root, and a fixed name would let
+    # one process delete the index the other is mid-read on (ADVICE
+    # r9). The per-pid index is rewritten per call, so staleness
+    # within a process is impossible.
+    name = f"fs_demo_lsh_index_{os.getpid()}"
     fs.delete(name)
     bands = _bands(spark, sf_dir)
     fs.write_keyed(bands.where(F.col("doc_id") % 10 != 0), name,

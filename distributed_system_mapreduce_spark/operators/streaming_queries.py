@@ -553,6 +553,14 @@ def stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE fold replay — proving the stateful keep-ledger
     reproduces the sequential keep semantics exactly, per user.
 
+    ASSUMPTION (in-order feed): the stateful fold cannot retract — an
+    event arriving in a later micro-batch with ts earlier than the
+    state's last-kept timestamp would be folded in arrival order.
+    Hash-parity with the batch oracle therefore relies on the finite
+    replay source delivering batches in (ts, event_id) order, which
+    read_events_stream guarantees for this feed (the same implicit
+    contract the sessionizer above documents).
+
     Scale: state is 3 longs per active user; output is one update row
     per (user, trigger)."""
     from pyspark.sql import Window

@@ -80,6 +80,12 @@ def test_sessionize_incremental_state_side_is_compact(spark):
     with delta events (no window spans the union). Proxy assertion:
     the physical plan contains exactly two window nodes (one per
     partition side)."""
+    import re
+
     plan = events_sessionize_incremental(
         spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Window") == 2, plan.count("Window")
+    # exact node name only: \bWindow\b does not match WindowGroupLimit
+    # (ADVICE r9 — a bare substring count was brittle across nodes
+    # and Spark-version naming)
+    n_window = len(re.findall(r"\bWindow\b", plan))
+    assert n_window == 2, (n_window, plan)

@@ -91,9 +91,13 @@ def main():
         fails.append("ann-oracle-preflight")
     def _drop_cached() -> None:
         # caller-owned cache entries (posture=persist, or operators'
-        # own persist= knobs) and reliable-mode checkpoint RDDs can
-        # accumulate over a full-registry run; drop them between
-        # queries — a no-op in the default local posture
+        # own persist= knobs) and checkpoint RDDs can accumulate over
+        # a full-registry run; drop them between queries. NOTE: even
+        # in the default local posture, localCheckpoint registers
+        # RDDs in getPersistentRDDs, so the blocking unpersist DOES
+        # run here — it is safe only because each query's rows are
+        # fully collected before this is called (the call must stay
+        # after collect())
         spark.catalog.clearCache()
         m = spark.sparkContext._jsc.sc().getPersistentRDDs()
         it = m.iterator()

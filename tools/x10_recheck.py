@@ -2,8 +2,9 @@
 item 5): queries whose bench-time x10 run exceeded their SCALING.json
 t10 record by >2x. Re-times each at x10 with THREE repeats in one warm
 session, records the median AND the spread, and updates the t10
-record in place (read-modify-write through scaling_curve.write_doc's
-discipline — foreign panels preserved) with a `recheck` note so the
+record in place (a direct read-modify-write of the JSON document —
+foreign panels and unrelated keys are preserved because only the
+named queries' rows are touched) with a `recheck` note so the
 artifact says why the number moved.
 
 Usage: python tools/x10_recheck.py [out_json] [query ...]
@@ -53,7 +54,7 @@ def main() -> None:
 
     with open(out_path) as fh:
         doc = json.load(fh)
-    rows = doc.get("queries", {})
+    rows = doc.setdefault("queries", {})
     for name in names:
         times = []
         for _ in range(REPEATS):
