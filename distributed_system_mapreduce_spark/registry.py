@@ -97,57 +97,31 @@ if _extra:
 # Registration order = the order external consumers (the driver's
 # correctness gate) iterate queries() in. The gate budget covers a
 # prefix of the list (~50 entries per round), so order by evidence
-# value. Cumulative driver coverage r1-r8 = 286/286 (all 50 r8 head
-# keys green in CORRECTNESS_r08.json). The r9 head leads with the six
-# r9-new/changed contracts: the six NEW operators (incremental CC
-# labels, incremental sessionize, the stateful stream throttle, the
-# persisted LSH-index probe, the SCD-2 as-of join, the label-scoped
-# ANN — each needing first driver evidence) and the two changed
-# contracts — filestore_keyed_merge (the merge barrier now pins a
-# TRUNCATING lineage cut before its self-overwrite publish; ADVICE r8
-# high) and bpe_compression_curve (degenerate-corpus round padding
-# now matches the SQL twin's no-op rounds; ADVICE r8 low) — then
-# rotates the STALEST driver evidence forward:
-# ALL 24 keys whose last driver-side hash-green is CORRECTNESS_r02
-# (the full list the r8 verdict asked to clear), then the oldest 18
-# r03 keys to fill the 50-slot budget. Positions 51+ continue
-# oldest-evidence-first (the remaining r03 block, then r04, ...) so
-# the r10 budget reaches the next-stalest block; the 4 rows-only
-# sketch keys stay dead last (they must never occupy a hash-gate
-# slot).
+# value. Cumulative driver coverage r1-r9 = 292/292 (all 50 r9 head
+# keys green in CORRECTNESS_r09.json, closing the r02 block). The r10
+# head leads with the two contracts whose IMPLEMENTATION changed this
+# round — kmeans_certify (final cost now comes from the shared _train
+# loop + one assignment pass, not a full kmeans_embed re-run) and
+# filestore_lsh_probe (pid-unique store name; ADVICE r9) — then
+# rotates the STALEST driver evidence forward: the full remaining
+# r03 block (events_path_trigrams ... text_normalize), then the
+# oldest r04 keys to fill the 50-slot budget. Positions 51+ continue
+# oldest-evidence-first (the rest of r04, then r05, ...; the freshly
+# r9-greened former head rotates to the back) so the r11 budget
+# reaches the next-stalest block; the 4 rows-only sketch keys stay
+# dead last (they must never occupy a hash-gate slot).
 _PRIORITY = [
-    # NEW this round (first driver evidence needed): incremental
-    # maintenance (CC labels, sessionize), the stateful stream
-    # throttle, the persisted-index probe, the SCD-2 as-of join, and
-    # the label-scoped ANN — each oracled against a full-recompute or
-    # independent SQL twin
-    "dedup_components_incremental", "events_sessionize_incremental",
-    "stream_throttle", "filestore_lsh_probe", "scd2_rate_join",
-    "ann_topk_same_label",
-    "filestore_keyed_merge", "bpe_compression_curve", "q15_top_supplier",
-    "q17_small_qty_revenue", "q18_large_orders", "vote_round1",
-    "repetition_score", "ngram_counts", "contamination_check", "domain_mix",
-    "packing_stats", "train_val_split", "quality_topk_per_group",
-    "pii_scrub", "events_cube", "corpus_stats", "q19_bracket_revenue",
-    "q22_idle_customers", "events_rollup", "customer_cohort_ltv",
-    "events_funnel", "q8_market_share", "q9_product_profit",
-    "q11_part_value_concentration", "q12_late_shipments", "kmv_distinct",
-    "bloom_semi_filter", "events_concurrency", "cdc_apply", "skyline_parts",
-    "winsorized_stats", "events_twap", "fuzzy_name_pairs", "ann_incremental",
-    "multimodal_phash_dedup", "source_hhi", "community_lpa",
-    "cross_source_overlap", "dedup_substring", "curation_pipeline",
-    "events_anomaly", "events_props_stats", "events_retention",
-    "events_sliding_window", "events_path_trigrams", "events_skew_rollup",
-    "token_budget_sample", "embedding_components", "basket_pairs",
-    "events_dau_wau", "ann_topk_pq", "events_transition_matrix",
-    "events_inter_arrival", "pack_chunks", "dedup_incremental",
-    "triangle_count", "profile_orders", "events_ohlc", "events_gap_fill",
-    "orders_backlog", "events_streaks", "supplier_lead_time",
-    "embedding_dedup_apply", "events_rolling_median", "vocab_growth",
-    "graph_degree_dist", "orders_mom_growth", "text_normalize",
-    "revenue_concentration", "pagerank_parts", "training_batches_digest",
-    "events_hour_heatmap", "multimodal_dedup", "embedding_stats",
-    "events_skew_join", "events_ewma", "abandoned_views",
+    "kmeans_certify", "filestore_lsh_probe", "events_path_trigrams",
+    "events_skew_rollup", "token_budget_sample", "embedding_components",
+    "basket_pairs", "events_dau_wau", "ann_topk_pq",
+    "events_transition_matrix", "events_inter_arrival", "pack_chunks",
+    "dedup_incremental", "triangle_count", "profile_orders", "events_ohlc",
+    "events_gap_fill", "orders_backlog", "events_streaks",
+    "supplier_lead_time", "embedding_dedup_apply", "events_rolling_median",
+    "vocab_growth", "graph_degree_dist", "orders_mom_growth",
+    "text_normalize", "revenue_concentration", "pagerank_parts",
+    "training_batches_digest", "events_hour_heatmap", "multimodal_dedup",
+    "embedding_stats", "events_skew_join", "events_ewma", "abandoned_views",
     "tokenizer_fertility", "lang_confusion", "chunk_overlap",
     "dedup_cluster_stats", "embedding_quantize", "text_integrity",
     "k_anonymity", "user_growth", "link_prediction", "gopher_rules",
@@ -187,13 +161,13 @@ _PRIORITY = [
     "theil_sen_trend", "wilson_ci_rates", "hits_scores",
     "approx_quantiles_certify", "freq_items_certify", "ann_topk_ivfpq",
     "filestore_snapshot_diff", "stream_snapshot_append",
-    "filestore_schema_evolution", "kmeans_certify",
-    "compression_ratio_certify", "multimodal_video_mjpg", "ann_recall_eval",
-    "t_closeness", "bpe_certify", "user_survival_km", "fk_integrity",
-    "join_key_skew", "bigram_lift", "skipgram_lift", "shard_assignment",
-    "dsir_importance", "lang_source_pmi", "rare_token_rate",
-    "customer_decile_migration", "nation_share_yoy", "customer_rfm",
-    "returns_mix_shift", "events_chi2_dow", "events_drift", "user_traj_topk",
+    "filestore_schema_evolution", "compression_ratio_certify",
+    "multimodal_video_mjpg", "ann_recall_eval", "t_closeness",
+    "bpe_certify", "user_survival_km", "fk_integrity", "join_key_skew",
+    "bigram_lift", "skipgram_lift", "shard_assignment", "dsir_importance",
+    "lang_source_pmi", "rare_token_rate", "customer_decile_migration",
+    "nation_share_yoy", "customer_rfm", "returns_mix_shift",
+    "events_chi2_dow", "events_drift", "user_traj_topk",
     "weighted_median_price", "audience_overlap", "quality_dup_correlation",
     "ngram_novelty", "quality_adaptive_filter", "split_ks_check",
     "token_rank_curve", "tfidf_topterms", "assoc_rules",
@@ -215,8 +189,24 @@ _PRIORITY = [
     "purchase_attribution", "q1_pricing_summary", "q3_shipping_priority",
     "q5_local_supplier", "q10_returned_items", "top_customers",
     "events_daily_rollup", "events_running_total", "events_sessionize",
-    "q7_nation_volume", "q14_promo_revenue", "compression_ratio",
-    "kmeans_embed", "approx_price_quantiles", "freq_items_sketch"
+    "q7_nation_volume", "q14_promo_revenue", "dedup_components_incremental",
+    "events_sessionize_incremental", "stream_throttle", "scd2_rate_join",
+    "ann_topk_same_label", "filestore_keyed_merge", "bpe_compression_curve",
+    "q15_top_supplier", "q17_small_qty_revenue", "q18_large_orders",
+    "vote_round1", "repetition_score", "ngram_counts",
+    "contamination_check", "domain_mix", "packing_stats", "train_val_split",
+    "quality_topk_per_group", "pii_scrub", "events_cube", "corpus_stats",
+    "q19_bracket_revenue", "q22_idle_customers", "events_rollup",
+    "customer_cohort_ltv", "events_funnel", "q8_market_share",
+    "q9_product_profit", "q11_part_value_concentration",
+    "q12_late_shipments", "kmv_distinct", "bloom_semi_filter",
+    "events_concurrency", "cdc_apply", "skyline_parts", "winsorized_stats",
+    "events_twap", "fuzzy_name_pairs", "ann_incremental",
+    "multimodal_phash_dedup", "source_hhi", "community_lpa",
+    "cross_source_overlap", "dedup_substring", "curation_pipeline",
+    "events_anomaly", "events_props_stats", "events_retention",
+    "events_sliding_window", "compression_ratio", "kmeans_embed",
+    "approx_price_quantiles", "freq_items_sketch"
 ]
 if set(_PRIORITY) != set(_MERGED) or len(_PRIORITY) != len(_MERGED):
     _missing = set(_MERGED) - set(_PRIORITY)

@@ -207,6 +207,43 @@ SKEW_ALPHA = 1.1
 SKEW_HOT_TYPE_SHARE = 0.85
 
 
+def build_embed_corpus(k: int) -> str:
+    """embeddings-ONLY corpus at k x sf0.1 vector count, for the ANN
+    above-the-knee panel (tools/ann_knee.py): vec_id offset-shifts
+    like build_corpus, but each copy i also ROTATES the embedding
+    dimensions by i % DIM positions — identical copies would plant
+    k-1 exact duplicates per vector, making every index's top-k
+    trivially easy and the recall measurement meaningless; rotations
+    preserve norms and the pairwise-distance distribution while
+    being genuinely distinct vectors. label is carried unchanged.
+    Copy 0 is bit-identical to sf0.1, so the fixed 64-query panel
+    (vec_id % 100 == 0, < 6400) and the deterministic seed rows
+    (lowest vec_ids) still exist."""
+    import duckdb
+
+    out = f"{WORK}/emb{k}"
+    if os.path.exists(f"{out}/_DONE"):
+        return out
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    src = f"'{BASE}/embeddings.parquet'"
+    off = con.execute(f"SELECT max(vec_id) + 1 FROM {src}").fetchone()[0]
+    dim = con.execute(
+        f"SELECT len(embedding) FROM {src} LIMIT 1").fetchone()[0]
+    parts = []
+    for i in range(k):
+        r = i % dim
+        emb = ("embedding" if r == 0
+               else f"embedding[{r + 1}:] || embedding[1:{r}]")
+        parts.append(
+            f"SELECT vec_id + {i} * {off} AS vec_id, "
+            f"{emb} AS embedding, label FROM {src}")
+    con.execute(f"COPY ({' UNION ALL '.join(parts)}) "
+                f"TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
+    open(f"{out}/_DONE", "w").write("ok")
+    return out
+
+
 def build_skew_corpus(k: int) -> str:
     """events-only corpus at k x sf0.1 volume with zipf keys."""
     import duckdb
