@@ -575,6 +575,15 @@ WHERE cosine >= {DUP_TAU}
 PQ_M = 8        # subspaces (DIM/PQ_M dims each)
 PQ_K = 16       # codewords per subspace (codebook = first PQ_K vecs)
 PQ_SUB = V.DIM // PQ_M
+# Exact-refine depth (the ADC+R shape from the public IVFADC
+# literature: scan with the 8-add LUT estimate, keep the top
+# PQ_REFINE candidates per query, re-rank ONLY those with exact
+# cosines). Without refine the estimate's quantization noise must
+# order the whole corpus — measured above the 64k auto-scale knee
+# (SCALING.json ann_knee, 128k vectors) est-only recall collapsed to
+# 0.03/0.02; the refine pass costs PQ_REFINE exact 64-d cosines per
+# query (corpus-size-independent) and restores the floors.
+PQ_REFINE = 8 * TOP_K
 
 
 def _pq_d2_expr(es: str, cs: str) -> str:
@@ -653,22 +662,87 @@ _PQ_EST_SQL = (
 )
 
 
+def _refine_exact(spark: SparkSession, sf_dir: str,
+                  est_pairs: DataFrame) -> DataFrame:
+    """Exact-refine stage shared by the two PQ paths (the ADC+R
+    composition): keep each query's PQ_REFINE best candidates by the
+    ADC estimate (est asc, id asc — deterministic), then score ONLY
+    those with the exact 64-d cosine and emit the true top-k by
+    (cosine desc, id asc). The exact pass touches PQ_REFINE rows per
+    query regardless of corpus size, so the scan stays
+    compressed-width; recall no longer depends on the estimate
+    ORDERING the whole corpus correctly, only on it surfacing the
+    true neighbors into the top PQ_REFINE (measured above the 64k
+    knee: est-only 0.03 -> refined well above the floors)."""
+    from pyspark.sql import Window
+
+    nv = _with_norm(spark, sf_dir)
+    we = Window.partitionBy("query_id").orderBy(
+        F.asc("est_dist2"), F.asc("neighbor_id"))
+    cand = (
+        est_pairs.withColumn("rk", F.row_number().over(we))
+        .filter(F.col("rk") <= PQ_REFINE)
+        .select("query_id", "neighbor_id")
+    )
+    scored = (
+        cand.join(nv.alias("a"), F.col("query_id") == F.col("a.vec_id"))
+        .join(nv.alias("b"), F.col("neighbor_id") == F.col("b.vec_id"))
+        .select("query_id", "neighbor_id", _cos_spark().alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def _refine_sql(est_pairs_sql: str) -> str:
+    """DuckDB twin of _refine_exact, wrapped around a SELECT that
+    yields (query_id, neighbor_id, est_dist2)."""
+    return f"""
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC)
+           AS rank
+  FROM (
+    SELECT r.query_id, r.neighbor_id, {_COS_SQL} AS cosine
+    FROM (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY est_dist2 ASC,
+                                           neighbor_id ASC) AS rk
+        FROM ({est_pairs_sql})
+      ) WHERE rk <= {PQ_REFINE}
+    ) r
+    JOIN ({_NORM_SQL}) a ON r.query_id = a.vec_id
+    JOIN ({_NORM_SQL}) b ON r.neighbor_id = b.vec_id
+  )
+)
+WHERE rank <= {TOP_K}
+"""
+
+
 def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (IVF-PQ's compression half): every
     corpus vector is encoded as PQ_M codebook indices (64 floats ->
     8 nibbles, a 64x memory cut — the trick that lets a 100 TB vector
     corpus live in RAM as a scannable index), queries score candidates
     with the asymmetric-distance LUT (one 8-add fold per candidate,
-    no 64-dim arithmetic in the scan loop) and exact order by the
-    estimate. Completes the ANN family: brute (exact baseline),
-    banded LSH + IVF (candidate pruning), PQ (compressed scan).
+    no 64-dim arithmetic in the scan loop), keep the top PQ_REFINE by
+    the estimate, and re-rank ONLY those with exact cosines (the
+    ADC+R composition from the public IVFADC literature — r10, after
+    the above-knee measurement showed est-only ordering collapses at
+    128k vectors). Completes the ANN family: brute (exact baseline),
+    banded LSH + IVF (candidate pruning), PQ (compressed scan +
+    bounded exact refine).
 
     Deterministic sample codebook (first PQ_K vectors' subvectors, the
     same convention as IVF/k-means seeding), so the DuckDB oracle
     replicates the encode + LUT + fold bit-for-bit. Recall vs brute is
     floored in tests/test_similarity_quality.py."""
-    from pyspark.sql import Window
-
     vecs = spread(load_table(spark, "embeddings", sf_dir)).select(
         "vec_id", "embedding")
     cb = (
@@ -698,12 +772,7 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_PQ_EST_EXPR).alias("est_dist2"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("est_dist2"), F.asc("neighbor_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_K)
-    )
+    return _refine_exact(spark, sf_dir, pairs)
 
 
 ANN_TOPK_PQ_SQL = f"""
@@ -721,17 +790,10 @@ queries AS (
   FROM embeddings CROSS JOIN cb
   WHERE vec_id % {QUERY_MOD} = 0
 )
-SELECT query_id, neighbor_id, est_dist2, rank FROM (
-  SELECT query_id, neighbor_id, est_dist2,
-         ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY est_dist2 ASC, neighbor_id ASC)
-           AS rank
-  FROM (
+{_refine_sql(f'''
     SELECT query_id, c.vec_id AS neighbor_id, {_PQ_EST_SQL} AS est_dist2
     FROM queries q JOIN corpus c ON q.query_id <> c.vec_id
-  )
-)
-WHERE rank <= {TOP_K}
+''')}
 """
 
 
@@ -1326,9 +1388,10 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection with gold is deterministic too; DuckDB recomputes
     all five result sets from scratch and must land on the same
     recall to the last bit. Floors: LSH/IVF 0.60 (pruning indexes),
-    PQ 0.10, IVF-PQ 0.05 (compound pruning x 64x compression on
-    unclustered random data — must beat ~2% chance recall; enforced
-    in tests/test_similarity_quality.py).
+    PQ/IVF-PQ 0.30 (the compressed-scan paths after the r10 ADC+R
+    refine — est-only ordering measured 0.10-0.16 on this
+    unclustered random data; enforced in
+    tests/test_similarity_quality.py).
 
     Scale: the eval is five existing ANN plans plus aggregates over
     a 64-query panel — the panel, not the corpus, bounds the eval
@@ -1357,17 +1420,18 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold over 8 nibbles, never touching the 64 floats) — so the scan
     is sublinear in corpus AND constant-width per candidate, which is
     what lets a 100 TB vector corpus serve queries from a RAM-sized
-    index. Exact order by the PQ estimate (est asc, id asc), so the
-    result is deterministic and the DuckDB oracle replicates encode +
-    probe + LUT + fold bit-for-bit. Recall vs brute is floored in
+    index. The probed candidates are ordered by the PQ estimate, the
+    top PQ_REFINE per query re-ranked with exact cosines (ADC+R —
+    r10; see _refine_exact), so the result is deterministic and the
+    DuckDB oracle replicates encode + probe + LUT + fold + refine
+    bit-for-bit. Recall vs brute is floored in
     tests/test_similarity_quality.py (coarse on THIS unclustered
     random corpus — the shape, not the ceiling, is what transfers).
 
     Shape: one cell-id equi-join (probes x cell-partitioned codes),
     codebooks broadcast, no window wider than a query's candidate
-    list."""
-    from pyspark.sql import Window
-
+    list; the refine pass touches PQ_REFINE rows per query regardless
+    of corpus size."""
     vecs = spread(load_table(spark, "embeddings", sf_dir)).select(
         "vec_id", "embedding")
     cb = (
@@ -1403,12 +1467,7 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_PQ_EST_EXPR).alias("est_dist2"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("est_dist2"), F.asc("neighbor_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_K)
-    )
+    return _refine_exact(spark, sf_dir, pairs)
 
 
 ANN_TOPK_IVFPQ_SQL = f"""
@@ -1439,19 +1498,12 @@ queries AS (
   FROM embeddings CROSS JOIN cb
   WHERE vec_id % {QUERY_MOD} = 0
 )
-SELECT query_id, neighbor_id, est_dist2, rank FROM (
-  SELECT query_id, neighbor_id, est_dist2,
-         ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY est_dist2 ASC, neighbor_id ASC)
-           AS rank
-  FROM (
+{_refine_sql(f'''
     SELECT q.query_id, c.vec_id AS neighbor_id, {_PQ_EST_SQL} AS est_dist2
     FROM queries q
     JOIN probes p ON q.query_id = p.vec_id
     JOIN corpus c ON p.cell = c.cell AND q.query_id <> c.vec_id
-  )
-)
-WHERE rank <= {TOP_K}
+''')}
 """
 
 QUERIES["ann_topk_ivfpq"] = ann_topk_ivfpq

@@ -48,17 +48,21 @@ def _drain(df: DataFrame, prefix: str) -> str:
     return name
 
 
-def _drain_append(df: DataFrame, prefix: str) -> str:
+def _drain_append(df: DataFrame, prefix: str,
+                  state_partitions: int | None = None) -> str:
     """Append-mode drain for NON-aggregating streams (dedup, joins):
     rows emit as they are produced, so availableNow yields the full
     result on a finite feed — no watermark withholding to work
-    around."""
+    around. state_partitions: see run_stream_to_memory — the
+    stream-stream joins pass a small count because their fixed cost
+    is state-store instantiation (4 stores x partitions), not data."""
     from distributed_system_mapreduce_spark.streaming import (
         run_stream_to_memory,
     )
 
     name = f"{prefix}_{next(_DRAIN_SEQ)}"
-    run_stream_to_memory(df, name, output_mode="append")
+    run_stream_to_memory(df, name, output_mode="append",
+                         state_partitions=state_partitions)
     return name
 
 
@@ -247,7 +251,7 @@ def stream_funnel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     pairs = view_purchase_join_stream(
         ev, lookback_hours=_FUNNEL_LOOKBACK_H)
-    name = _drain_append(pairs, "sq_funnel")
+    name = _drain_append(pairs, "sq_funnel", state_partitions=8)
     return spark.table(name).select(
         F.col("view_id").cast("long").alias("view_id"),
         F.col("user_id").cast("long").alias("user_id"),
@@ -304,7 +308,7 @@ def stream_abandoned_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     pairs = view_purchase_left_join_stream(
         ev, watermark=_ABANDON_WM, lookback_hours=_ABANDON_LOOKBACK_H)
-    name = _drain_append(pairs, "sq_abandon")
+    name = _drain_append(pairs, "sq_abandon", state_partitions=8)
 
     ev_b = load_table(spark, "events", sf_dir)
     cut = ev_b.agg(

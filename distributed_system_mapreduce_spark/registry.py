@@ -99,10 +99,14 @@ if _extra:
 # prefix of the list (~50 entries per round), so order by evidence
 # value. Cumulative driver coverage r1-r9 = 292/292 (all 50 r9 head
 # keys green in CORRECTNESS_r09.json, closing the r02 block). The r10
-# head leads with the two contracts whose IMPLEMENTATION changed this
+# head leads with the contracts whose IMPLEMENTATION changed this
 # round — kmeans_certify (final cost now comes from the shared _train
-# loop + one assignment pass, not a full kmeans_embed re-run) and
-# filestore_lsh_probe (pid-unique store name; ADVICE r9) — then
+# loop + one assignment pass, not a full kmeans_embed re-run),
+# filestore_lsh_probe (pid-unique store name; ADVICE r9), and the
+# three ADC+R keys (ann_topk_pq / ann_topk_ivfpq / ann_recall_eval:
+# the PQ paths gained the bounded exact re-rank, new oracle SQL), and
+# the two stream-stream joins (drain now pins a small state-store
+# partition count — physical only, but re-gate it) — then
 # rotates the STALEST driver evidence forward: the full remaining
 # r03 block (events_path_trigrams ... text_normalize), then the
 # oldest r04 keys to fill the 50-slot budget. Positions 51+ continue
@@ -111,9 +115,11 @@ if _extra:
 # reaches the next-stalest block; the 4 rows-only sketch keys stay
 # dead last (they must never occupy a hash-gate slot).
 _PRIORITY = [
-    "kmeans_certify", "filestore_lsh_probe", "events_path_trigrams",
+    "kmeans_certify", "filestore_lsh_probe", "ann_topk_pq",
+    "ann_topk_ivfpq", "ann_recall_eval", "stream_funnel_join",
+    "stream_abandoned_views", "events_path_trigrams",
     "events_skew_rollup", "token_budget_sample", "embedding_components",
-    "basket_pairs", "events_dau_wau", "ann_topk_pq",
+    "basket_pairs", "events_dau_wau",
     "events_transition_matrix", "events_inter_arrival", "pack_chunks",
     "dedup_incremental", "triangle_count", "profile_orders", "events_ohlc",
     "events_gap_fill", "orders_backlog", "events_streaks",
@@ -135,7 +141,7 @@ _PRIORITY = [
     "filestore_bucketed_join", "filestore_snapshot_read",
     "filestore_zorder_pruned", "stream_windowed_rollup",
     "stream_topk_users_daily", "stream_enriched_rollup",
-    "stream_dedup_census", "stream_funnel_join", "stream_abandoned_views",
+    "stream_dedup_census",
     "stream_cdc_materialize", "mr_contact_trace", "dedup_cross_lang",
     "embedding_cos_hist", "retrieval_pr_eval", "source_length_moments",
     "dataset_card", "lsh_bucket_balance", "charset_census",
@@ -159,10 +165,10 @@ _PRIORITY = [
     "events_changepoint", "benford_audit", "weighted_sample", "ndcg_eval",
     "kmv_set_ops", "keyphrase_rake", "clustering_coeff", "mannwhitney_qty",
     "theil_sen_trend", "wilson_ci_rates", "hits_scores",
-    "approx_quantiles_certify", "freq_items_certify", "ann_topk_ivfpq",
+    "approx_quantiles_certify", "freq_items_certify",
     "filestore_snapshot_diff", "stream_snapshot_append",
     "filestore_schema_evolution", "compression_ratio_certify",
-    "multimodal_video_mjpg", "ann_recall_eval", "t_closeness",
+    "multimodal_video_mjpg", "t_closeness",
     "bpe_certify", "user_survival_km", "fk_integrity", "join_key_skew",
     "bigram_lift", "skipgram_lift", "shard_assignment", "dsir_importance",
     "lang_source_pmi", "rare_token_rate", "customer_decile_migration",

@@ -692,17 +692,39 @@ def compact_rollup(fs, name: str) -> None:
 
 
 def run_stream_to_memory(df: DataFrame, name: str,
-                         output_mode: str = "complete") -> Any:
+                         output_mode: str = "complete",
+                         state_partitions: int | None = None) -> Any:
     """Drain the stream into an in-memory table with availableNow
-    (process-everything-then-stop) and return the finished query."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    (process-everything-then-stop) and return the finished query.
+
+    state_partitions: stateful operators materialize one state store
+    per shuffle partition per state sub-store (a stream-stream join
+    keeps FOUR per partition), and the count is pinned at the first
+    checkpoint — so a 32-partition drain of a bounded gate corpus
+    pays 128 state-store instantiations of pure fixed cost. Callers
+    draining bounded corpora can pass a smaller count; the session
+    value is restored after the drain (the stream captured it at
+    start). Purely physical — the result set is identical (the
+    oracle hash-gate proves it) — and a production run at 100 TB
+    simply omits it to keep the cluster-sized default."""
+    spark = df.sparkSession
+    prev = None
+    if state_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(state_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return q
 
 

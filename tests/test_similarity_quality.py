@@ -92,21 +92,22 @@ def test_lsh_recall_cost_curve(spark):
     assert curve[-1][2] >= curve[0][2], curve  # and >= cost (honest)
 
 
-def test_pq_recall_beats_chance(spark):
-    """8-byte PQ codes (64x compression) on UNclustered random data
-    are a coarse quantizer — but must still beat the ~2% chance
-    recall by a wide margin (measured 0.16 at this SF)."""
+def test_pq_recall_production_floor(spark):
+    """8-byte PQ codes (64x compression) + the bounded exact re-rank
+    (ADC+R, r10) on UNclustered random data: the estimate only has to
+    surface true neighbors into the top PQ_REFINE, not order the
+    corpus — measured 0.42-0.70 across sf0.001/0.01/0.1 (est-only was
+    0.10-0.16 and collapsed to 0.03 above the 64k knee)."""
     r = _recall_vs_brute(spark, "ann_topk_pq")
-    assert r >= 0.10, r
+    assert r >= 0.30, r
 
 
-def test_ivfpq_recall_beats_chance(spark):
-    """IVF-PQ composes both approximations (probe pruning x coarse
-    PQ ordering) on UNclustered random data — recall is the product
-    of the two filters' hit rates, but must still beat the ~2%
-    chance bar (measured ~0.11 at this SF: ~ivf 0.77 x pq 0.16)."""
+def test_ivfpq_recall_production_floor(spark):
+    """IVF-PQ composes probe pruning x PQ ordering; with the shared
+    ADC+R refine (r10) the compound recall is 0.41-0.74 across
+    sf0.001/0.01/0.1 (est-only was ~0.11: ~ivf 0.77 x pq 0.16)."""
     r = _recall_vs_brute(spark, "ann_topk_ivfpq")
-    assert r >= 0.05, r
+    assert r >= 0.30, r
 
 
 def test_ivfpq_results_subset_of_probed_cells(spark):
@@ -135,13 +136,13 @@ def test_ann_recall_eval_covers_all_paths_with_floors(spark):
     """The ORACLE-GATED recall table must cover every approximate ANN
     path (r5 verdict: PQ was the one path outside the gated eval; r6
     verdict: ivfpq was) and each row must hold its documented floor —
-    LSH/IVF 0.60 (candidate-pruning indexes), PQ 0.10 (the coarse
-    compressed scan's beat-chance bar), IVF-PQ 0.05 (compound pruning
-    x compression — still well above ~2% chance)."""
+    LSH/IVF 0.60 (candidate-pruning indexes), PQ/IVF-PQ 0.30 (the
+    compressed-scan paths after the r10 ADC+R refine; est-only
+    measured 0.10-0.16)."""
     rows = {r["method"]: r
             for r in QUERIES["ann_recall_eval"](spark, SF_DIR).collect()}
     assert set(rows) == {"lsh", "ivf", "pq", "ivfpq"}, set(rows)
-    floors = {"lsh": 0.60, "ivf": 0.60, "pq": 0.10, "ivfpq": 0.05}
+    floors = {"lsh": 0.60, "ivf": 0.60, "pq": 0.30, "ivfpq": 0.30}
     for m, row in rows.items():
         assert row["recall"] >= floors[m], (m, row["recall"])
         assert row["n_gold"] > 0 and row["n_queries"] > 0, row

@@ -244,6 +244,65 @@ def build_embed_corpus(k: int) -> str:
     return out
 
 
+def build_deep_corpus(k: int) -> str:
+    """Full-table corpus at k x sf0.1 volume where PER-KEY SEQUENCE
+    DEPTH grows with k — the dimension build_corpus deliberately
+    holds constant (it offset-shifts user_id/doc grouping keys, so
+    every copy is a fresh population and per-user lists never grow).
+    This is the sf1-shaped stress the r9 verdict asked for: the
+    sorted-fold / recursive-CTE DuckDB oracles (events_throttle,
+    user_survival_km, events_cusum, decayed_popularity,
+    dataset_card) walk per-key ordered lists, and the r9 sf0.1 gate
+    caught a real DuckDB list_reduce bug exactly when those lists got
+    long — so the oracle cliff tracks LIST LENGTH, not row count.
+
+    events: event_id offsets per copy (uniqueness), user_id is
+    carried UNCHANGED, and ts shifts by copy * (span + 1 day) so the
+    k copies are time-disjoint — every user's ordered sequence is
+    genuinely k x longer with no duplicate timestamps. documents:
+    doc_id offsets, source/lang carried unchanged (per-source lists
+    grow k x), text vowel-rotates like build_corpus so no planted
+    exact duplicates. All other tables copy through from sf0.1
+    (needed only for view registration / ANN preflight)."""
+    import duckdb
+
+    out = f"{WORK}/deep{k}"
+    if os.path.exists(f"{out}/_DONE"):
+        return out
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "embeddings").split():
+        con.execute(f"COPY (SELECT * FROM '{BASE}/{t}.parquet') "
+                    f"TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+    src = f"'{BASE}/events.parquet'"
+    off = con.execute(
+        f"SELECT max(event_id) + 1 FROM {src}").fetchone()[0]
+    span = con.execute(
+        f"SELECT date_diff('second', min(ts), max(ts)) + 86400 "
+        f"FROM {src}").fetchone()[0]
+    parts = [
+        f"SELECT * REPLACE (event_id + {i} * {off} AS event_id, "
+        f"ts + INTERVAL ({i} * {span}) SECOND AS ts) FROM {src}"
+        for i in range(k)
+    ]
+    con.execute(f"COPY ({' UNION ALL '.join(parts)}) "
+                f"TO '{out}/events.parquet' (FORMAT PARQUET)")
+    dsrc = f"'{BASE}/documents.parquet'"
+    doff = con.execute(
+        f"SELECT max(doc_id) + 1 FROM {dsrc}").fetchone()[0]
+    dparts = [f"SELECT * FROM {dsrc}"]
+    for i in range(1, k):
+        rot = _VOWEL_ROT[i % len(_VOWEL_ROT)]
+        dparts.append(
+            f"SELECT * REPLACE (doc_id + {i} * {doff} AS doc_id, "
+            f"translate(text, 'aeiou', '{rot}') AS text) FROM {dsrc}")
+    con.execute(f"COPY ({' UNION ALL '.join(dparts)}) "
+                f"TO '{out}/documents.parquet' (FORMAT PARQUET)")
+    open(f"{out}/_DONE", "w").write("ok")
+    return out
+
+
 def build_skew_corpus(k: int) -> str:
     """events-only corpus at k x sf0.1 volume with zipf keys."""
     import duckdb
