@@ -38,6 +38,7 @@ from distributed_system_mapreduce_spark.operators import (
     fuzzy,
     graphstats,
     mapreduce_queries,
+    membership,
     mlstats,
     mlstats2,
     multimodal,
@@ -78,7 +79,7 @@ _MODULES = [mapreduce_queries, relational, relational_ext, relational_ext2,
             similarity, clustering, sketches, probabilistic, rake, bpe, fuzzy,
             multimodal, asof, export, mlstats, mlstats2, graphstats,
             relational_ext15, relational_ext16, relational_ext17,
-            filestore_queries, streaming_queries]
+            filestore_queries, streaming_queries, membership]
 
 _MERGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -117,7 +118,9 @@ if _extra:
 _PRIORITY = [
     "kmeans_certify", "filestore_lsh_probe", "ann_topk_pq",
     "ann_topk_ivfpq", "ann_recall_eval", "stream_funnel_join",
-    "stream_abandoned_views", "events_path_trigrams",
+    "stream_abandoned_views", "gossip_dissemination",
+    "failure_detection_census", "membership_lww_merge",
+    "events_path_trigrams",
     "events_skew_rollup", "token_budget_sample", "embedding_components",
     "basket_pairs", "events_dau_wau",
     "events_transition_matrix", "events_inter_arrival", "pack_chunks",

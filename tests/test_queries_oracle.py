@@ -68,7 +68,7 @@ def test_approx_distinct_within_error_bound(spark):
 # feeds) must NOT flip this test: the r8 head turned red the moment
 # CORRECTNESS_r08.json landed because it derived staleness from ALL
 # artifacts, including the one its own rotation had just refreshed.
-HEAD_BUILT_FROM_ROUND = 8
+HEAD_BUILT_FROM_ROUND = 9
 
 
 def _driver_evidence_round(artifact_dir=None, cap: int = 99):
@@ -97,29 +97,35 @@ def _driver_evidence_round(artifact_dir=None, cap: int = 99):
 
 def test_registry_prefix_is_oracle_dense():
     """The driver's correctness gate covers a ~50-entry prefix of the
-    registry. The r9 head leads with the two NEW incremental ops
-    (first driver evidence) and the two contracts changed this round
-    (the truncating merge barrier in filestore_keyed_merge, the
-    degenerate-corpus padding in bpe_compression_curve), then ALL 24
-    keys whose last driver green was r02, then the oldest r03 block
-    to fill the budget. Staleness is derived from the artifacts AS OF
-    the round the head was built (HEAD_BUILT_FROM_ROUND) so the gate's
-    own future output cannot invalidate the assertion."""
+    registry. The r10 head leads with the contracts whose
+    IMPLEMENTATION changed this round (kmeans_certify's single-train
+    cost, filestore_lsh_probe's pid-unique store, the three ADC+R
+    ANN keys, the two stream-stream joins' drain partitioning) plus
+    the three brand-new membership-protocol keys (first driver
+    evidence), then ALL remaining keys whose last driver green was
+    r03 — the stalest bucket after r9 closed the r02 block — then
+    the oldest r04 keys to fill the budget. Staleness is derived
+    from the artifacts AS OF the round the head was built
+    (HEAD_BUILT_FROM_ROUND) so the gate's own future output cannot
+    invalidate the assertion."""
     ks = list(QUERIES)
-    lead = ["dedup_components_incremental", "events_sessionize_incremental",
-            "stream_throttle", "filestore_lsh_probe", "scd2_rate_join",
-            "ann_topk_same_label",
-            "filestore_keyed_merge", "bpe_compression_curve"]
+    lead = ["kmeans_certify", "filestore_lsh_probe", "ann_topk_pq",
+            "ann_topk_ivfpq", "ann_recall_eval", "stream_funnel_join",
+            "stream_abandoned_views", "gossip_dissemination",
+            "failure_detection_census", "membership_lww_merge"]
     assert ks[:len(lead)] == lead
     assert all(k in ORACLES for k in ks[:50]), [
         k for k in ks[:50] if k not in ORACLES]
     latest = _driver_evidence_round(cap=HEAD_BUILT_FROM_ROUND)
-    # ALL r02-evidence keys (as of r8 there were 24 — the r8 verdict's
-    # full rotation list) occupy the slots right after the lead
-    r02 = {k for k in ks if latest.get(k) == 2}
+    # ALL r03-evidence keys occupy the slots right after the lead
+    # (25 total as of r9; three — ann_topk_pq, events_path_trigrams,
+    # events_skew_rollup — already sit in the lead)
+    r03 = {k for k in ks if latest.get(k) == 3}
+    r03_rest = r03 - set(lead)
     n = len(lead)
-    assert set(ks[n:n + len(r02)]) == r02 and len(r02) == 24, (
-        sorted(r02 ^ set(ks[n:n + len(r02)])))
+    assert set(ks[n:n + len(r03_rest)]) == r03_rest, (
+        sorted(r03_rest ^ set(ks[n:n + len(r03_rest)])))
+    assert len(r03) == 25, sorted(r03)
     # the rest of the head and the overflow continue oldest-first:
     # nothing outside the head may be staler than anything inside it
     # (excluding the contract/new lead slots)
