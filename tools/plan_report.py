@@ -11,6 +11,16 @@ import sys
 sys.path.insert(0, ".")
 
 SHOWCASE = [
+    ("gossip_dissemination",
+     "bounded-round gossip: per-round explode+distinct over the "
+     "roster behind lineage cuts; 13-row summary via self-join, "
+     "no global window"),
+    ("failure_detection_census",
+     "staleness rule: one lag-window partitioned by node, then "
+     "partial-agg rollup"),
+    ("membership_lww_merge",
+     "LWW merge: per-slot top-1 (WindowGroupLimit below the "
+     "exchange) + partial-agg counts, one shuffle key"),
     ("scd2_rate_join",
      "SCD-2 as-of bucketized: broadcast fill-forward grid, fact side "
      "pays broadcast hash joins only, one agg exchange"),

@@ -103,6 +103,13 @@ QUERIES_UNDER_TEST = [
     # probe per order) and the label-scoped exact ANN (per-label
     # candidate sets grow linearly with the corpus)
     "scd2_rate_join", "ann_topk_same_label",
+    # r10 membership-protocol family: gossip is R_MAX bounded rounds
+    # of explode+distinct over the roster (offset-shifted custkeys
+    # stay contiguous 0..10N-1, so the sim runs a genuinely 10x
+    # cluster); the census is one partitioned lag-window; the merge
+    # a per-slot top-1 + partial agg
+    "gossip_dissemination", "failure_detection_census",
+    "membership_lww_merge",
 ]
 
 # Queries whose RESULT grows faster than the input under this corpus
