@@ -324,15 +324,32 @@ def main() -> None:
     # Full per-query map goes to a file; the final stdout line stays
     # short (headline queries only) so the driver's line capture never
     # truncates mid-JSON (r1's ~2 KB line came back unparsed).
+    # read-modify-write: foreign top-level blocks (hand-recorded
+    # recheck/measurement notes) survive the refresh — the same
+    # discipline scaling_curve.write_doc applies after the r8 full-run
+    # write path destroyed SCALING.json's measured panels
+    detail_doc = {}
+    try:
+        with open(detail_path) as fh:
+            detail_doc = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        pass
+    own_keys = {"sf", "queries", "errors", "ratio_vs_prev_round",
+                "ratio_vs_prev_round_norm", "canary_ratio_vs_prev_round",
+                "x10_queries", "x10_errors", "x10_ratio_vs_scaling_t10",
+                "group_size", "canary_1t", "canary_32t"}
+    detail_doc = {k: v for k, v in detail_doc.items()
+                  if k not in own_keys}
+    detail_doc.update({"sf": float(sf), "queries": times,
+                       "errors": errors,
+                       "ratio_vs_prev_round": ratios,
+                       "ratio_vs_prev_round_norm": ratios_norm,
+                       "canary_ratio_vs_prev_round": canary_ratio,
+                       "x10_queries": x10_times, "x10_errors": x10_errors,
+                       "x10_ratio_vs_scaling_t10": x10_ratios,
+                       "group_size": GROUP_SIZE, **canary})
     with open(detail_path, "w") as fh:
-        json.dump({"sf": float(sf), "queries": times, "errors": errors,
-                   "ratio_vs_prev_round": ratios,
-                   "ratio_vs_prev_round_norm": ratios_norm,
-                   "canary_ratio_vs_prev_round": canary_ratio,
-                   "x10_queries": x10_times, "x10_errors": x10_errors,
-                   "x10_ratio_vs_scaling_t10": x10_ratios,
-                   "group_size": GROUP_SIZE, **canary},
-                  fh, indent=1, sort_keys=True)
+        json.dump(detail_doc, fh, indent=1, sort_keys=True)
     line = {
         "metric": "headline_queries_total_runtime",
         "value": total,

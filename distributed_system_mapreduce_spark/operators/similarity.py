@@ -582,8 +582,45 @@ PQ_SUB = V.DIM // PQ_M
 # order the whole corpus — measured above the 64k auto-scale knee
 # (SCALING.json ann_knee, 128k vectors) est-only recall collapsed to
 # 0.03/0.02; the refine pass costs PQ_REFINE exact 64-d cosines per
-# query (corpus-size-independent) and restores the floors.
+# query and restores the floors.
 PQ_REFINE = 8 * TOP_K
+PQ_KNEE = 65536  # n <= knee -> floor params (static SQL oracles exact)
+PQ_MAX_K = 256
+
+
+def pq_k(n: int) -> int:
+    """Codewords per subspace for a corpus of n vectors: the shipped
+    PQ_K floor below the knee (keeps the static SQL oracles exact at
+    every test SF), then the next power of two >= PQ_K*sqrt(n/knee),
+    capped at PQ_MAX_K — codebook resolution ~ sqrt(n), the same
+    balance rule as ivf_cells (quantization cells must multiply with
+    the corpus or the estimate's rank dispersion swamps any bounded
+    refine; measured at 128k: fixed 16-codeword codebook held recall
+    at 0.11-0.12 even WITH refine)."""
+    import math
+
+    if n <= PQ_KNEE:
+        return PQ_K
+    target = PQ_K * math.sqrt(n / PQ_KNEE)
+    p = PQ_K
+    while p < target and p < PQ_MAX_K:
+        p <<= 1
+    return p
+
+
+def pq_refine(n: int) -> int:
+    """Exact-refine depth: the PQ_REFINE floor below the knee, then
+    linear in n/knee — the number of corpus vectors whose ADC
+    estimate lands within quantization noise of the true top-k grows
+    ~linearly with n at fixed code width, so the depth must track it
+    to keep surfacing the true neighbors; the refine pass stays a
+    vanishing fraction of the scan (depth/n = PQ_REFINE/knee ~=
+    0.1%) and each refined row costs one exact 64-d cosine."""
+    import math
+
+    if n <= PQ_KNEE:
+        return PQ_REFINE
+    return PQ_REFINE * math.ceil(n / PQ_KNEE)
 
 
 def _pq_d2_expr(es: str, cs: str) -> str:
@@ -607,63 +644,73 @@ def _pq_d2_sql(es: str, cs: str) -> str:
 
 # corpus encode: codes[m] = argmin_k d2(subvec_m, codeword_{m,k});
 # first-min tie-break is identical on both engines (array_position /
-# list_position return the first match of the same computed doubles)
+# list_position return the first match of the same computed doubles).
+# All PQ expressions are BUILDERS over the codebook size k: the
+# queries call them with pq_k(n) so the codebook auto-scales past the
+# knee, while the static floor-built twins below keep the SQL oracles
+# exact at every test SF (verify_local's ann preflight asserts the
+# agreement).
 _PQ_DISTS = "transform(sequence(0, {K1}), k -> {d2})"
-_PQ_CODES_EXPR = (
-    f"transform(sequence(0, {PQ_M - 1}), m -> array_position("
-    + _PQ_DISTS.format(
-        K1=PQ_K - 1,
-        d2=_pq_d2_expr(f"m * {PQ_SUB} + 1",
-                       f"k * {V.DIM} + m * {PQ_SUB} + 1"))
-    + ", array_min("
-    + _PQ_DISTS.format(
-        K1=PQ_K - 1,
-        d2=_pq_d2_expr(f"m * {PQ_SUB} + 1",
-                       f"k * {V.DIM} + m * {PQ_SUB} + 1"))
-    + ")) - 1)"
-)
-_PQ_CODES_SQL = (
-    f"list_transform(range(0, {PQ_M}), m -> list_position("
-    + "list_transform(range(0, {K}), k -> {d2})".format(
-        K=PQ_K,
-        d2=_pq_d2_sql(f"m * {PQ_SUB} + 1",
-                      f"k * {V.DIM} + m * {PQ_SUB} + 1"))
-    + ", list_min("
-    + "list_transform(range(0, {K}), k -> {d2})".format(
-        K=PQ_K,
-        d2=_pq_d2_sql(f"m * {PQ_SUB} + 1",
-                      f"k * {V.DIM} + m * {PQ_SUB} + 1"))
-    + ")) - 1)"
-)
+
+
+def _pq_codes_expr(k: int) -> str:
+    d2 = _pq_d2_expr(f"m * {PQ_SUB} + 1",
+                     f"k * {V.DIM} + m * {PQ_SUB} + 1")
+    dists = _PQ_DISTS.format(K1=k - 1, d2=d2)
+    return (f"transform(sequence(0, {PQ_M - 1}), m -> array_position("
+            f"{dists}, array_min({dists})) - 1)")
+
+
+def _pq_codes_sql(k: int) -> str:
+    d2 = _pq_d2_sql(f"m * {PQ_SUB} + 1",
+                    f"k * {V.DIM} + m * {PQ_SUB} + 1")
+    dists = f"list_transform(range(0, {k}), k -> {d2})"
+    return (f"list_transform(range(0, {PQ_M}), m -> list_position("
+            f"{dists}, list_min({dists})) - 1)")
+
 
 # query-side ADC lookup table: lut[m*K + k] = d2(q_subvec_m, cw_{m,k})
-_PQ_LUT_EXPR = (
-    f"transform(sequence(0, {PQ_M * PQ_K - 1}), i -> "
-    + _pq_d2_expr(f"(i div {PQ_K}) * {PQ_SUB} + 1",
-                  f"(i % {PQ_K}) * {V.DIM} + (i div {PQ_K}) * {PQ_SUB} + 1")
-    + ")"
-)
-_PQ_LUT_SQL = (
-    f"list_transform(range(0, {PQ_M * PQ_K}), i -> "
-    + _pq_d2_sql(f"(i // {PQ_K}) * {PQ_SUB} + 1",
-                 f"(i % {PQ_K}) * {V.DIM} + (i // {PQ_K}) * {PQ_SUB} + 1")
-    + ")"
-)
+def _pq_lut_expr(k: int) -> str:
+    return (
+        f"transform(sequence(0, {PQ_M * k - 1}), i -> "
+        + _pq_d2_expr(f"(i div {k}) * {PQ_SUB} + 1",
+                      f"(i % {k}) * {V.DIM} + (i div {k}) * {PQ_SUB} + 1")
+        + ")"
+    )
+
+
+def _pq_lut_sql(k: int) -> str:
+    return (
+        f"list_transform(range(0, {PQ_M * k}), i -> "
+        + _pq_d2_sql(f"(i // {k}) * {PQ_SUB} + 1",
+                     f"(i % {k}) * {V.DIM} + (i // {k}) * {PQ_SUB} + 1")
+        + ")"
+    )
+
 
 # asymmetric distance: fixed-order fold over subspaces
-_PQ_EST_EXPR = (
-    f"aggregate(sequence(0, {PQ_M - 1}), CAST(0 AS DOUBLE), (acc, m) -> "
-    f"acc + element_at(lut, CAST(m * {PQ_K} "
-    f"+ element_at(codes, CAST(m + 1 AS INT)) + 1 AS INT)))"
-)
-_PQ_EST_SQL = (
-    f"list_reduce(list_transform(range(0, {PQ_M}), m -> "
-    f"lut[m * {PQ_K} + codes[m + 1] + 1]), (acc, x) -> acc + x)"
-)
+def _pq_est_expr(k: int) -> str:
+    return (
+        f"aggregate(sequence(0, {PQ_M - 1}), CAST(0 AS DOUBLE), "
+        f"(acc, m) -> acc + element_at(lut, CAST(m * {k} "
+        f"+ element_at(codes, CAST(m + 1 AS INT)) + 1 AS INT)))"
+    )
+
+
+def _pq_est_sql(k: int) -> str:
+    return (f"list_reduce(list_transform(range(0, {PQ_M}), m -> "
+            f"lut[m * {k} + codes[m + 1] + 1]), (acc, x) -> acc + x)")
+
+
+# floor-built statics for the SQL oracles (exact below the knee)
+_PQ_CODES_SQL = _pq_codes_sql(PQ_K)
+_PQ_LUT_SQL = _pq_lut_sql(PQ_K)
+_PQ_EST_SQL = _pq_est_sql(PQ_K)
 
 
 def _refine_exact(spark: SparkSession, sf_dir: str,
-                  est_pairs: DataFrame) -> DataFrame:
+                  est_pairs: DataFrame,
+                  depth: int = PQ_REFINE) -> DataFrame:
     """Exact-refine stage shared by the two PQ paths (the ADC+R
     composition): keep each query's PQ_REFINE best candidates by the
     ADC estimate (est asc, id asc — deterministic), then score ONLY
@@ -681,7 +728,7 @@ def _refine_exact(spark: SparkSession, sf_dir: str,
         F.asc("est_dist2"), F.asc("neighbor_id"))
     cand = (
         est_pairs.withColumn("rk", F.row_number().over(we))
-        .filter(F.col("rk") <= PQ_REFINE)
+        .filter(F.col("rk") <= depth)
         .select("query_id", "neighbor_id")
     )
     scored = (
@@ -743,10 +790,12 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     same convention as IVF/k-means seeding), so the DuckDB oracle
     replicates the encode + LUT + fold bit-for-bit. Recall vs brute is
     floored in tests/test_similarity_quality.py."""
+    n = _corpus_count(spark, sf_dir)
+    k = pq_k(n)
     vecs = spread(load_table(spark, "embeddings", sf_dir)).select(
         "vec_id", "embedding")
     cb = (
-        vecs.filter(F.col("vec_id") < PQ_K)
+        vecs.filter(F.col("vec_id") < k)
         .agg(F.expr(
             "flatten(transform("
             "sort_array(collect_list(struct(vec_id, embedding))), "
@@ -755,13 +804,13 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = (
         vecs.crossJoin(F.broadcast(cb))
-        .select("vec_id", F.expr(_PQ_CODES_EXPR).alias("codes"))
+        .select("vec_id", F.expr(_pq_codes_expr(k)).alias("codes"))
     )
     queries = (
         vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
         .crossJoin(F.broadcast(cb))
         .select(F.col("vec_id").alias("query_id"),
-                F.expr(_PQ_LUT_EXPR).alias("lut"))
+                F.expr(_pq_lut_expr(k)).alias("lut"))
     )
     pairs = (
         F.broadcast(queries)
@@ -769,10 +818,10 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.expr(_PQ_EST_EXPR).alias("est_dist2"),
+            F.expr(_pq_est_expr(k)).alias("est_dist2"),
         )
     )
-    return _refine_exact(spark, sf_dir, pairs)
+    return _refine_exact(spark, sf_dir, pairs, depth=pq_refine(n))
 
 
 ANN_TOPK_PQ_SQL = f"""
@@ -1432,10 +1481,12 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks broadcast, no window wider than a query's candidate
     list; the refine pass touches PQ_REFINE rows per query regardless
     of corpus size."""
+    n = _corpus_count(spark, sf_dir)
+    k = pq_k(n)
     vecs = spread(load_table(spark, "embeddings", sf_dir)).select(
         "vec_id", "embedding")
     cb = (
-        vecs.filter(F.col("vec_id") < PQ_K)
+        vecs.filter(F.col("vec_id") < k)
         .agg(F.expr(
             "flatten(transform("
             "sort_array(collect_list(struct(vec_id, embedding))), "
@@ -1445,7 +1496,7 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = _with_cell(spark, sf_dir).select("vec_id", "cell")
     corpus = (
         vecs.crossJoin(F.broadcast(cb))
-        .select("vec_id", F.expr(_PQ_CODES_EXPR).alias("codes"))
+        .select("vec_id", F.expr(_pq_codes_expr(k)).alias("codes"))
         .join(cells, "vec_id")
     )
     probes = _query_probes(spark, sf_dir).alias("p")
@@ -1453,7 +1504,7 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
         .crossJoin(F.broadcast(cb))
         .select(F.col("vec_id").alias("query_id"),
-                F.expr(_PQ_LUT_EXPR).alias("lut"))
+                F.expr(_pq_lut_expr(k)).alias("lut"))
     )
     pairs = (
         F.broadcast(queries)
@@ -1464,10 +1515,10 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("c.vec_id").alias("neighbor_id"),
-            F.expr(_PQ_EST_EXPR).alias("est_dist2"),
+            F.expr(_pq_est_expr(k)).alias("est_dist2"),
         )
     )
-    return _refine_exact(spark, sf_dir, pairs)
+    return _refine_exact(spark, sf_dir, pairs, depth=pq_refine(n))
 
 
 ANN_TOPK_IVFPQ_SQL = f"""

@@ -194,6 +194,18 @@ def test_ann_scaling_rules_shape():
     assert seq == sorted(seq)
     seq = [S.ivf_cells(1 << k) for k in range(10, 31)]
     assert seq == sorted(seq)
+    # pq_k / pq_refine (r10): floors at every test corpus size,
+    # sqrt/linear growth past the knee, capped codebook, monotone
+    for n in (500, 2000, 65536):
+        assert S.pq_k(n) == S.PQ_K, n
+        assert S.pq_refine(n) == S.PQ_REFINE, n
+    assert S.pq_k(1 << 17) == 2 * S.PQ_K
+    assert S.pq_k(1 << 30) == S.PQ_MAX_K  # cap holds
+    assert S.pq_refine(1 << 17) == 2 * S.PQ_REFINE
+    seq = [S.pq_k(1 << k) for k in range(10, 31)]
+    assert seq == sorted(seq)
+    seq = [S.pq_refine(1 << k) for k in range(10, 31)]
+    assert seq == sorted(seq)
 
 
 def test_ann_static_oracles_match_actual_corpora():
@@ -213,6 +225,8 @@ def test_ann_static_oracles_match_actual_corpora():
             f"/root/testdata/{sf}/embeddings.parquet").metadata.num_rows
         assert S.lsh_params(n) == (S.N_BANDS, S.PLANES_PER_BAND), (sf, n)
         assert S.ivf_cells(n) == S.N_CELLS, (sf, n)
+        assert S.pq_k(n) == S.PQ_K, (sf, n)
+        assert S.pq_refine(n) == S.PQ_REFINE, (sf, n)
 
 
 def _scaled_embeddings_dir(tmp_path, k: int) -> str:

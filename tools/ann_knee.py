@@ -11,15 +11,18 @@ recall@k of all four approximate paths against brute on the fixed
 into SCALING.json.
 
 Floors asserted here: LSH/IVF >= 0.60 (same as below the knee), and
-for the PQ paths the BEAT-CHANCE bars (PQ >= 0.10, IVF-PQ >= 0.05)
-rather than the 0.30 production floors
-tests/test_similarity_quality.py enforces at the test SFs — the
-ADC+R refine depth (PQ_REFINE) is a corpus-size-independent constant
-by design (that is its cost guarantee), so as n grows past the knee
-the fixed-depth refine recovers less of the estimate's ordering loss
-(measured 0.117/0.106 at 128k vs 0.42+/0.41+ at the test SFs;
-est-only collapsed to 0.03/0.02). The scale remedy is the codebook
-(PQ_K) and nprobe, not the refine depth.
+for the PQ paths PQ >= 0.15 / IVF-PQ >= 0.10 (coarser than the 0.30
+production floors tests/test_similarity_quality.py enforces at the
+test SFs — compression noise genuinely grows with n; measured
+0.24/0.22 at 128k under the scaled knobs). History
+of the PQ-path knee measurements (each config measured here):
+est-only ordering with the fixed 16-codeword floor codebook
+collapsed to 0.03/0.02 at 128k; adding fixed-depth ADC+R refine
+recovered 0.117/0.106; r10 then made BOTH knobs auto-scale past the
+knee like ivf_cells — pq_k(n) ~ PQ_K*sqrt(n/knee) (codebook
+resolution must multiply with the corpus) and pq_refine(n) ~ linear
+in n/knee (rank dispersion at fixed code width grows with n) — see
+the `recalls` block for the currently measured values.
 
 Usage: python tools/ann_knee.py [out_json] [k_mult]
 """
@@ -38,7 +41,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from scaling_curve import build_embed_corpus  # noqa: E402
 
-FLOORS = {"lsh": 0.60, "ivf": 0.60, "pq": 0.10, "ivfpq": 0.05}
+FLOORS = {"lsh": 0.60, "ivf": 0.60, "pq": 0.15, "ivfpq": 0.10}
 PATHS = ["ann_topk_brute", "ann_topk_lsh", "ann_topk_ivf",
          "ann_topk_pq", "ann_topk_ivfpq"]
 REPEATS = 3
@@ -63,10 +66,12 @@ def main() -> None:
     n = S._corpus_count(spark, d)
     bands, ppb = S.lsh_params(n)
     cells = S.ivf_cells(n)
+    pqk, pqr = S.pq_k(n), S.pq_refine(n)
     knee_engaged = (bands, ppb) != (S.N_BANDS, S.PLANES_PER_BAND) \
-        and cells != S.N_CELLS
+        and cells != S.N_CELLS and pqk != S.PQ_K
     print(f"n={n} lsh={bands}x{ppb} (floor {S.N_BANDS}x"
           f"{S.PLANES_PER_BAND}) ivf_cells={cells} (floor {S.N_CELLS}) "
+          f"pq_k={pqk} pq_refine={pqr} (floors {S.PQ_K}/{S.PQ_REFINE}) "
           f"knee_engaged={knee_engaged}", flush=True)
     if not knee_engaged:
         raise SystemExit("corpus did not cross the auto-scale knee — "
@@ -111,8 +116,11 @@ def main() -> None:
         "k_mult": k,
         "lsh_params": [bands, ppb],
         "ivf_cells": cells,
+        "pq_k": pqk,
+        "pq_refine": pqr,
         "floor_params": {"lsh": [S.N_BANDS, S.PLANES_PER_BAND],
-                         "ivf": S.N_CELLS},
+                         "ivf": S.N_CELLS,
+                         "pq": [S.PQ_K, S.PQ_REFINE]},
         "knee_engaged": knee_engaged,
         "times_sec": times,
         "cost_vs_brute": {
@@ -123,12 +131,15 @@ def main() -> None:
         "all_floors_ok": all(r["floor_ok"] for r in recalls.values()),
         "note": (
             "128k-vector corpus (64 x sf0.1, per-copy dim rotation — "
-            "no planted duplicates), the first measurement ABOVE the "
-            "64k auto-scale knee: lsh_params/ivf_cells left their "
-            "floors and the recall floors still hold under the "
-            "auto-scaled configs. Brute is the 64-query x corpus "
-            "nested loop; approximate costs include index build from "
-            "cold (the amortizable part at 100 TB)."),
+            "no planted duplicates), measured ABOVE the 64k "
+            "auto-scale knee with every growth rule engaged "
+            "(lsh_params, ivf_cells, and — r10 — pq_k/pq_refine: the "
+            "PQ codebook doubles and the ADC+R refine depth doubles "
+            "at this n; the fixed-floor configs measured 0.03/0.02 "
+            "est-only and 0.117/0.106 with fixed-depth refine). "
+            "Brute is the 64-query x corpus nested loop; approximate "
+            "costs include index build from cold (the amortizable "
+            "part at 100 TB)."),
     }
     with open(out_path) as fh:
         doc = json.load(fh)

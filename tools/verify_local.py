@@ -84,10 +84,13 @@ def main():
 
     n_emb = con.sql("SELECT COUNT(*) FROM embeddings").fetchone()[0]
     if (S.lsh_params(n_emb) != (S.N_BANDS, S.PLANES_PER_BAND)
-            or S.ivf_cells(n_emb) != S.N_CELLS):
+            or S.ivf_cells(n_emb) != S.N_CELLS
+            or S.pq_k(n_emb) != S.PQ_K
+            or S.pq_refine(n_emb) != S.PQ_REFINE):
         print(f"FAIL ann-oracle-preflight: corpus n={n_emb} auto-scales "
               f"past the static-SQL config "
-              f"(lsh={S.lsh_params(n_emb)}, ivf={S.ivf_cells(n_emb)})")
+              f"(lsh={S.lsh_params(n_emb)}, ivf={S.ivf_cells(n_emb)}, "
+              f"pq_k={S.pq_k(n_emb)}, pq_refine={S.pq_refine(n_emb)})")
         fails.append("ann-oracle-preflight")
     def _drop_cached() -> None:
         # caller-owned cache entries (posture=persist, or operators'
