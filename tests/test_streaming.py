@@ -1299,3 +1299,32 @@ def test_compression_gate_stream_matches_batch_twin(spark, tmp_path):
         assert g["z_bytes"] == w["z_bytes"], did   # byte-exact
         assert g["n_bytes"] == w["n_bytes"], did
         assert g["keep"] == (lo <= w["ratio"] <= hi), did
+
+
+def test_drain_state_partitions_restores_conf_and_result(spark):
+    """run_stream_to_memory(state_partitions=...) is a PHYSICAL knob:
+    it must restore the session's shuffle-partition count after the
+    drain (a leaked override would resize every later batch shuffle),
+    and the drained result must be identical to the default-partition
+    drain (r10: the stream-stream joins pass 8 to skip ~128
+    state-store instantiations of fixed cost)."""
+    from distributed_system_mapreduce_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+        view_purchase_join_stream,
+    )
+    from tests.conftest import SF_DIR
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    pairs = view_purchase_join_stream(
+        read_events_stream(spark, SF_DIR), lookback_hours=24)
+    run_stream_to_memory(pairs, "drain_sp_test_a", output_mode="append",
+                         state_partitions=4)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    pairs2 = view_purchase_join_stream(
+        read_events_stream(spark, SF_DIR), lookback_hours=24)
+    run_stream_to_memory(pairs2, "drain_sp_test_b", output_mode="append")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    a = {tuple(r) for r in spark.table("drain_sp_test_a").collect()}
+    b = {tuple(r) for r in spark.table("drain_sp_test_b").collect()}
+    assert a == b and a
