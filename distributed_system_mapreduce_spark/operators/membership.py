@@ -335,3 +335,261 @@ FROM winner w JOIN counts c ON w.subject = c.subject
 
 QUERIES["membership_lww_merge"] = membership_lww_merge
 ORACLES["membership_lww_merge"] = MEMBERSHIP_LWW_MERGE_SQL
+
+
+# replica placement (reference: 4 replicas per file on the most-free
+# servers — get_four_most_free_servers, file_system.go:150-175; on a
+# failure each lost replica is re-placed on exactly ONE new server
+# that does not already hold the file — RellocateFiles,
+# file_system.go:725-770)
+REPLICAS = 4
+RING_NIBBLES = 10          # 40-bit ring positions
+RING_BUCKET_SHIFT = 32     # bucket = pos >> 32 -> 256 ring arcs
+
+
+def _ring_pos_spark(prefix: str, col: str) -> str:
+    return _hex_conv(
+        f"md5(concat('{prefix}:', CAST({col} AS STRING)))", RING_NIBBLES)
+
+
+def _ring_pos_sql(prefix: str, col: str) -> str:
+    return _hex_long(
+        f"md5('{prefix}:' || CAST({col} AS VARCHAR))", RING_NIBBLES)
+
+
+def _ring_index(spark: SparkSession, nodes: DataFrame) -> DataFrame:
+    """(node, pos, ring_index) with ring_index dense 0..n-1 in
+    (pos, node) order — WITHOUT a global ordered window: per-arc
+    rank (partitioned window) + driver-stitched arc offsets (the
+    256-row bucket histogram is membership metadata, the same
+    prefix-sum stitch the partitioned running totals use)."""
+    nodes = nodes.withColumn(
+        "bucket", F.expr(f"pos div {2 ** RING_BUCKET_SHIFT}"))
+    counts = {r["bucket"]: r["c"] for r in
+              nodes.groupBy("bucket").agg(
+                  F.count(F.lit(1)).alias("c")).collect()}
+    offs, acc = {}, 0
+    for b in sorted(counts):
+        offs[b] = acc
+        acc += counts[b]
+    off_df = spark.createDataFrame(
+        [(b, o) for b, o in offs.items()], "bucket long, off long")
+    w = Window.partitionBy("bucket").orderBy("pos", "node")
+    return (
+        nodes.join(F.broadcast(off_df), "bucket")
+        .select("node", "pos",
+                (F.row_number().over(w) - 1 + F.col("off"))
+                .alias("ring_index"))
+    )
+
+
+def _placement(spark: SparkSession, ring: DataFrame,
+               files: DataFrame, n_nodes: int) -> DataFrame:
+    """(doc_id, node) replica pairs: each file's REPLICAS ring
+    successors (first nodes at pos >= file pos, wrapping). The
+    successor INDEX is an exact per-arc count (file x its own ~n/256
+    arc's nodes, never file x cluster) + the stitched arc offset;
+    replicas then come from one equi-join on ring_index."""
+    fb = files.withColumn(
+        "bucket", F.expr(f"fpos div {2 ** RING_BUCKET_SHIFT}"))
+    arc = ring.withColumn(
+        "bucket", F.expr(f"pos div {2 ** RING_BUCKET_SHIFT}"))
+    # nodes strictly below fpos within the file's own arc
+    below = (
+        fb.join(arc.select("bucket", "pos"), "bucket", "left")
+        .withColumn("lt", F.when(F.col("pos") < F.col("fpos"), 1)
+                    .otherwise(0))
+        .groupBy("doc_id", "fpos", "bucket")
+        .agg(F.coalesce(F.sum("lt"), F.lit(0)).alias("in_arc"))
+    )
+    counts = {r["bucket"]: r["c"] for r in
+              arc.groupBy("bucket").agg(
+                  F.count(F.lit(1)).alias("c")).collect()}
+    # offsets for EVERY arc (a file may land in a node-empty arc,
+    # whose offset is still the cumulative node count before it)
+    offs, acc = {}, 0
+    for b in range(2 ** (RING_NIBBLES * 4 - RING_BUCKET_SHIFT)):
+        offs[b] = acc
+        acc += counts.get(b, 0)
+    off_df = spark.createDataFrame(
+        [(int(b), int(o)) for b, o in offs.items()],
+        "bucket long, off long")
+    idx = (
+        below.join(F.broadcast(off_df), "bucket")
+        .select("doc_id",
+                (F.col("off") + F.col("in_arc")).alias("idx"))
+    )
+    return (
+        idx.select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(0, {REPLICAS - 1})"))
+            .alias("i"), "idx")
+        .select("doc_id",
+                ((F.col("idx") + F.col("i")) % n_nodes)
+                .alias("ring_index"))
+        .join(ring.select("ring_index", "node"), "ring_index")
+        .select("doc_id", "node")
+    )
+
+
+def replica_rebalance_census(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """What the departure of one node does to replica placement —
+    the reference's RellocateFiles moment (file_system.go:725: every
+    file on the failed server gets exactly ONE new holder), restated
+    with the placement policy a 1000-node deployment would use:
+    REPLICAS=4 ring successors under consistent hashing (the
+    reference places on the 4 most-free servers — a load signal a
+    deterministic census cannot replay; the ring preserves the
+    properties the census certifies: 4 holders per file, and on a
+    departure exactly one new holder per affected file, everything
+    else untouched — minimal disruption, which RellocateFiles
+    achieves imperatively).
+
+    Nodes = customer keys on a 40-bit md5 ring; files = documents;
+    the departing node is the origin (min key — the same node whose
+    LEAVING event gossip_dissemination floods). Output per node:
+    replicas held before, after, and gained (the receive load of the
+    rebalance; the departed node shows files_after = 0).
+
+    Scale shape: ring indexing is a per-arc rank + driver-stitched
+    256-arc offsets (membership metadata, not data); the successor
+    index is an exact per-arc count (file x ~n/256 arc nodes, never
+    file x cluster); replicas come from one ring_index equi-join;
+    the before/after diff is a left-anti join on (doc, node). No
+    global window, no cross join, no O(files x cluster) work."""
+    cust = load_table(spark, "customer", sf_dir)
+    row = cust.agg(F.count(F.lit(1)).alias("n"),
+                   F.min("c_custkey").alias("leaver")).first()
+    n, leaver = int(row["n"]), int(row["leaver"])
+
+    nodes = cust.select(
+        F.col("c_custkey").cast("long").alias("node"),
+        F.expr(_ring_pos_spark("n", "c_custkey")).alias("pos"))
+    files = load_table(spark, "documents", sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(_ring_pos_spark("f", "doc_id")).alias("fpos"))
+
+    ring_b = _ring_index(spark, nodes).transform(cut_deep)
+    ring_a = _ring_index(
+        spark, nodes.filter(F.col("node") != leaver)).transform(cut_deep)
+    before = _placement(spark, ring_b, files, n)
+    after = _placement(spark, ring_a, files, n - 1)
+
+    gained = (
+        after.join(before, ["doc_id", "node"], "left_anti")
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gained"))
+    )
+    nb = before.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("files_before"))
+    na = after.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("files_after"))
+    return (
+        nodes.select("node")
+        .join(nb, "node", "left")
+        .join(na, "node", "left")
+        .join(gained, "node", "left")
+        .select(
+            "node",
+            F.coalesce("files_before", F.lit(0)).cast("long")
+            .alias("files_before"),
+            F.coalesce("files_after", F.lit(0)).cast("long")
+            .alias("files_after"),
+            F.coalesce("n_gained", F.lit(0)).cast("long")
+            .alias("n_gained"),
+        )
+    )
+
+
+
+def _rebalance_placement_sql(ring_sel: str, n_sql: str) -> str:
+    """DuckDB twin of _placement over the node rows yielded by
+    `ring_sel`: global ROW_NUMBER ring indexing (fine in the oracle
+    engine), and the successor index via ONE union window — nodes and
+    files on a common (pos, is_node, id) axis with a running node
+    count, so a file's idx = nodes strictly before it; at equal pos
+    the file sorts BEFORE the node (is_node breaks the tie), so that
+    node still counts as the file's successor, matching the Spark
+    side's strict pos < fpos count."""
+    return f"""
+  SELECT p.doc_id, r.node
+  FROM (
+    SELECT u.doc_id,
+           (COALESCE(u.idx, 0) + s.i) % ({n_sql}) AS ring_index
+    FROM (
+      SELECT doc_id, is_node,
+             SUM(is_node) OVER (
+               ORDER BY pos, is_node, id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS idx
+      FROM (
+        SELECT pos, 1 AS is_node, node AS id,
+               CAST(NULL AS BIGINT) AS doc_id
+        FROM ({ring_sel})
+        UNION ALL
+        SELECT fpos AS pos, 0 AS is_node, doc_id AS id, doc_id
+        FROM files
+      )
+    ) u
+    CROSS JOIN generate_series(0, {REPLICAS - 1}) AS s(i)
+    WHERE u.is_node = 0
+  ) p
+  JOIN (
+    SELECT node,
+           ROW_NUMBER() OVER (ORDER BY pos, node) - 1 AS ring_index
+    FROM ({ring_sel})
+  ) r ON p.ring_index = r.ring_index
+"""
+
+
+_RING_ALL = "SELECT node, pos FROM ring"
+_RING_AFTER = ("SELECT node, pos FROM ring "
+               "WHERE node != (SELECT leaver FROM params)")
+
+REPLICA_REBALANCE_CENSUS_SQL = f"""
+WITH params AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(MIN(c_custkey) AS BIGINT) AS leaver
+  FROM customer
+),
+ring AS (
+  SELECT CAST(c_custkey AS BIGINT) AS node,
+         {_ring_pos_sql("n", "c_custkey")} AS pos
+  FROM customer
+),
+files AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         {_ring_pos_sql("f", "doc_id")} AS fpos
+  FROM documents
+),
+before_p AS (
+{_rebalance_placement_sql(_RING_ALL, "SELECT n FROM params")}
+),
+after_p AS (
+{_rebalance_placement_sql(_RING_AFTER, "SELECT n - 1 FROM params")}
+),
+gained AS (
+  SELECT a.node, CAST(COUNT(*) AS BIGINT) AS n_gained
+  FROM after_p a
+  LEFT JOIN before_p b
+    ON a.doc_id = b.doc_id AND a.node = b.node
+  WHERE b.node IS NULL
+  GROUP BY a.node
+),
+nb AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS files_before
+       FROM before_p GROUP BY node),
+na AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS files_after
+       FROM after_p GROUP BY node)
+SELECT r.node,
+       CAST(COALESCE(nb.files_before, 0) AS BIGINT) AS files_before,
+       CAST(COALESCE(na.files_after, 0) AS BIGINT) AS files_after,
+       CAST(COALESCE(g.n_gained, 0) AS BIGINT) AS n_gained
+FROM ring r
+LEFT JOIN nb ON r.node = nb.node
+LEFT JOIN na ON r.node = na.node
+LEFT JOIN gained g ON r.node = g.node
+"""
+
+QUERIES["replica_rebalance_census"] = replica_rebalance_census
+ORACLES["replica_rebalance_census"] = REPLICA_REBALANCE_CENSUS_SQL

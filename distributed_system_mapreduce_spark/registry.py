@@ -120,7 +120,7 @@ _PRIORITY = [
     "ann_topk_ivfpq", "ann_recall_eval", "stream_funnel_join",
     "stream_abandoned_views", "gossip_dissemination",
     "failure_detection_census", "membership_lww_merge",
-    "events_path_trigrams",
+    "replica_rebalance_census", "events_path_trigrams",
     "events_skew_rollup", "token_budget_sample", "embedding_components",
     "basket_pairs", "events_dau_wau",
     "events_transition_matrix", "events_inter_arrival", "pack_chunks",

@@ -78,3 +78,33 @@ def test_lww_winner_is_latest(spark):
            .filter(F.col("last_time") != F.col("max_ts")))
     assert bad.count() == 0
     assert res.count() <= LWW_SUBJECTS
+
+
+def test_rebalance_minimal_disruption(spark):
+    """The consistent-hash departure census must exhibit exactly the
+    property RellocateFiles implements imperatively: every file that
+    held the departed node gains exactly ONE new holder, no other
+    file moves, and no surviving node loses a replica."""
+    from distributed_system_mapreduce_spark.operators.membership import (
+        REPLICAS,
+    )
+
+    rows = {r["node"]: r for r in
+            QUERIES["replica_rebalance_census"](spark, SF_DIR).collect()}
+    n_files = load_table(spark, "documents", SF_DIR).count()
+    leaver = min(rows)
+    lv = rows[leaver]
+    assert lv["files_after"] == 0 and lv["n_gained"] == 0
+    total_gained = sum(r["n_gained"] for r in rows.values())
+    assert total_gained == lv["files_before"], (
+        total_gained, lv["files_before"])
+    for node, r in rows.items():
+        if node == leaver:
+            continue
+        # survivors never lose: after = before + gained
+        assert r["files_after"] == r["files_before"] + r["n_gained"], r
+    # every file holds exactly REPLICAS replicas in both placements
+    assert sum(r["files_before"] for r in rows.values()) \
+        == REPLICAS * n_files
+    assert sum(r["files_after"] for r in rows.values()) \
+        == REPLICAS * n_files

@@ -112,7 +112,8 @@ def test_registry_prefix_is_oracle_dense():
     lead = ["kmeans_certify", "filestore_lsh_probe", "ann_topk_pq",
             "ann_topk_ivfpq", "ann_recall_eval", "stream_funnel_join",
             "stream_abandoned_views", "gossip_dissemination",
-            "failure_detection_census", "membership_lww_merge"]
+            "failure_detection_census", "membership_lww_merge",
+            "replica_rebalance_census"]
     assert ks[:len(lead)] == lead
     assert all(k in ORACLES for k in ks[:50]), [
         k for k in ks[:50] if k not in ORACLES]

@@ -21,6 +21,10 @@ SHOWCASE = [
     ("membership_lww_merge",
      "LWW merge: per-slot top-1 (WindowGroupLimit below the "
      "exchange) + partial-agg counts, one shuffle key"),
+    ("replica_rebalance_census",
+     "ring placement: per-arc rank + stitched 256-arc offsets "
+     "(metadata), successor index from file x own-arc nodes only, "
+     "one ring_index equi-join; no global window"),
     ("scd2_rate_join",
      "SCD-2 as-of bucketized: broadcast fill-forward grid, fact side "
      "pays broadcast hash joins only, one agg exchange"),

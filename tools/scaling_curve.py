@@ -109,7 +109,7 @@ QUERIES_UNDER_TEST = [
     # cluster); the census is one partitioned lag-window; the merge
     # a per-slot top-1 + partial agg
     "gossip_dissemination", "failure_detection_census",
-    "membership_lww_merge",
+    "membership_lww_merge", "replica_rebalance_census",
 ]
 
 # Queries whose RESULT grows faster than the input under this corpus
