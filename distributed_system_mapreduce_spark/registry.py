@@ -105,9 +105,13 @@ if _extra:
 # loop + one assignment pass, not a full kmeans_embed re-run),
 # filestore_lsh_probe (pid-unique store name; ADVICE r9), and the
 # three ADC+R keys (ann_topk_pq / ann_topk_ivfpq / ann_recall_eval:
-# the PQ paths gained the bounded exact re-rank, new oracle SQL), and
-# the two stream-stream joins (drain now pins a small state-store
-# partition count — physical only, but re-gate it) — then
+# the PQ paths gained the bounded exact re-rank + auto-scaled
+# codebook/refine, new oracle SQL), the two stream-stream joins
+# (drain now pins a small state-store partition count — physical
+# only, but re-gate it), and the four BRAND-NEW membership-protocol
+# keys (first driver evidence: gossip_dissemination,
+# failure_detection_census, membership_lww_merge,
+# replica_rebalance_census) — then
 # rotates the STALEST driver evidence forward: the full remaining
 # r03 block (events_path_trigrams ... text_normalize), then the
 # oldest r04 keys to fill the 50-slot budget. Positions 51+ continue
