@@ -4,9 +4,9 @@ detect_failures/detect_failures.go, net_node/node.go).
 The reference's failure-detection layer was until round 10 the one
 piece of its surface with NO executable analogue here (SURVEY §4
 delegates live membership to the cluster manager — the right call at
-100 TB, where you do not hand-roll gossip under Spark). These three
+100 TB, where you do not hand-roll gossip under Spark). These
 operators close the gap the way an analytics engine should: as
-DETERMINISTIC, oracle-gated computations of the protocol's three
+DETERMINISTIC, oracle-gated computations of the protocol's
 behaviors, runnable on the cluster-event tables any 1000-executor
 deployment already has —
 
@@ -27,13 +27,18 @@ deployment already has —
   incoming entry replaces the local one iff its LastTime is newer —
   MergeTables, detect_failures.go:103-133) over a corpus of
   per-observer status observations.
+- ``replica_rebalance_census``: the replica-placement fallout of one
+  node's departure (RellocateFiles, file_system.go:725) under
+  4-replica consistent-hash-ring placement.
 
 Scale shape: gossip_dissemination is R_MAX bounded rounds of
 explode + distinct over the roster (per-round lineage cut, never a
 cross join); the census is one partitioned lag-window over the
 heartbeat log; the merge is a per-subject top-1 window (WindowGroup-
-Limit partial top-k below the exchange) plus a partial-agg count —
-all three hold at any node/log cardinality.
+Limit partial top-k below the exchange) plus a partial-agg count;
+the rebalance census indexes the ring with per-arc ranks + stitched
+arc offsets and joins on ring_index — all hold at any node/log
+cardinality.
 """
 
 from __future__ import annotations
