@@ -12,12 +12,16 @@
 kmeans scale shape (the MLlib KMeans skeleton, restated with public
 DataFrame ops): centroids are K x DIM doubles — driver-side state the
 size of a broadcast variable, NOT data. Each iteration is one job:
-broadcast the K codewords, per-row min(struct(d2, cid)) assignment
-(partial-aggregating shuffle keyed by vec_id), centroid update via
-posexplode -> groupBy(cluster, pos) mean (map-side combine reduces
-the exchange to K x DIM rows per input partition). The only driver
-collect is the K x DIM centroid matrix per iteration — bounded by K,
-never by corpus size. On a real 100 TB corpus you would .persist()
+the K codewords are INLINED as literal arrays into a narrow
+array_min(struct(d2, cid)) argmin map (r10 — the previous shape
+broadcast-joined a K-row centroid table and re-extracted the argmin
+with a corpus-wide groupBy(vec_id) partial-min Exchange; same
+arithmetic, one whole shuffle and a xK row blowup removed per
+round), then the centroid update via posexplode ->
+groupBy(cluster, pos) mean (map-side combine reduces the exchange to
+K x DIM rows per input partition). The only driver collect is the
+K x DIM centroid matrix per iteration — bounded by K, never by
+corpus size. On a real 100 TB corpus you would .persist()
 the vectors across iterations; at test SF the re-scan is cheaper
 than the cache churn.
 
@@ -34,59 +38,93 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distributed_system_mapreduce_spark.functions import vectors as V
-from distributed_system_mapreduce_spark.tables import load_table
+from distributed_system_mapreduce_spark.lineage import cut
+from distributed_system_mapreduce_spark.tables import load_table, spread
 
 K_CLUSTERS = 8
 KMEANS_ITERS = 4
 
 
-def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast K codewords, narrow xK
-    distance map, min(struct) argmin — no window, one shuffle keyed
-    by vec_id (same shape as similarity._with_cell)."""
-    d2 = F.expr(V.dist2_expr("embedding", "cemb"))
-    return (
-        vecs.join(F.broadcast(cents))
-        .groupBy("vec_id")
-        .agg(F.min(F.struct(d2.alias("d2"), F.col("cid").alias("cid")))
-             .alias("best"))
-        .select("vec_id",
-                F.col("best.cid").alias("cluster"),
-                F.col("best.d2").alias("dist2"))
+def _lit_arr(vals: list[float]) -> str:
+    """SQL literal array<double> from Python floats. repr() is the
+    shortest round-trip representation and CAST(string AS DOUBLE)
+    parses it back to the identical double, so inlining centroids
+    is bit-exact vs joining them in as a column."""
+    return ("array(" + ", ".join(
+        f"CAST('{v!r}' AS DOUBLE)" for v in vals) + ")")
+
+
+def _argmin_lit(cent_rows: list[tuple[int, list[float]]]) -> F.Column:
+    """struct(d2, cid) of the nearest centroid with the K centroids
+    inlined as literals — a NARROW codegen-stage map (r10: the old
+    _assign broadcast-joined the K-row centroid table and took the
+    argmin with a corpus-wide groupBy(vec_id) partial-min shuffle;
+    centroids are driver state of size K x DIM, so the join, the xK
+    row blowup AND the Exchange are all unnecessary). Distances use
+    the same strict left-fold dist2 expression on the same double
+    values, and array_min orders struct(d2, cid) exactly like
+    min(struct(d2, cid)) did, so assignments are bit-identical."""
+    return F.array_min(F.array(*[
+        F.struct(
+            F.expr(V.dist2_expr("embedding", _lit_arr(list(emb))))
+            .alias("d2"),
+            F.lit(int(cid)).cast("long").alias("cid"),
+        )
+        for cid, emb in sorted(cent_rows)
+    ]))
+
+
+def _assign(vecs: DataFrame,
+            cent_rows: list[tuple[int, list[float]]]) -> DataFrame:
+    """Nearest-centroid assignment over literal centroids: one narrow
+    map, zero shuffles (see _argmin_lit)."""
+    best = _argmin_lit(cent_rows)
+    return vecs.select(
+        "vec_id",
+        best["cid"].alias("cluster"),
+        best["d2"].alias("dist2"),
     )
 
 
-def _train(spark: SparkSession, vecs: DataFrame) -> DataFrame:
-    """The shared Lloyd's loop (KMEANS_ITERS rounds, deterministic
-    seed = the K lowest vec_ids): returns the FINAL centroid table so
-    both consumers (kmeans_embed's assignment output, kmeans_certify's
-    final-cost flag) train exactly once instead of certify re-running
-    kmeans_embed end-to-end (the r9 verdict's double-Lloyd's nit)."""
-    cents = (
+def seed_rows(vecs: DataFrame) -> list[tuple[int, list[float]]]:
+    """The deterministic seed centroids (the K lowest vec_ids) as
+    driver rows — K x DIM floats, bounded state."""
+    rows = (
         vecs.filter(F.col("vec_id") < K_CLUSTERS)
         .select(F.col("vec_id").alias("cid"),
                 F.col("embedding").alias("cemb"))
+        .collect()
     )
-    prev = {r["cid"]: list(r["cemb"]) for r in cents.collect()}
-    d2 = F.expr(V.dist2_expr("embedding", "cemb"))
+    return sorted((int(r["cid"]), list(r["cemb"])) for r in rows)
+
+
+def _train(spark: SparkSession,
+           vecs: DataFrame) -> list[tuple[int, list[float]]]:
+    """The shared Lloyd's loop (KMEANS_ITERS rounds, deterministic
+    seed = the K lowest vec_ids): returns the FINAL centroids so
+    both consumers (kmeans_embed's assignment output, kmeans_certify's
+    final-cost flag) train exactly once instead of certify re-running
+    kmeans_embed end-to-end (the r9 verdict's double-Lloyd's nit).
+
+    r10 shape: each round's assignment is the narrow literal-centroid
+    argmin (_argmin_lit) — the old round plan broadcast the K-row
+    centroid table into a xK-row join and took the argmin back out
+    with a corpus-wide groupBy(vec_id) partial-min Exchange (plus a
+    first(embedding) carry). Centroids are driver state, so the whole
+    round is now: narrow argmin map -> posexplode -> ONE partial-agg
+    shuffle of K x DIM x n_partitions partial sums. Centroid means
+    are float avgs whose partial-sum order already depended on the
+    input partitioning (kmeans_embed is rows-only for exactly that
+    reason); the hash-gated kmeans_certify output only uses the
+    seed-round assignment and the monotone flag, both unaffected."""
+    prev = dict(seed_rows(vecs))
     for _ in range(KMEANS_ITERS):
-        # Fused assign+carry: the argmin aggregate also carries the
-        # vector (every row in a vec_id group repeats it, so first()
-        # is exact) — the old join-back of the assignment onto vecs
-        # cost a second corpus shuffle per round.
-        asg = (
-            vecs.join(F.broadcast(cents))
-            .groupBy("vec_id")
-            .agg(
-                F.min(F.struct(d2.alias("d2"), F.col("cid").alias("cid")))
-                .alias("best"),
-                F.first("embedding").alias("emb"),
-            )
-            .select(F.col("best.cid").alias("cluster"), "emb")
-        )
+        best = _argmin_lit(sorted(prev.items()))
+        asg = vecs.select(best["cid"].alias("cluster"), "embedding")
         upd = (
             asg.select("cluster",
-                       F.posexplode(F.col("emb").cast("array<double>"))
+                       F.posexplode(
+                           F.col("embedding").cast("array<double>"))
                        .alias("pos", "x"))
             .groupBy("cluster", "pos")
             .agg(F.avg("x").alias("m"))
@@ -95,12 +133,9 @@ def _train(spark: SparkSession, vecs: DataFrame) -> DataFrame:
                 F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("cluster", F.col("pm.m").alias("cemb"))
         )
-        new = {r["cluster"]: list(r["cemb"]) for r in upd.collect()}
+        new = {int(r["cluster"]): list(r["cemb"]) for r in upd.collect()}
         prev = {**prev, **new}  # empty clusters keep their old centroid
-        cents = spark.createDataFrame(
-            [(cid, emb) for cid, emb in sorted(prev.items())],
-            "cid long, cemb array<double>")
-    return cents
+    return sorted(prev.items())
 
 
 def kmeans_embed(spark: SparkSession, sf_dir: str,
@@ -117,19 +152,26 @@ def kmeans_embed(spark: SparkSession, sf_dir: str,
     default). The cache lives until the session evicts it — callers
     owning the session lifecycle can unpersist after consuming the
     result."""
-    # NOTE on partitioning: at this SF the scan is one row group and
-    # the per-round jobs are SCHEDULING-bound, so a spread() here
-    # measured slower (32 micro-tasks x 8 jobs beat by 1 task x 8);
-    # on a real corpus the parquet splits into many partitions on its
-    # own and persist=True below keeps them resident across rounds.
-    vecs = load_table(spark, "embeddings", sf_dir).select(
-        "vec_id", "embedding")
+    # spread(): the narrow literal-centroid argmin (r10) runs the
+    # interpreted dist2 folds inside the scan stage — on the local
+    # single-row-group parquet that is ONE task, so rebalance first
+    # (the old shape hid this behind its groupBy(vec_id) Exchange,
+    # which re-spread the agg side; with the Exchange gone the scan
+    # partitioning IS the compute partitioning).
+    vecs = spread(load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding"))
     if persist:
         from pyspark import StorageLevel
 
         vecs = vecs.persist(StorageLevel.MEMORY_AND_DISK)
-    cents = _train(spark, vecs)
-    final = _assign(vecs, cents)
+    # one barrier: the final assignment feeds both the size rollup and
+    # the output join — without it the argmin map replays per consumer.
+    # Under persist=True the barrier is a SHALLOW persist cut, not a
+    # checkpoint: lineage survives (executor loss degrades to
+    # recompute — the cluster posture's whole point) and the cached
+    # vector table stays visible in the final plan.
+    final = _assign(vecs, _train(spark, vecs)).transform(
+        (lambda df: cut(df, mode="persist")) if persist else cut)
     sizes = final.groupBy("cluster").agg(
         F.count("*").alias("cluster_size"))
     return final.join(F.broadcast(sizes), "cluster").select(
@@ -239,21 +281,31 @@ def kmeans_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
     or a broken assignment (wrong argmin / tie-break) flips a value
     and the gate goes red.
 
-    Shape: one broadcast-K argmin pass for round 1 (same plan as
-    _assign), one shared _train loop + ONE more argmin pass for the
-    final cost (r9 verdict: certify used to re-run kmeans_embed
-    end-to-end, whose lazy size-join recomputed the assignment — two
-    extra corpus passes the flag never needed); the only driver state
-    is two scalar costs."""
-    vecs = load_table(spark, "embeddings", sf_dir).select(
-        "vec_id", "embedding")
-    seeds = (
-        vecs.filter(F.col("vec_id") < K_CLUSTERS)
-        .select(F.col("vec_id").alias("cid"),
-                F.col("embedding").alias("cemb"))
+    Shape (r10): ONE narrow-argmin pass computes the round-1 stats
+    AND the round-1 cost in the same grouped aggregate (the old plan
+    paid a separate global-sum pass for the cost, then recomputed the
+    whole round-1 assignment when the returned DataFrame was
+    consumed), the shared _train loop, and ONE more narrow-argmin
+    pass for the final cost. The output is rebuilt from the K
+    collected stat rows — bounded driver state, exactly the pattern
+    the monotone flag already used — so consuming the result never
+    re-runs the assignment. r1_cost is now the sum of the K exact
+    per-cluster float sums instead of one global float sum; float
+    sums were already partial-aggregation-order dependent, and the
+    flag carries a 1e-9 relative slack precisely for summation-order
+    noise."""
+    vecs = spread(load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding"))
+    r1 = _assign(vecs, seed_rows(vecs))
+    stats = sorted(
+        r1.groupBy("cluster")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_assigned"),
+             F.sum("vec_id").cast("long").alias("sum_vec_id"),
+             F.sum("dist2").alias("cost"))
+        .collect(),
+        key=lambda r: r["cluster"],
     )
-    r1 = _assign(vecs, seeds)
-    r1_cost = r1.agg(F.sum("dist2")).collect()[0][0]
+    r1_cost = sum(r["cost"] for r in stats)
     final_cost = (
         _assign(vecs, _train(spark, vecs))
         .agg(F.sum("dist2")).collect()[0][0]
@@ -262,13 +314,11 @@ def kmeans_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
     # holds mathematically round over round, the slack only guards
     # summation-order noise when the algorithm has already converged
     monotone = bool(final_cost <= r1_cost * (1 + 1e-9))
-    return (
-        r1.groupBy("cluster")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_assigned"),
-             F.sum("vec_id").cast("long").alias("sum_vec_id"))
-        .select(F.col("cluster").cast("long").alias("cluster"),
-                "n_assigned", "sum_vec_id",
-                F.lit(monotone).alias("monotone_ok"))
+    return spark.createDataFrame(
+        [(int(r["cluster"]), int(r["n_assigned"]),
+          int(r["sum_vec_id"]), monotone) for r in stats],
+        "cluster long, n_assigned long, sum_vec_id long, "
+        "monotone_ok boolean",
     )
 
 

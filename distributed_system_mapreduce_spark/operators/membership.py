@@ -48,7 +48,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from distributed_system_mapreduce_spark.lineage import cut_deep
+from distributed_system_mapreduce_spark.lineage import cut, cut_deep
 from distributed_system_mapreduce_spark.operators.probabilistic import (
     _hex_conv,
     _hex_long,
@@ -125,7 +125,13 @@ def gossip_dissemination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.expr(_gossip_target_spark(str(r), n))
                     .alias("node"))
             .distinct()
-            .transform(cut_deep)
+            # LAZY per-round barrier (r10): the cut only exists to
+            # truncate lineage/plan growth — each round's distinct is
+            # a shuffle stage the single final action already computes
+            # exactly once (both consumers, round r+1 and the union,
+            # reuse its shuffle output), so the 12 EAGER
+            # materialization jobs were pure per-round scheduling tax
+            .transform(lambda df: cut(df, eager=False, deep=True))
         )
         rounds.append(roster.select(
             F.lit(r).cast("long").alias("round"), "node"))
@@ -478,8 +484,13 @@ def replica_rebalance_census(spark: SparkSession,
     ring_b = _ring_index(spark, nodes).transform(cut_deep)
     ring_a = _ring_index(
         spark, nodes.filter(F.col("node") != leaver)).transform(cut_deep)
-    before = _placement(spark, ring_b, files, n)
-    after = _placement(spark, ring_a, files, n - 1)
+    # each placement is consumed by THREE subtrees below (the
+    # anti-join diff and both per-node rollups) — without a barrier
+    # the arc join + successor-index aggregate replayed 3x per ring
+    # (r10: one cut each, measured plan went from 6 placement builds
+    # to 2)
+    before = _placement(spark, ring_b, files, n).transform(cut)
+    after = _placement(spark, ring_a, files, n - 1).transform(cut)
 
     gained = (
         after.join(before, ["doc_id", "node"], "left_anti")

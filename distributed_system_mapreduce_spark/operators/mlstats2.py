@@ -327,13 +327,20 @@ def hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(cut)
     )
     hub1 = edges.groupBy("c").agg(F.count("*").alias("h1"))
+    # r10: auth2 feeds THREE subtrees (hub3's join, its own total,
+    # the authority top-k) and hub3 feeds two — without a barrier
+    # each consumer replayed the edge-join + partial agg (plan showed
+    # the auth2 subtree 3x). One node-sized cut each; guide §2.4
+    # (share one exchange) / §5 (cache only what is reused).
     auth2 = (
         edges.join(hub1, "c")
         .groupBy("p").agg(F.sum("h1").alias("a2"))
+        .transform(cut)
     )
     hub3 = (
         edges.join(auth2, "p")
         .groupBy("c").agg(F.sum("a2").alias("h3"))
+        .transform(cut)
     )
     a_tot = auth2.agg(F.sum("a2").alias("tot"))
     h_tot = hub3.agg(F.sum("h3").alias("tot"))

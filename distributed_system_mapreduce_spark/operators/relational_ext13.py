@@ -90,7 +90,11 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionByName(reached)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .transform(cut_deep)  # per-hop barrier inside the loop
+            # LAZY per-hop barrier (r10): lineage still truncates, but
+            # the hop materializes inside the single final action (its
+            # min-dist shuffle is computed once and reused by both
+            # consumers) instead of paying one eager job per hop
+            .transform(lambda df: cut(df, eager=False, deep=True))
         )
     return (
         dist.groupBy("dist")
@@ -179,7 +183,12 @@ def kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "left_semi")
             .join(keep.withColumnRenamed("node", "dst"), "dst",
                   "left_semi")
-            .transform(cut_deep)  # per-round peel inside the loop
+            # LAZY per-round peel (r10): the checkpoint RDD still pins
+            # this round's physical plan (constant plan size), but
+            # materialization now happens inside the single final
+            # action — the localCheckpoint cache serves all three
+            # next-round consumers — instead of one eager job per round
+            .transform(lambda df: cut(df, eager=False, deep=True))
         )
     return alive.agg(
         F.lit(KCORE_K).cast("long").alias("k"),

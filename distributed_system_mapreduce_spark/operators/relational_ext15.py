@@ -472,14 +472,29 @@ def order_total_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("l_discount").cast("decimal(18,2)"))
          * (F.lit(1).cast("decimal(18,2)")
             + F.col("l_tax").cast("decimal(18,2)"))).alias("charge"))
-    per = (
-        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left")
-        .groupBy("o_orderkey", "o_orderstatus", "stored")
-        .agg(F.count("charge").cast("long").alias("n_lines"),
+    # r10 (guide §2.3, aggregate before you shuffle): fold lineitem
+    # to per-order (n_lines, charge sum) BEFORE the join — the
+    # partial agg map-side-combines ~4 lines/order into one row, so
+    # the exchange carries order-count rows instead of line-count
+    # rows, and the join consumes the agg's hash partitioning (one
+    # exchange on each side instead of a full fact-fact line-level
+    # shuffle + re-agg). Identical arithmetic: charge is never NULL,
+    # so count(*) == count(charge), and an order with no lineitems
+    # surfaces as a join miss -> n_lines 0 / adiff NULL exactly as
+    # the old left-join + count produced.
+    per_li = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("nl"),
              F.sum("charge").cast("decimal(38,6)").alias("computed"))
+    )
+    per = (
+        o.join(per_li, F.col("o_orderkey") == F.col("l_orderkey"),
+               "left")
         .select(
-            "o_orderstatus", "n_lines",
-            F.when(F.col("n_lines") > 0,
+            "o_orderstatus",
+            F.coalesce(F.col("nl"), F.lit(0).cast("long"))
+            .alias("n_lines"),
+            F.when(F.col("nl").isNotNull(),
                    F.abs(F.col("stored").cast("decimal(38,6)")
                          - F.col("computed"))).alias("adiff"),
         )

@@ -1445,6 +1445,13 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the eval is five existing ANN plans plus aggregates over
     a 64-query panel — the panel, not the corpus, bounds the eval
     cost beyond the index builds themselves."""
+    # NOTE (r10): do NOT localCheckpoint gold here. It is consumed by
+    # eight subtrees, but they live in ONE union plan and ReuseExchange
+    # already dedupes the identical brute-force subtree, while an RDD
+    # barrier erases the table's stats (the tiny per-method joins lose
+    # their broadcast plans). Cold-session solo A/B at sf0.1 measured
+    # no-cut 6.7s vs eager-cut 6.9s vs lazy-cut 8.1s — the barrier
+    # never wins, so the naive "share it" move stays out.
     gold = ann_topk_brute(spark, sf_dir)
     lsh_row = _recall_row(gold, ann_topk_lsh(spark, sf_dir), "lsh")
     ivf_row = _recall_row(gold, ann_topk_ivf(spark, sf_dir), "ivf")

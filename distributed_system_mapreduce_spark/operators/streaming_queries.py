@@ -38,13 +38,15 @@ from pyspark.sql import functions as F
 _DRAIN_SEQ = itertools.count()
 
 
-def _drain(df: DataFrame, prefix: str) -> str:
+def _drain(df: DataFrame, prefix: str,
+           state_partitions: int | None = None) -> str:
     from distributed_system_mapreduce_spark.streaming import (
         run_stream_to_memory,
     )
 
     name = f"{prefix}_{next(_DRAIN_SEQ)}"
-    run_stream_to_memory(df, name, output_mode="complete")
+    run_stream_to_memory(df, name, output_mode="complete",
+                         state_partitions=state_partitions)
     return name
 
 
@@ -81,7 +83,7 @@ def stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = read_events_stream(spark, sf_dir)
-    name = _drain(windowed_counts(ev), "sq_rollup")
+    name = _drain(windowed_counts(ev), "sq_rollup", state_partitions=8)
     return spark.table(name).select(
         F.to_date("day").alias("day"),
         "event_type",
@@ -118,7 +120,7 @@ def stream_topk_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = read_events_stream(spark, sf_dir)
-    name = _drain(windowed_user_counts(ev), "sq_topk")
+    name = _drain(windowed_user_counts(ev), "sq_topk", state_partitions=8)
     ranked = topk_per_window(spark.table(name), _TOPK)
     return ranked.select(
         F.to_date("day").alias("day"),
@@ -160,7 +162,8 @@ def stream_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_events_stream(spark, sf_dir)
     cust = load_table(spark, "customer", sf_dir)
-    name = _drain(enrich_with_customers(ev, cust), "sq_enrich")
+    name = _drain(enrich_with_customers(ev, cust), "sq_enrich",
+                  state_partitions=8)
     return spark.table(name).select(
         F.to_date("day").alias("day"),
         F.col("c_mktsegment").alias("segment"),
@@ -203,7 +206,8 @@ def stream_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     doubled = read_events_stream(spark, sf_dir).unionByName(
         read_events_stream(spark, sf_dir))
-    name = _drain_append(dedup_stream(doubled), "sq_dedup")
+    name = _drain_append(dedup_stream(doubled), "sq_dedup",
+                         state_partitions=8)
     return (
         spark.table(name)
         .groupBy("event_type")
@@ -527,7 +531,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     name = f"sq_sess_{next(_DRAIN_SEQ)}"
     run_stream_to_memory(sessionize_stream(ev), name,
-                         output_mode="update")
+                         output_mode="update", state_partitions=8)
     t = spark.table(name)
     w = Window.partitionBy("user_id").orderBy(
         F.desc("n_events"), F.desc("n_sessions"))
@@ -577,7 +581,8 @@ def stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_events_stream(spark, sf_dir)
     name = f"sq_thr_{next(_DRAIN_SEQ)}"
-    run_stream_to_memory(throttle_stream(ev), name, output_mode="update")
+    run_stream_to_memory(throttle_stream(ev), name, output_mode="update",
+                         state_partitions=8)
     t = spark.table(name)
     w = Window.partitionBy("user_id").orderBy(
         F.desc("n_events"), F.desc("n_kept"))

@@ -32,10 +32,8 @@ def test_kmeans_improves_on_init(spark):
 
     vecs = load_table(spark, "embeddings", SF_DIR).select(
         "vec_id", "embedding")
-    seeds = vecs.filter(
-        F.col("vec_id") < clustering.K_CLUSTERS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
-    init_cost = clustering._assign(vecs, seeds).agg(
+    init_cost = clustering._assign(
+        vecs, clustering.seed_rows(vecs)).agg(
         F.sum("dist2")).collect()[0][0]
     final_cost = QUERIES["kmeans_embed"](spark, SF_DIR).agg(
         F.sum("dist2")).collect()[0][0]
