@@ -45,10 +45,18 @@ def _word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _symbolize(words: DataFrame) -> DataFrame:
-    # chars + end-of-word marker; split('', word) yields single chars
+    # chars + end-of-word marker; split('', word) yields single chars.
+    # r10: the table carries BOTH representations — `syms` (the array
+    # the pair counts and the stat consumers read) and `enc`, the
+    # oracle's own separator encoding SEP s1 SEP SEP s2 SEP ... SEP sn
+    # SEP (_bpe_rounds_sql), because one merge round over `enc` is a
+    # single codegen'd string replace() (see _merge_round). Both
+    # columns are materialized together by each round's checkpoint.
+    syms = F.expr(f"concat(split(w, ''), array('{EOW}'))")
     return words.select(
-        "w", "cnt",
-        F.expr(f"concat(split(w, ''), array('{EOW}'))").alias("syms"),
+        "w", "cnt", syms.alias("syms"),
+        F.concat(F.lit(_SEP), F.array_join(syms, _S2),
+                 F.lit(_SEP)).alias("enc"),
     )
 
 
@@ -73,23 +81,34 @@ def _pair_counts(syms: DataFrame) -> DataFrame:
 
 def _merge_round(syms: DataFrame, a: str, b: str) -> DataFrame:
     """Apply one merge rule: greedy left-to-right non-overlapping
-    replacement of adjacent (a, b) with a||b — a JVM fold, no UDF.
-    Lambda-bound literals, so corpus symbols never splice into SQL
-    text."""
-    la, lb = F.lit(a), F.lit(b)
+    replacement of adjacent (a, b) with a||b.
 
-    def step(acc, x):
-        merged = (F.size(acc) > 0) \
-            & (F.element_at(acc, -1) == la) & (x == lb)
-        return F.when(
-            merged,
-            F.concat(F.slice(acc, 1, F.size(acc) - 1),
-                     F.array(F.concat(la, lb))),
-        ).otherwise(F.concat(acc, F.array(x)))
-
-    new = F.aggregate(
-        "syms", F.array().cast("array<string>"), step)
-    return syms.select("w", "cnt", new.alias("syms"))
+    r10 (guide §4.1 prefer codegen'd built-ins over interpreted
+    folds): the round is ONE string replace() over the separator
+    encoding — replace(enc, SEP a SEP SEP b SEP, SEP ab SEP) — which
+    is EXACTLY the transformation the DuckDB oracle has hash-gated
+    since r8 (_bpe_rounds_sql): replace() scans left to right and
+    resumes after each replacement, which IS the Sennrich greedy
+    non-overlapping semantics the previous interpreted
+    F.aggregate(...) array fold implemented (that fold copied the
+    accumulator array per element — O(n^2) interpreted work per word
+    per round). The syms array is re-derived from the new encoding by
+    one codegen'd split in the same projection, so downstream
+    consumers are unchanged. Lambda-bound literals (F.lit), so corpus
+    symbols never splice into SQL text. Assumes SEP (\\x01) never
+    occurs inside a token — the documented corpus assumption the
+    oracle has always relied on (see the _SEP comment)."""
+    new_enc = F.replace(
+        F.col("enc"),
+        F.lit(_SEP + a + _S2 + b + _SEP),
+        F.lit(_SEP + a + b + _SEP),
+    )
+    return syms.select(
+        "w", "cnt",
+        F.split(new_enc.substr(F.lit(2), F.length(new_enc) - 2),
+                _S2).alias("syms"),
+        new_enc.alias("enc"),
+    )
 
 
 def _train(spark: SparkSession, sf_dir: str,

@@ -128,12 +128,12 @@ def test_pair_counts_survives_single_symbol_words(spark):
     from distributed_system_mapreduce_spark.operators.bpe import (
         _merge_round,
         _pair_counts,
+        _symbolize,
     )
 
     words = spark.createDataFrame(
         [("a", 5), ("ab", 2)], "w string, cnt long")
-    syms = words.selectExpr(
-        "w", "cnt", "concat(split(w, ''), array('</w>')) AS syms")
+    syms = _symbolize(words)
     m1 = _merge_round(syms, "a", "</w>")   # 'a' -> ['a</w>'] (size 1)
     rows = {r["w"]: r["syms"] for r in m1.collect()}
     assert rows["a"] == ["a</w>"]
