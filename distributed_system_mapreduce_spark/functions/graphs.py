@@ -32,20 +32,33 @@ _PAIRS_EXPR = (
 )
 
 
-def copurchase_pairs(li: DataFrame) -> DataFrame:
-    """(u, v) with u < v, one row per (order, unordered part pair).
-
-    `li` must carry l_orderkey, l_partkey. The explode stays inline
-    over the materialized array column (Generate is the barrier that
-    keeps the pair expansion evaluated once — the shingles_from_docs
-    projection-collapse lesson)."""
-    sets = li.select("l_orderkey", "l_partkey").groupBy(
+def order_part_sets(li: DataFrame) -> DataFrame:
+    """(l_orderkey, a): each order's sorted DISTINCT part array —
+    collect_set dedups, so callers must never pay a distinct() first.
+    The sufficient statistic for basket analytics: row count = basket
+    count, explode(a) = the distinct (order, part) table, the pair
+    expansion below = co-purchase pairs."""
+    return li.select("l_orderkey", "l_partkey").groupBy(
         "l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("a"))
+
+
+def explode_pairs(sets: DataFrame) -> DataFrame:
+    """(u, v) with u < v from an order_part_sets table, one row per
+    (order, unordered part pair). The explode stays inline over the
+    materialized array column (Generate is the barrier that keeps the
+    pair expansion evaluated once — the shingles_from_docs
+    projection-collapse lesson)."""
     return (
         sets.select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
         .select("p.u", "p.v")
     )
+
+
+def copurchase_pairs(li: DataFrame) -> DataFrame:
+    """(u, v) with u < v, one row per (order, unordered part pair).
+    `li` must carry l_orderkey, l_partkey."""
+    return explode_pairs(order_part_sets(li))
 
 
 def copair_counts(li: DataFrame) -> DataFrame:

@@ -102,6 +102,38 @@ BM25_B = 0.75
 BM25_TOPK = 20
 
 
+def _bm25_per_doc_stats(spark: SparkSession, sf_dir: str):
+    """(per_doc, stats) — the single tokenize+explode pass behind every
+    anchor-query ranker. per_doc: (doc_id, dl, tf_<term>...) from one
+    conditional aggregate (explode_outer keeps zero-token docs in
+    n_docs; count(term) keeps their dl at 0). stats: 1-row corpus
+    aggregate (n_docs, sum_dl, df per term — df = docs with tf > 0)
+    over the SAME doc_id exchange, which Spark plans as a
+    ReusedExchange. Shared by bm25_rank AND tfidf_ranked so the
+    fusion/eval consumers (hybrid_rank_fusion, rank_tau_eval)
+    tokenize the corpus once, not once per ranker.
+
+    per_doc is consumed by both the stats aggregate and the ranking
+    path; a localCheckpoint here measures SLOWER end-to-end (the
+    eager materialization job costs more than the duplicated
+    post-shuffle aggregate — AQE reuses the shuffle stage at
+    runtime), so the lineage stays declarative."""
+    docs = spread(load_table(spark, "documents", sf_dir))
+    tok = docs.select("doc_id", F.explode_outer(X.tokens()).alias("term"))
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count("term").alias("dl"),
+        *[F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+          .alias(f"tf_{t}") for t in BM25_QUERY],
+    )
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+          for t in BM25_QUERY],
+    )
+    return per_doc, stats
+
+
 def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 documents for a fixed anchor query under BM25 (rational
     Robertson idf, no ln — see module docstring).
@@ -120,24 +152,7 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     so values are bit-identical to the unchanged DuckDB oracle;
     global top-20 via orderBy+limit = TakeOrderedAndProject (never a
     global window)."""
-    docs = spread(load_table(spark, "documents", sf_dir))
-    tok = docs.select("doc_id", F.explode_outer(X.tokens()).alias("term"))
-    # per_doc is consumed by both the stats aggregate and the ranking
-    # path; a localCheckpoint here measures SLOWER end-to-end (the
-    # eager materialization job costs more than the duplicated
-    # post-shuffle aggregate — AQE reuses the shuffle stage at
-    # runtime), so the lineage stays declarative.
-    per_doc = tok.groupBy("doc_id").agg(
-        F.count("term").alias("dl"),
-        *[F.sum(F.when(F.col("term") == t, 1).otherwise(0))
-          .alias(f"tf_{t}") for t in BM25_QUERY],
-    )
-    stats = per_doc.agg(
-        F.count("*").alias("n_docs"),
-        F.sum("dl").alias("sum_dl"),
-        *[F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
-          for t in BM25_QUERY],
-    )
+    per_doc, stats = _bm25_per_doc_stats(spark, sf_dir)
 
     def term_score(t: str):
         tf_c = F.col(f"tf_{t}").cast("double")
@@ -151,6 +166,70 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # only docs containing >= 1 query term are ranked (the old tf
     # table's implicit filter — keeps the output set identical)
+    has_term = None
+    for t in BM25_QUERY:
+        c = F.col(f"tf_{t}") > 0
+        has_term = c if has_term is None else (has_term | c)
+    total = None
+    for t in BM25_QUERY:
+        c = term_score(t)
+        total = c if total is None else total + c
+    return (
+        per_doc.filter(has_term)
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "dl", total.alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
+    )
+
+
+def bm25_rel(per_doc: DataFrame) -> DataFrame:
+    """(doc_id, rel): the term-coverage gold label rel(doc) =
+    |distinct query terms present| (0..3), derived from per_doc's tf
+    flags — bit-identical to size(array_intersect(array_distinct(
+    tokens), array(terms))) because tf_t > 0 iff term t occurs, with
+    NO second tokenize pass (the eval queries re-tokenized the corpus
+    for this before r10)."""
+    rel = None
+    for t in BM25_QUERY:
+        c = (F.col(f"tf_{t}") > 0).cast("long")
+        rel = c if rel is None else rel + c
+    return per_doc.select("doc_id", rel.alias("rel"))
+
+
+def _bm25_head_from_tf(tf: DataFrame, n: DataFrame) -> DataFrame:
+    """bm25_rank's exact (doc_id, dl, bm25) ordered top-20, rebuilt
+    from an ALREADY-TOKENIZED (doc_id, term, tf) table plus a 1-row
+    n_docs aggregate — for consumers (query_expansion_prf) that need
+    the full-vocab tf table anyway: per_doc becomes a vocab-sized
+    re-aggregate of tf instead of a second corpus tokenize.
+
+    Equivalence with bm25_rank: dl = sum(tf) = count of tokens;
+    tf_t / df_t identical sums; zero-token docs are absent from tf
+    but fail has_term anyway, and contribute 0 to sum_dl — only
+    n_docs sees them, which is why it comes from the raw doc count
+    `n`, not from per_doc. Same fixed-order double arithmetic."""
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("dl"),
+        *[F.sum(F.when(F.col("term") == t, F.col("tf")).otherwise(0))
+          .alias(f"tf_{t}") for t in BM25_QUERY],
+    )
+    stats = per_doc.agg(
+        F.sum("dl").alias("sum_dl"),
+        *[F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+          for t in BM25_QUERY],
+    ).crossJoin(F.broadcast(n))
+
+    def term_score(t: str):
+        tf_c = F.col(f"tf_{t}").cast("double")
+        df_c = F.col(f"df_{t}").cast("double")
+        avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+        idf = (F.col("n_docs") - df_c + F.lit(0.5)) / (df_c + F.lit(0.5))
+        denom = tf_c + F.lit(BM25_K1) * (
+            F.lit(1.0) - F.lit(BM25_B)
+            + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl))
+        return idf * ((tf_c * F.lit(BM25_K1 + 1.0)) / denom)
+
     has_term = None
     for t in BM25_QUERY:
         c = F.col(f"tf_{t}") > 0
@@ -512,31 +591,34 @@ def bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, rank_tfidf) — the plain linear-tf TF-IDF ranker's
     top-20 for the anchor query (hybrid_rank_fusion's second leg,
-    shared with rank_tau_eval)."""
-    docs = spread(load_table(spark, "documents", sf_dir))
-    tf = (
-        docs.select("doc_id", F.explode(X.tokens()).alias("term"))
-        .filter(F.col("term").isin(*BM25_QUERY))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n = docs.agg(F.count("*").alias("n_docs"))
-    piv = (
-        tf.join(F.broadcast(df_), "term")
-        .groupBy("doc_id")
-        .pivot("term", list(BM25_QUERY))
-        .agg(F.first(F.struct("tf", "df")))
-        .crossJoin(F.broadcast(n))
-    )
+    shared with rank_tau_eval).
+
+    Built on the SAME per-doc conditional aggregate as bm25_rank
+    (_bm25_per_doc_stats): per_doc already carries the query-term tfs
+    and stats carries df/n_docs, so the old second tokenize pass +
+    pivot + per-term df join are gone — when fused with the bm25 leg
+    the whole corpus is tokenized ONCE (ReusedExchange). Membership
+    is identical to the old pivot's (docs with >= 1 query-term
+    occurrence), realized as the same has-any-term predicate bm25
+    uses; the score is the identical fixed-order double sum
+    tf * (n_docs + 1) / (df + 1) over BM25_QUERY order (per_doc tfs
+    are never NULL and a term no doc carries has df 0 both ways), so
+    values — and the oracle hash — are bit-identical."""
+    per_doc, stats = _bm25_per_doc_stats(spark, sf_dir)
+    has_term = None
+    for t in BM25_QUERY:
+        c = F.col(f"tf_{t}") > 0
+        has_term = c if has_term is None else (has_term | c)
     total = None
     for t in BM25_QUERY:
-        c = (F.coalesce(F.col(f"{t}.tf"), F.lit(0)).cast("double")
+        c = (F.col(f"tf_{t}").cast("double")
              * ((F.col("n_docs") + F.lit(1.0))
-                / (F.coalesce(F.col(f"{t}.df"), F.lit(0)) + F.lit(1.0))))
+                / (F.col(f"df_{t}") + F.lit(1.0))))
         total = c if total is None else total + c
     return (
-        piv.select("doc_id", total.alias("tfidf"))
+        per_doc.filter(has_term)
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", total.alias("tfidf"))
         .orderBy(F.desc("tfidf"), F.asc("doc_id")).limit(BM25_TOPK)
         .select(
             "doc_id",
@@ -663,16 +745,19 @@ def query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring is one fixed-order double product; the final 15 rides
     TakeOrdered. Fully deterministic: exact counts, rational idf,
     full (score, term) tie-break."""
-    fb = F.broadcast(
-        bm25_rank(spark, sf_dir).select("doc_id").limit(PRF_DOCS))
     docs = spread(load_table(spark, "documents", sf_dir))
     tf = (
         docs.select("doc_id", F.explode(X.tokens()).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
+    # the feedback head is bm25_rank's exact top-k, but rebuilt from
+    # the full-vocab tf table this query materializes anyway
+    # (_bm25_head_from_tf) — one corpus tokenize instead of two
+    fb = F.broadcast(
+        _bm25_head_from_tf(tf, n).select("doc_id").limit(PRF_DOCS))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     fb_tf = (
         tf.join(fb, "doc_id")
         .groupBy("term")

@@ -31,28 +31,31 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     lift — the full rule statistics a recommender shortlist needs
     beyond basket_pairs' raw co-occurrence top-k.
 
-    Shape: the distinct (order, part) basket table is the shared
-    input of every branch — localCheckpointed, because the basket
-    total, both per-item count sides, and the co-pair self-join all
-    reference it and each replayed the scan AND the distinct shuffle
-    otherwise (r7 scan audit: 4 lineitem scans, now 1). Pair
-    generation is the basket_pairs self-join (fan-out bounded by
-    lines-per-order, linear in orders); per-item basket counts join
-    back on the part keys (shuffle equi-joins); the basket total is
-    a broadcast 1-row aggregate. All counts exact; confidences and
-    lift are fixed-order double divisions."""
-    li = load_table(spark, "lineitem", sf_dir).select(
-        "l_orderkey", "l_partkey").distinct().transform(cut)
-    n_baskets = F.broadcast(
-        li.agg(F.countDistinct("l_orderkey").cast("long").alias("nb")))
-    item = li.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt"))
+    Shape: the per-order sorted part-SET table (order_part_sets) is
+    the shared input of every branch — localCheckpointed, because the
+    basket total, the per-item counts, and the pair expansion all
+    reference it. collect_set dedups, so the old distinct() +
+    countDistinct pre-pass (a full extra corpus shuffle before the
+    order grouping, r10 plan audit) is gone: ONE groupBy(l_orderkey)
+    shuffle builds the statistic; basket total = its row count,
+    per-item basket counts = explode + partial-agg count, pairs =
+    the bounded in-array expansion (fan-out lines-per-order choose 2,
+    linear in orders). All counts exact; confidences and lift are
+    fixed-order double divisions."""
     from distributed_system_mapreduce_spark.functions.graphs import (
-        copair_counts,
+        explode_pairs,
+        order_part_sets,
     )
 
+    li = load_table(spark, "lineitem", sf_dir)
+    sets = order_part_sets(li).transform(cut)
+    n_baskets = F.broadcast(
+        sets.agg(F.count(F.lit(1)).cast("long").alias("nb")))
+    item = sets.select(F.explode("a").alias("l_partkey")).groupBy(
+        "l_partkey").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     pairs = (
-        copair_counts(li)
+        explode_pairs(sets)
+        .groupBy("u", "v").agg(F.count(F.lit(1)).alias("w"))
         .select(F.col("u").alias("part_a"),
                 F.col("v").alias("part_b"),
                 F.col("w").cast("long").alias("support"))
