@@ -153,7 +153,16 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     global top-20 via orderBy+limit = TakeOrderedAndProject (never a
     global window)."""
     per_doc, stats = _bm25_per_doc_stats(spark, sf_dir)
+    return _bm25_score_head(per_doc, stats)
 
+
+def _bm25_score_head(per_doc: DataFrame, stats: DataFrame) -> DataFrame:
+    """bm25_rank's scoring/filter/top-k tail over a (per_doc, stats)
+    pair — per_doc carries (doc_id, dl, tf_<term>...), stats a 1-row
+    (n_docs, sum_dl, df_<term>...). ONE implementation shared by
+    bm25_rank and _bm25_head_from_tf so the two heads provably share
+    the same fixed-order double arithmetic (their documented
+    bit-identical equivalence cannot drift apart by editing one)."""
     def term_score(t: str):
         tf_c = F.col(f"tf_{t}").cast("double")
         df_c = F.col(f"df_{t}").cast("double")
@@ -183,20 +192,6 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def bm25_rel(per_doc: DataFrame) -> DataFrame:
-    """(doc_id, rel): the term-coverage gold label rel(doc) =
-    |distinct query terms present| (0..3), derived from per_doc's tf
-    flags — bit-identical to size(array_intersect(array_distinct(
-    tokens), array(terms))) because tf_t > 0 iff term t occurs, with
-    NO second tokenize pass (the eval queries re-tokenized the corpus
-    for this before r10)."""
-    rel = None
-    for t in BM25_QUERY:
-        c = (F.col(f"tf_{t}") > 0).cast("long")
-        rel = c if rel is None else rel + c
-    return per_doc.select("doc_id", rel.alias("rel"))
-
-
 def _bm25_head_from_tf(tf: DataFrame, n: DataFrame) -> DataFrame:
     """bm25_rank's exact (doc_id, dl, bm25) ordered top-20, rebuilt
     from an ALREADY-TOKENIZED (doc_id, term, tf) table plus a 1-row
@@ -219,32 +214,7 @@ def _bm25_head_from_tf(tf: DataFrame, n: DataFrame) -> DataFrame:
         *[F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
           for t in BM25_QUERY],
     ).crossJoin(F.broadcast(n))
-
-    def term_score(t: str):
-        tf_c = F.col(f"tf_{t}").cast("double")
-        df_c = F.col(f"df_{t}").cast("double")
-        avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
-        idf = (F.col("n_docs") - df_c + F.lit(0.5)) / (df_c + F.lit(0.5))
-        denom = tf_c + F.lit(BM25_K1) * (
-            F.lit(1.0) - F.lit(BM25_B)
-            + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl))
-        return idf * ((tf_c * F.lit(BM25_K1 + 1.0)) / denom)
-
-    has_term = None
-    for t in BM25_QUERY:
-        c = F.col(f"tf_{t}") > 0
-        has_term = c if has_term is None else (has_term | c)
-    total = None
-    for t in BM25_QUERY:
-        c = term_score(t)
-        total = c if total is None else total + c
-    return (
-        per_doc.filter(has_term)
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", "dl", total.alias("bm25"))
-        .orderBy(F.desc("bm25"), F.asc("doc_id"))
-        .limit(BM25_TOPK)
-    )
+    return _bm25_score_head(per_doc, stats)
 
 
 _BM25_TERMS_IN = ", ".join(f"'{t}'" for t in BM25_QUERY)

@@ -378,8 +378,15 @@ def lpa_labels(spark: SparkSession, sf_dir: str):
     labels = edges.select(F.col("src").alias("node")).distinct() \
         .withColumn("label", F.col("node"))
     for _ in range(LPA_ROUNDS):
+        # one exchange per round, not two (guide §2.4 "two operations
+        # keyed the same way can share one exchange"): hash(dst)
+        # clusters both the (dst, label) vote count AND the per-dst
+        # argmin, so an explicit repartition(dst) lets BOTH aggregates
+        # run exchange-free on top of it (HashPartitioning(dst)
+        # satisfies ClusteredDistribution(dst, label)).
         votes = (
             edges.join(labels, edges["src"] == labels["node"])
+            .repartition(F.col("dst"))
             .groupBy("dst", "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )

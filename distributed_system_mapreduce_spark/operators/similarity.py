@@ -60,7 +60,8 @@ def _cos_spark() -> F.Column:
 _COS_SQL = f"{V.dot_sql('a.embedding', 'b.embedding')} / (a.norm * b.norm)"
 
 
-def ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_topk_brute(spark: SparkSession, sf_dir: str,
+                   nv: DataFrame | None = None) -> DataFrame:
     """Exact top-k neighbors by cosine — the CORRECTNESS BASELINE for
     the LSH/IVF scale paths, deliberately brute-force.
 
@@ -69,10 +70,14 @@ def ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, so the plan is O(64 x corpus) — linear in the corpus at any
     scale, never corpus x corpus. Growing the corpus grows candidates,
     not queries; for bulk query sets use ann_topk_lsh / ann_topk_ivf
-    (bucketed equi-joins)."""
+    (bucketed equi-joins).
+
+    nv: optional pre-built (vec_id, embedding, norm) table —
+    ann_recall_eval passes ONE checkpointed copy into all five
+    method builders so the eval scans the corpus once (r11)."""
     from pyspark.sql import Window
 
-    vecs = _with_norm(spark, sf_dir)
+    vecs = _with_norm(spark, sf_dir) if nv is None else nv
     q = F.broadcast(
         vecs.filter(
             (F.col("vec_id") % QUERY_MOD == 0)
@@ -243,7 +248,8 @@ def _bands_union_sql() -> str:
     )
 
 
-def _lsh_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_store(spark: SparkSession, sf_dir: str,
+               nv: DataFrame | None = None) -> DataFrame:
     """The banded-LSH index store: norm + all band buckets per
     vector, built ONCE and lineage-cut — the band self-join and both
     re-rank sides reuse it instead of recomputing the interpreted
@@ -252,6 +258,7 @@ def _lsh_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     and planes per band come from lsh_params(corpus count) at build
     time (a parquet-metadata count — no data scan), so the index
     auto-scales past the 64k knee without hand-retuning."""
+    base = _with_norm(spark, sf_dir) if nv is None else nv
     bands, ppb = lsh_params(_corpus_count(spark, sf_dir))
     bb = F.array(*[
         F.struct(
@@ -261,10 +268,7 @@ def _lsh_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i in range(bands)
     ])
-    return (
-        _with_norm(spark, sf_dir).withColumn("bands", bb)
-        .transform(cut)
-    )
+    return base.withColumn("bands", bb).transform(cut)
 
 
 def _lsh_candidates(spark: SparkSession, sf_dir: str,
@@ -291,7 +295,8 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str,
     )
 
 
-def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_topk_lsh(spark: SparkSession, sf_dir: str,
+                 nv: DataFrame | None = None) -> DataFrame:
     """Banded random-hyperplane LSH ANN: a candidate shares the
     query's bucket in AT LEAST ONE band (same banding trick as
     minhash-LSH text dedup); exact cosine re-rank over the distinct
@@ -308,7 +313,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     — keep it constant by growing planes_per_band with the corpus."""
     from pyspark.sql import Window
 
-    store = _lsh_store(spark, sf_dir)
+    store = _lsh_store(spark, sf_dir, nv=nv)
     cand = _lsh_candidates(spark, sf_dir, store)
     vecs = store.select("vec_id", "embedding", "norm")
     pairs = (
@@ -399,7 +404,8 @@ def _ivf_n_cells(spark: SparkSession, sf_dir: str) -> int:
     return ivf_cells(_corpus_count(spark, sf_dir))
 
 
-def _with_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _with_cell(spark: SparkSession, sf_dir: str,
+               nv: DataFrame | None = None) -> DataFrame:
     """IVF coarse quantizer: cell = argmin squared-L2 to a
     deterministic sample codebook (the first ivf_cells(n) vectors by
     vec_id — sample-based codebooks are a standard IVF flavor and
@@ -408,7 +414,7 @@ def _with_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     codewords, narrow xK distance map, min(struct(dist, cid)) —
     no window, one partial-aggregating shuffle."""
     n_cells = _ivf_n_cells(spark, sf_dir)
-    vecs = _with_norm(spark, sf_dir)
+    vecs = _with_norm(spark, sf_dir) if nv is None else nv
     seeds = vecs.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
     d2 = F.expr(V.dist2_expr("embedding", "cemb"))
@@ -448,16 +454,18 @@ _CELL_SQL = f"""
 NPROBE = 8
 
 
-def _query_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _query_probes(spark: SparkSession, sf_dir: str,
+                  nv: DataFrame | None = None) -> DataFrame:
     """The NPROBE nearest codebook cells per QUERY vector (row_number
     over a 16-row-per-query broadcast-join table — partitioned by
     vec_id, never global)."""
     from pyspark.sql import Window
 
     n_cells = _ivf_n_cells(spark, sf_dir)
-    vecs = _with_norm(spark, sf_dir).filter(
+    base = _with_norm(spark, sf_dir) if nv is None else nv
+    vecs = base.filter(
         F.col("vec_id") % QUERY_MOD == 0)
-    seeds = _with_norm(spark, sf_dir).filter(
+    seeds = base.filter(
         F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
     d2 = F.expr(V.dist2_expr("embedding", "cemb"))
@@ -471,7 +479,8 @@ def _query_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_topk_ivf(spark: SparkSession, sf_dir: str,
+                 nv: DataFrame | None = None) -> DataFrame:
     """IVF ANN: inverted-file search with a deterministic sample
     codebook. Corpus vectors live in their nearest coarse cell; each
     query probes its NPROBE nearest cells (nprobe>1 is what buys IVF
@@ -483,13 +492,18 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume constant per query."""
     from pyspark.sql import Window
 
-    vecs = _with_cell(spark, sf_dir)
-    probes = _query_probes(spark, sf_dir).alias("p")
-    q = _with_norm(spark, sf_dir).filter(
+    vecs = _with_cell(spark, sf_dir, nv=nv)
+    probes = _query_probes(spark, sf_dir, nv=nv).alias("p")
+    q = (_with_norm(spark, sf_dir) if nv is None else nv).filter(
         F.col("vec_id") % QUERY_MOD == 0).alias("a")
     c = vecs.alias("b")
+    # explicit broadcast of the panel x probes side (<= PANEL_SIZE x
+    # NPROBE rows by construction): pins the strategy stats would
+    # choose — required when nv is a checkpoint (stats erased)
     pairs = (
-        q.join(probes, F.col("a.vec_id") == F.col("p.vec_id"))
+        F.broadcast(
+            q.join(F.broadcast(probes),
+                   F.col("a.vec_id") == F.col("p.vec_id")))
         .join(c, (F.col("p.cell") == F.col("b.cell"))
               & (F.col("a.vec_id") != F.col("b.vec_id")))
         .select(
@@ -710,7 +724,8 @@ _PQ_EST_SQL = _pq_est_sql(PQ_K)
 
 def _refine_exact(spark: SparkSession, sf_dir: str,
                   est_pairs: DataFrame,
-                  depth: int = PQ_REFINE) -> DataFrame:
+                  depth: int = PQ_REFINE,
+                  nv: DataFrame | None = None) -> DataFrame:
     """Exact-refine stage shared by the two PQ paths (the ADC+R
     composition): keep each query's PQ_REFINE best candidates by the
     ADC estimate (est asc, id asc — deterministic), then score ONLY
@@ -723,7 +738,7 @@ def _refine_exact(spark: SparkSession, sf_dir: str,
     knee: est-only 0.03 -> refined well above the floors)."""
     from pyspark.sql import Window
 
-    nv = _with_norm(spark, sf_dir)
+    nv = _with_norm(spark, sf_dir) if nv is None else nv
     we = Window.partitionBy("query_id").orderBy(
         F.asc("est_dist2"), F.asc("neighbor_id"))
     cand = (
@@ -731,8 +746,15 @@ def _refine_exact(spark: SparkSession, sf_dir: str,
         .filter(F.col("rk") <= depth)
         .select("query_id", "neighbor_id")
     )
+    # cand is <= panel x depth rows by construction (bounded id pairs,
+    # a vanishing fraction of the corpus at any scale); the explicit
+    # hint pins the build side stats would choose — required when nv
+    # is a checkpoint (stats erased), harmless otherwise
     scored = (
-        cand.join(nv.alias("a"), F.col("query_id") == F.col("a.vec_id"))
+        F.broadcast(
+            F.broadcast(cand)
+            .join(nv.alias("a"),
+                  F.col("query_id") == F.col("a.vec_id")))
         .join(nv.alias("b"), F.col("neighbor_id") == F.col("b.vec_id"))
         .select("query_id", "neighbor_id", _cos_spark().alias("cosine"))
     )
@@ -772,7 +794,8 @@ WHERE rank <= {TOP_K}
 """
 
 
-def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_topk_pq(spark: SparkSession, sf_dir: str,
+                nv: DataFrame | None = None) -> DataFrame:
     """Product-quantization ANN (IVF-PQ's compression half): every
     corpus vector is encoded as PQ_M codebook indices (64 floats ->
     8 nibbles, a 64x memory cut — the trick that lets a 100 TB vector
@@ -792,8 +815,10 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     floored in tests/test_similarity_quality.py."""
     n = _corpus_count(spark, sf_dir)
     k = pq_k(n)
-    vecs = spread(load_table(spark, "embeddings", sf_dir)).select(
-        "vec_id", "embedding")
+    vecs = (
+        spread(load_table(spark, "embeddings", sf_dir))
+        if nv is None else nv
+    ).select("vec_id", "embedding")
     cb = (
         vecs.filter(F.col("vec_id") < k)
         .agg(F.expr(
@@ -821,7 +846,8 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_pq_est_expr(k)).alias("est_dist2"),
         )
     )
-    return _refine_exact(spark, sf_dir, pairs, depth=pq_refine(n))
+    return _refine_exact(spark, sf_dir, pairs, depth=pq_refine(n),
+                         nv=nv)
 
 
 ANN_TOPK_PQ_SQL = f"""
@@ -1406,12 +1432,15 @@ def _recall_row(gold: DataFrame, approx: DataFrame,
     a = approx.select("query_id", "neighbor_id")
     gold_pq = g.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_gold_q"))
+    # both result sets are <= PANEL_SIZE x TOP_K rows by construction;
+    # the hints replace the SMJs these bounded joins planned without
+    # size stats (r11 — 10 SortMergeJoins in the r10 eval plan)
     hits_pq = (
-        g.join(a, ["query_id", "neighbor_id"], "leftsemi")
+        g.join(F.broadcast(a), ["query_id", "neighbor_id"], "leftsemi")
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_hits_q"))
     )
-    per_q = gold_pq.join(hits_pq, "query_id", "left").select(
+    per_q = gold_pq.join(F.broadcast(hits_pq), "query_id", "left").select(
         "query_id", "n_gold_q",
         F.coalesce("n_hits_q", F.lit(0).cast("long")).alias("n_hits_q"),
     )
@@ -1445,19 +1474,32 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the eval is five existing ANN plans plus aggregates over
     a 64-query panel — the panel, not the corpus, bounds the eval
     cost beyond the index builds themselves."""
-    # NOTE (r10): do NOT localCheckpoint gold here. It is consumed by
+    # NOTE (r10): do NOT localCheckpoint gold. It is consumed by
     # eight subtrees, but they live in ONE union plan and ReuseExchange
     # already dedupes the identical brute-force subtree, while an RDD
     # barrier erases the table's stats (the tiny per-method joins lose
     # their broadcast plans). Cold-session solo A/B at sf0.1 measured
     # no-cut 6.7s vs eager-cut 6.9s vs lazy-cut 8.1s — the barrier
-    # never wins, so the naive "share it" move stays out.
-    gold = ann_topk_brute(spark, sf_dir)
-    lsh_row = _recall_row(gold, ann_topk_lsh(spark, sf_dir), "lsh")
-    ivf_row = _recall_row(gold, ann_topk_ivf(spark, sf_dir), "ivf")
-    pq_row = _recall_row(gold, ann_topk_pq(spark, sf_dir), "pq")
+    # never wins there.
+    # r11: the barrier that DOES win is one level lower — the r10 plan
+    # scanned `embeddings` 39 times (every method rebuilt _with_norm /
+    # its codebook from the raw parquet). One checkpointed _with_norm
+    # shared by all five builders collapses that to a single corpus
+    # scan (guide §5 "cache only what is reused"); the stats the
+    # checkpoint erases are replaced by explicit F.broadcast hints on
+    # the panel-sized sides (guide §3.1), so every join keeps the
+    # strategy stats would have chosen and the family's pinned recall
+    # gates are untouched (values bit-identical; hints and barriers
+    # change placement, never arithmetic).
+    nv = cut(_with_norm(spark, sf_dir))
+    gold = ann_topk_brute(spark, sf_dir, nv=nv)
+    lsh_row = _recall_row(gold, ann_topk_lsh(spark, sf_dir, nv=nv),
+                          "lsh")
+    ivf_row = _recall_row(gold, ann_topk_ivf(spark, sf_dir, nv=nv),
+                          "ivf")
+    pq_row = _recall_row(gold, ann_topk_pq(spark, sf_dir, nv=nv), "pq")
     ivfpq_row = _recall_row(
-        gold, ann_topk_ivfpq(spark, sf_dir), "ivfpq")
+        gold, ann_topk_ivfpq(spark, sf_dir, nv=nv), "ivfpq")
     return (lsh_row.unionByName(ivf_row).unionByName(pq_row)
             .unionByName(ivfpq_row))
 
@@ -1467,7 +1509,8 @@ QUERIES["ann_recall_eval"] = ann_recall_eval
 # ivfpq block below (the SQL embeds ANN_TOPK_IVFPQ_SQL).
 
 
-def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str,
+                   nv: DataFrame | None = None) -> DataFrame:
     """IVF-PQ — the production ANN shape at 100 TB (FAISS's default
     composition, both halves already certified separately here): the
     IVF coarse quantizer PRUNES (each query scores only its NPROBE
@@ -1490,8 +1533,10 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     of corpus size."""
     n = _corpus_count(spark, sf_dir)
     k = pq_k(n)
-    vecs = spread(load_table(spark, "embeddings", sf_dir)).select(
-        "vec_id", "embedding")
+    vecs = (
+        spread(load_table(spark, "embeddings", sf_dir))
+        if nv is None else nv
+    ).select("vec_id", "embedding")
     cb = (
         vecs.filter(F.col("vec_id") < k)
         .agg(F.expr(
@@ -1500,22 +1545,26 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s -> transform(s.embedding, x -> CAST(x AS DOUBLE))))"
         ).alias("flat_cw"))
     )
-    cells = _with_cell(spark, sf_dir).select("vec_id", "cell")
+    cells = _with_cell(spark, sf_dir, nv=nv).select("vec_id", "cell")
     corpus = (
         vecs.crossJoin(F.broadcast(cb))
         .select("vec_id", F.expr(_pq_codes_expr(k)).alias("codes"))
         .join(cells, "vec_id")
     )
-    probes = _query_probes(spark, sf_dir).alias("p")
+    probes = _query_probes(spark, sf_dir, nv=nv).alias("p")
     queries = (
         vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
         .crossJoin(F.broadcast(cb))
         .select(F.col("vec_id").alias("query_id"),
                 F.expr(_pq_lut_expr(k)).alias("lut"))
     )
+    # the panel x probes side is <= PANEL_SIZE x NPROBE rows; the
+    # explicit hint pins the strategy stats would choose (see
+    # ann_topk_ivf) — required when nv is a checkpoint
     pairs = (
-        F.broadcast(queries)
-        .join(probes, F.col("query_id") == F.col("p.vec_id"))
+        F.broadcast(
+            F.broadcast(queries)
+            .join(probes, F.col("query_id") == F.col("p.vec_id")))
         .join(corpus.alias("c"),
               (F.col("p.cell") == F.col("c.cell"))
               & (F.col("query_id") != F.col("c.vec_id")))
@@ -1525,7 +1574,8 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_pq_est_expr(k)).alias("est_dist2"),
         )
     )
-    return _refine_exact(spark, sf_dir, pairs, depth=pq_refine(n))
+    return _refine_exact(spark, sf_dir, pairs, depth=pq_refine(n),
+                         nv=nv)
 
 
 ANN_TOPK_IVFPQ_SQL = f"""

@@ -41,24 +41,31 @@ MG_TOPN = 20
 def _mg_partials(batches: Iterator[pd.DataFrame]
                  ) -> Iterator[pd.DataFrame]:
     """Per-partition Misra-Gries: fold each Arrow batch's exact
-    value_counts into the counter table (C-speed counting; the Python
-    loop is over the <= vocab-sized count table, not rows), compress
-    to MG_K counters on overflow. Emits the surviving counters plus
-    one NULL-token row carrying the partition's decrement total."""
-    counters: dict[str, int] = {}
+    value_counts into the counter table, compress to MG_K counters on
+    overflow. Emits the surviving counters plus one NULL-token row
+    carrying the partition's decrement total.
+
+    r11 (guide §4.2 vectorize inside the Arrow batch): the merge is a
+    single index-aligned Series.add per batch and the compression one
+    np.partition + vectorized subtract/filter — no Python loop over
+    the counter table. Alignment upcasts to float64; counts are exact
+    small ints, so the int64 round-trip is lossless, and the kept/
+    dropped sets and estimates are identical to the r10 dict fold."""
+    import numpy as np
+
+    counters = pd.Series(dtype="int64")
     dec = 0
     for b in batches:
-        for tok, c in b["tok"].value_counts().items():
-            counters[tok] = counters.get(tok, 0) + int(c)
+        counters = counters.add(
+            b["tok"].value_counts(), fill_value=0).astype("int64")
         if len(counters) > MG_K:
-            vals = sorted(counters.values(), reverse=True)
-            cut = vals[MG_K]  # (K+1)-th largest
-            counters = {t: c - cut for t, c in counters.items()
-                        if c - cut > 0}
-            dec += cut
+            vals = counters.to_numpy()
+            cutv = int(-np.partition(-vals, MG_K)[MG_K])  # (K+1)-th
+            counters = counters[counters > cutv] - cutv
+            dec += cutv
     yield pd.DataFrame({
-        "tok": list(counters) + [None],
-        "est": list(counters.values()) + [0],
+        "tok": list(counters.index) + [None],
+        "est": list(counters.to_numpy()) + [0],
         "dec": [0] * len(counters) + [dec],
     })
 

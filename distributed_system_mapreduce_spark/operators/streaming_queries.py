@@ -30,12 +30,44 @@ driver-side result state.
 
 from __future__ import annotations
 
+import glob
 import itertools
+import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _DRAIN_SEQ = itertools.count()
+
+# Input bytes of drained feed per state partition. Stateful operators
+# instantiate one state store per shuffle partition per state sub-store
+# (a stream-stream join keeps four), each a pure fixed cost on a
+# bounded drain — so the partition count must track the DRAINED INPUT
+# VOLUME, not the core count (guide §2.2 "fewer, larger partitions";
+# a constant tuned to local[32] would under-parallelize a cluster, a
+# core-count default over-instantiates stores on a gate corpus).
+_STATE_TARGET_BYTES = 256 << 10
+
+
+def _state_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Shuffle-partition count for the bounded availableNow drains:
+    ceil(source bytes / _STATE_TARGET_BYTES), capped at the session's
+    defaultParallelism. On the gate corpora this derives a small count
+    (sf0.1 events = 2 MB -> 8); on a 100 TB feed the byte term exceeds
+    any cluster's core count, so the cap restores cluster-sized
+    parallelism. SPARK_GRAFT_STREAM_STATE_PARTITIONS overrides."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    nbytes = sum(
+        os.path.getsize(p)
+        for p in glob.glob(os.path.join(sf_dir, "events.parquet*"))
+    )
+    if not nbytes:  # unknown source layout: keep the session default
+        return spark.sparkContext.defaultParallelism
+    return max(1, min(spark.sparkContext.defaultParallelism,
+                      math.ceil(nbytes / _STATE_TARGET_BYTES)))
 
 
 def _drain(df: DataFrame, prefix: str,
@@ -83,7 +115,8 @@ def stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = read_events_stream(spark, sf_dir)
-    name = _drain(windowed_counts(ev), "sq_rollup", state_partitions=8)
+    name = _drain(windowed_counts(ev), "sq_rollup",
+                  state_partitions=_state_partitions(spark, sf_dir))
     return spark.table(name).select(
         F.to_date("day").alias("day"),
         "event_type",
@@ -120,7 +153,8 @@ def stream_topk_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = read_events_stream(spark, sf_dir)
-    name = _drain(windowed_user_counts(ev), "sq_topk", state_partitions=8)
+    name = _drain(windowed_user_counts(ev), "sq_topk",
+                  state_partitions=_state_partitions(spark, sf_dir))
     ranked = topk_per_window(spark.table(name), _TOPK)
     return ranked.select(
         F.to_date("day").alias("day"),
@@ -163,7 +197,7 @@ def stream_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     cust = load_table(spark, "customer", sf_dir)
     name = _drain(enrich_with_customers(ev, cust), "sq_enrich",
-                  state_partitions=8)
+                  state_partitions=_state_partitions(spark, sf_dir))
     return spark.table(name).select(
         F.to_date("day").alias("day"),
         F.col("c_mktsegment").alias("segment"),
@@ -207,7 +241,8 @@ def stream_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled = read_events_stream(spark, sf_dir).unionByName(
         read_events_stream(spark, sf_dir))
     name = _drain_append(dedup_stream(doubled), "sq_dedup",
-                         state_partitions=8)
+                         state_partitions=_state_partitions(
+                             spark, sf_dir))
     return (
         spark.table(name)
         .groupBy("event_type")
@@ -255,7 +290,9 @@ def stream_funnel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     pairs = view_purchase_join_stream(
         ev, lookback_hours=_FUNNEL_LOOKBACK_H)
-    name = _drain_append(pairs, "sq_funnel", state_partitions=8)
+    name = _drain_append(pairs, "sq_funnel",
+                         state_partitions=_state_partitions(
+                             spark, sf_dir))
     return spark.table(name).select(
         F.col("view_id").cast("long").alias("view_id"),
         F.col("user_id").cast("long").alias("user_id"),
@@ -312,7 +349,9 @@ def stream_abandoned_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     pairs = view_purchase_left_join_stream(
         ev, watermark=_ABANDON_WM, lookback_hours=_ABANDON_LOOKBACK_H)
-    name = _drain_append(pairs, "sq_abandon", state_partitions=8)
+    name = _drain_append(pairs, "sq_abandon",
+                         state_partitions=_state_partitions(
+                             spark, sf_dir))
 
     ev_b = load_table(spark, "events", sf_dir)
     cut = ev_b.agg(
@@ -531,7 +570,9 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     name = f"sq_sess_{next(_DRAIN_SEQ)}"
     run_stream_to_memory(sessionize_stream(ev), name,
-                         output_mode="update", state_partitions=8)
+                         output_mode="update",
+                         state_partitions=_state_partitions(
+                             spark, sf_dir))
     t = spark.table(name)
     w = Window.partitionBy("user_id").orderBy(
         F.desc("n_events"), F.desc("n_sessions"))
@@ -581,8 +622,10 @@ def stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_events_stream(spark, sf_dir)
     name = f"sq_thr_{next(_DRAIN_SEQ)}"
-    run_stream_to_memory(throttle_stream(ev), name, output_mode="update",
-                         state_partitions=8)
+    run_stream_to_memory(throttle_stream(ev), name,
+                         output_mode="update",
+                         state_partitions=_state_partitions(
+                             spark, sf_dir))
     t = spark.table(name)
     w = Window.partitionBy("user_id").orderBy(
         F.desc("n_events"), F.desc("n_kept"))

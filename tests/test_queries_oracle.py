@@ -84,7 +84,10 @@ def _driver_evidence_round(artifact_dir=None, cap: int = 99):
         Path(__file__).resolve().parent.parent)
     latest: dict[str, int] = {}
     for f in sorted(glob.glob(str(repo / "CORRECTNESS_r*.json"))):
-        rnd = int(re.search(r"r0*(\d+)", f).group(1))
+        # parse from the basename: a repo checkout under a path that
+        # itself contains r<digits> (e.g. /tmp/r11_green) must not
+        # shadow the artifact's round number
+        rnd = int(re.search(r"r0*(\d+)", Path(f).name).group(1))
         if rnd > cap:
             continue
         for k, v in json.load(open(f)).items():

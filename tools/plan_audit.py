@@ -3,9 +3,11 @@ the audit SF and record Exchange / ReusedExchange / parquet-scan /
 Python-eval node counts from the formatted physical plan. Queries
 whose plan scans the same table many times are replayed-subtree
 suspects (guide §2.4 / §7.2). Writes one JSON line per query to
-plans/r10/plan_audit.jsonl and prints the suspects.
+plans/<round>/plan_audit.jsonl and prints the suspects.
 
-Usage: python tools/plan_audit.py [sf_dir]
+Usage: python tools/plan_audit.py [sf_dir] [round_tag]
+(round_tag default r11; paths are anchored to the repo root, so the
+script works from any cwd)
 """
 
 from __future__ import annotations
@@ -15,16 +17,20 @@ import os
 import re
 import sys
 
-sys.path.insert(0, ".")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    round_tag = sys.argv[2] if len(sys.argv) > 2 else "r11"
     from distributed_system_mapreduce_spark.registry import QUERIES
     from distributed_system_mapreduce_spark.session import get_spark
 
     spark = get_spark("plan_audit")
-    out_path = os.path.join("plans", "r10", "plan_audit.jsonl")
+    out_dir = os.path.join(_REPO, "plans", round_tag)
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(out_dir, "plan_audit.jsonl")
     rows = []
     with open(out_path, "w") as fh:
         for name, fn in QUERIES.items():

@@ -1,4 +1,5 @@
-"""Dump .explain('formatted') for named queries to plans/r10/<q>_<tag>.txt.
+"""Dump .explain('formatted') for named queries to
+plans/$SPARK_GRAFT_PLAN_ROUND/<q>_<tag>.txt (round default r11).
 
 Usage: python tools/plan_dump.py <tag> <query> [query ...]
 SPARK_GRAFT_SF_DIR selects the corpus (default sf0.1).
@@ -19,8 +20,9 @@ def main() -> None:
     from distributed_system_mapreduce_spark.session import get_spark
 
     spark = get_spark("plan_dump")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r10")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r11"))
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = QUERIES[name](spark, sf_dir)
